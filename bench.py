@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "broadcast_dim_join",
+    "upsert_merge",
+    "batch_numbering",
+    "nested_collect",
+    "window_topk_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from mbrainz_importer_spark.queries import all_queries
+    from mbrainz_importer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # extend with any registered bench-tagged queries (llm/datalog modules)
+    for n in sorted(queries):
+        if n.startswith("bench_") and n not in names:
+            names.append(n)
+
+    # warm-up: JVM + parquet footer caches, one trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
