@@ -1,0 +1,202 @@
+"""Minimal EDN reader for the reference's data files.
+
+Parses the subset of EDN the mbrainz dataset uses (reference files:
+subsets/entities/*.edn, subsets/batches/*.edn): maps, vectors, lists, sets,
+strings, numbers, keywords, symbols, booleans, nil, `#uuid` tagged literals,
+namespaced-map syntax `#:artist{...}`, and `;` comments. Commas are
+whitespace.
+
+Representation choices (documented; used consistently across the engine):
+  keyword  -> str  ":ns/name"        (leading colon kept)
+  symbol   -> str  "name"
+  #uuid    -> str  canonical lowercase uuid text
+  map      -> dict
+  vector   -> list            list -> list          set -> frozenset
+
+This module is pure Python and is invoked inside Arrow-batched executors
+(sources/edn_source.py) — the driver never materializes whole files.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from collections.abc import Iterator
+
+_WS = set(" \t\r\n,")
+_DELIM = set("()[]{}\";")
+
+
+class EdnError(ValueError):
+    pass
+
+
+class _Reader:
+    __slots__ = ("s", "i", "n")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+        self.n = len(s)
+
+    def _skip_ws(self) -> None:
+        s, n = self.s, self.n
+        while self.i < n:
+            c = s[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == ";":
+                j = s.find("\n", self.i)
+                self.i = n if j < 0 else j + 1
+            else:
+                return
+
+    def eof(self) -> bool:
+        self._skip_ws()
+        return self.i >= self.n
+
+    def read(self):
+        self._skip_ws()
+        if self.i >= self.n:
+            raise EdnError("unexpected EOF")
+        c = self.s[self.i]
+        if c == "{":
+            return self._read_map(None)
+        if c == "[":
+            return self._read_seq("]")
+        if c == "(":
+            return self._read_seq(")")
+        if c == '"':
+            return self._read_string()
+        if c == "#":
+            return self._read_dispatch()
+        if c == ":":
+            return self._read_token()  # keyword, returned with the colon
+        return self._read_scalar()
+
+    def _read_seq(self, closer: str) -> list:
+        self.i += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.i >= self.n:
+                raise EdnError(f"unterminated sequence, expected {closer!r}")
+            if self.s[self.i] == closer:
+                self.i += 1
+                return out
+            out.append(self.read())
+
+    def _read_map(self, ns: str | None) -> dict:
+        self.i += 1  # consume '{'
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.i >= self.n:
+                raise EdnError("unterminated map")
+            if self.s[self.i] == "}":
+                self.i += 1
+                return out
+            k = self.read()
+            v = self.read()
+            if ns and isinstance(k, str) and k.startswith(":") and "/" not in k:
+                k = f":{ns}/{k[1:]}"
+            out[_hashable(k)] = v
+
+    def _read_string(self) -> str:
+        s = self.s
+        i = self.i + 1
+        buf = []
+        while i < self.n:
+            c = s[i]
+            if c == "\\":
+                nxt = s[i + 1]
+                buf.append({"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}.get(nxt, nxt))
+                i += 2
+            elif c == '"':
+                self.i = i + 1
+                return "".join(buf)
+            else:
+                buf.append(c)
+                i += 1
+        raise EdnError("unterminated string")
+
+    def _read_dispatch(self):
+        s = self.s
+        if s.startswith("#uuid", self.i):
+            self.i += 5
+            self._skip_ws()
+            val = self._read_string()
+            return str(_uuid.UUID(val))
+        if s.startswith("#inst", self.i):
+            self.i += 5
+            self._skip_ws()
+            return self._read_string()
+        if s.startswith("#{", self.i):
+            self.i += 1  # point at '{'
+            items = self._read_seq("}")
+            return frozenset(_hashable(x) for x in items)
+        if s.startswith("#:", self.i):
+            # namespaced map: #:artist{:name ...}
+            self.i += 2
+            start = self.i
+            while self.i < self.n and s[self.i] != "{":
+                self.i += 1
+            ns = s[start : self.i].strip()
+            return self._read_map(ns)
+        if s.startswith("#_", self.i):  # discard form
+            self.i += 2
+            self.read()
+            return self.read()
+        raise EdnError(f"unsupported dispatch at {self.i}: {s[self.i:self.i+10]!r}")
+
+    def _read_token(self) -> str:
+        s = self.s
+        start = self.i
+        i = self.i
+        while i < self.n and s[i] not in _WS and s[i] not in _DELIM:
+            i += 1
+        self.i = i
+        return s[start:i]
+
+    def _read_scalar(self):
+        tok = self._read_token()
+        if tok == "nil":
+            return None
+        if tok == "true":
+            return True
+        if tok == "false":
+            return False
+        try:
+            return int(tok)
+        except ValueError:
+            pass
+        try:
+            return float(tok)
+        except ValueError:
+            pass
+        return tok  # symbol
+
+
+def _hashable(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    if isinstance(v, list):
+        return tuple(_hashable(x) for x in v)
+    return v
+
+
+def loads(text: str):
+    """Parse a single EDN form."""
+    r = _Reader(text)
+    out = r.read()
+    if not r.eof():
+        raise EdnError(f"trailing content at {r.i}")
+    return out
+
+
+def iter_forms(text: str) -> Iterator:
+    """Iterate top-level EDN forms in a string (streaming, bounded memory
+    per form) — the analog of the reference's PushbackReader loop
+    (src/cognitect/xform/async_edn.clj:27-51)."""
+    r = _Reader(text)
+    while not r.eof():
+        yield r.read()

@@ -1,0 +1,87 @@
+"""Unique-identity upsert with cardinality-many set-union (SURVEY.md §2.4 J2).
+
+Datomic semantics being reproduced (schema.edn:29-33 + :db.cardinality/many):
+transacting {:artist/gid X, ...} MERGES into the entity with that gid —
+scalar (cardinality-one) attrs last-writer-wins, cardinality-many attrs
+accumulate as a SET. Successive import passes depend on this: releases,
+then releases-artists, then media all touch the same release entities
+(importer.clj:40-44 O3).
+
+Pure-DataFrame realization (no table-format dependency): union + grouped
+compaction. On a real deployment this maps 1:1 onto `MERGE INTO` of any
+ACID table format; the compaction below is the semantics, the format is
+the transport.
+
+Scale: the groupBy shuffles on the upsert key — the same key every import
+pass uses, so a bucketed/pre-partitioned target makes every subsequent
+merge co-located (no re-shuffle of the big side; SURVEY.md §7.2 M6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    set_union_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge `updates` into `target` by `key`.
+
+    - scalar columns: the update's non-null value wins, else target's
+      (null never clobbers — matches Datomic, where an absent attr in
+      tx-data leaves the existing assertion alone);
+    - `set_union_cols` (array columns): set-union of both sides;
+    - rows only in updates are inserted, only in target are kept.
+    """
+    cols = target.columns
+    if set(cols) != set(updates.columns):
+        missing = set(cols) ^ set(updates.columns)
+        raise ValueError(f"target/updates column mismatch: {sorted(missing)}")
+
+    tagged = target.withColumn("__pri", F.lit(0)).unionByName(
+        updates.withColumn("__pri", F.lit(1))
+    )
+    aggs = []
+    for c in cols:
+        if c == key:
+            continue
+        if c in set_union_cols:
+            aggs.append(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.col(c))))
+                ).alias(c)
+            )
+        else:
+            # last-writer-wins among non-null values, priority to updates:
+            # max_by over (priority, non-null) — ignoreNulls first
+            aggs.append(
+                F.coalesce(
+                    F.first(F.when(F.col("__pri") == 1, F.col(c)), ignorenulls=True),
+                    F.first(F.when(F.col("__pri") == 0, F.col(c)), ignorenulls=True),
+                ).alias(c)
+            )
+    return tagged.groupBy(key).agg(*aggs).select(*cols)
+
+
+def attach_many(
+    parent: DataFrame,
+    links: DataFrame,
+    parent_key: str,
+    link_parent_key: str,
+    link_value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Attach a cardinality-many ref column to a parent table from a link
+    table (e.g. release.artists from releases-artists pairs, J2+J3):
+    groupBy link parent -> sorted distinct array -> left join onto parent.
+    Unmatched parents get an empty array (no assertion, not null-poison)."""
+    grouped = links.groupBy(F.col(link_parent_key).alias(parent_key)).agg(
+        F.array_sort(F.collect_set(link_value_col)).alias(out_col)
+    )
+    return parent.join(grouped, parent_key, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast(f"array<string>"))
+    )

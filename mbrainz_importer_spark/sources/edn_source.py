@@ -1,0 +1,104 @@
+"""Distributed EDN file source (SURVEY.md §2.1 S1–S5).
+
+The reference streams EDN forms off a PushbackReader on a dedicated thread
+(src/cognitect/xform/async_edn.clj:27-51). Spark-first equivalent: each file
+becomes one row of `spark.read.text(..., wholetext=True)`, and an
+Arrow-batched `mapInPandas` generator parses forms executor-side, yielding
+bounded chunks — parallelism across files, bounded memory per chunk.
+
+A `_row_idx` column captures form order within the file: the reference gets
+stable input order implicitly from the file stream; we materialize it
+because batch numbering (G3) and media run-grouping (G1) depend on it
+(SURVEY.md §7.4.1).
+
+Scale note: EDN is the reference's interchange format, kept for parity and
+for golden tests. A 100 TB deployment would land data as Parquet/JSONL and
+skip this source entirely; everything downstream of here is format-agnostic
+DataFrames.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..edn import iter_forms
+
+CHUNK = 2048
+
+
+def _strip_kw(k):
+    return k[1:] if isinstance(k, str) and k.startswith(":") else k
+
+
+def read_edn_entities(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_index: bool = True,
+) -> DataFrame:
+    """Read a file (or glob) of top-level EDN maps into a DataFrame.
+
+    Unknown keys are dropped; missing optional keys become null (the
+    reference's schema-on-read semantics: absent keys, not null values).
+    """
+    names = [f.name for f in schema.fields]
+    out_schema = T.StructType(
+        list(schema.fields) + ([T.StructField("_row_idx", T.LongType(), False)] if with_index else [])
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for text in pdf["value"]:
+                rows: list[dict] = []
+                for idx, form in enumerate(iter_forms(text)):
+                    if not isinstance(form, dict):
+                        raise ValueError(f"expected EDN map, got {type(form)}")
+                    row = {n: None for n in names}
+                    for k, v in form.items():
+                        n = _strip_kw(k)
+                        if n in row:
+                            row[n] = v
+                    if with_index:
+                        row["_row_idx"] = idx
+                    rows.append(row)
+                    if len(rows) >= CHUNK:
+                        yield pd.DataFrame(rows, columns=list(row))
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=list(rows[0]))
+
+    raw = spark.read.text(path, wholetext=True)
+    return raw.mapInPandas(parse, schema=out_schema)
+
+
+def read_edn_forms_local(path: str) -> list:
+    """Driver-side whole-file EDN read for small config/dim files —
+    the analog of the reference's slurp+read-string (importer.clj:257-269).
+    Only ever used for dimension/config data that is then broadcast."""
+    with open(path, encoding="utf-8") as f:
+        return list(iter_forms(f.read()))
+
+
+def write_edn(df: DataFrame, path: str, order_col: str | None = None) -> int:
+    """EDN file sink (K1, async_edn.clj:66-82): collect-and-print, for
+    golden-format export only (intermediates standardize on Parquet).
+    Returns number of forms written."""
+    from ..edn_dump import dumps
+
+    rows = df.collect()
+    if order_col is not None:
+        rows = sorted(rows, key=lambda r: r[order_col])
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            d = r.asDict(recursive=True)
+            d.pop(order_col, None)
+            f.write(dumps(d))
+            f.write("\n")
+            n += 1
+    return n
