@@ -1,0 +1,161 @@
+"""Datalog-lite → DataFrame compiler (SURVEY.md §3.4, §4 custom piece 4).
+
+Covers the query surface the reference actually exercises
+(examples/explore_db.clj:13-45; cognitect/xform/batch.clj:50-53):
+
+  - triple patterns [e a v] with variables ('?x'), constants, or
+    wildcards ('_') in any position;
+  - implicit equi-joins on shared variables (J4 — the self-join of the
+    EAV view on `e`);
+  - :find with plain variables and/or aggregates
+    (count, count-distinct, sum, min, max) — grouped by the plain vars;
+  - :in scalar parameters;
+  - :limit (the reference's `:limit -1` = no limit).
+
+Compilation: each pattern becomes an aliased, pre-filtered scan of the
+datoms view; shared variables induce join conditions; the result is one
+declarative DataFrame chain that Catalyst optimizes (filter pushdown into
+each pattern scan, join reordering between patterns).
+
+Query shape (Python dict mirroring the EDN query map):
+
+    {"find": ["?name", ("count", "?c")],
+     "where": [["?c", ":customer/c_nationkey", "?nk"],
+               ["?n", ":nation/n_nationkey", "?nk"],
+               ["?n", ":nation/n_name", "?name"]],
+     "in": ["?segment"],          # optional
+     "limit": 10}                 # optional
+
+Aggregates over numeric attributes use the datoms view's `v_num`
+projection; plain variables bind the canonical string `v`. Known
+limitation (EAV is dynamically typed): sum/min/max over a non-numeric
+attribute returns null rather than raising — attribute value types are a
+runtime property of the triple store, not of the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AGGS = {"count", "count-distinct", "sum", "min", "max"}
+
+
+def _is_var(x) -> bool:
+    return isinstance(x, str) and x.startswith("?")
+
+
+def _var_name(v: str) -> str:
+    return v[1:].replace("-", "_")
+
+
+class DatalogError(ValueError):
+    pass
+
+
+def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
+    """Run a datalog-lite query against a datoms(e,a,v,v_num) view.
+
+    Output columns: plain find-vars keep their name sans '?'
+    (`?name` -> `name`); aggregates are named `{agg}_{var}`
+    (`(count ?c)` -> `count_c`) — stable, oracle-friendly aliases.
+    """
+    where = query.get("where") or []
+    find = query.get("find") or []
+    in_vars = query.get("in") or []
+    if not where or not find:
+        raise DatalogError("query needs :find and :where")
+    if len(in_vars) != len(params):
+        raise DatalogError(f":in arity {len(in_vars)} != {len(params)} params")
+    bound = {v: p for v, p in zip(in_vars, params)}
+
+    # each pattern: aliased scan with constant filters; record var -> column
+    plan: DataFrame | None = None
+    binding: dict[str, F.Column] = {}
+    num_binding: dict[str, F.Column] = {}
+
+    for i, pat in enumerate(where):
+        if len(pat) != 3:
+            raise DatalogError(f"pattern must be [e a v]: {pat}")
+        e, a, v = pat
+        alias = f"p{i}"
+        scan = datoms.alias(alias)
+        cols = {"e": F.col(f"{alias}.e"), "a": F.col(f"{alias}.a"),
+                "v": F.col(f"{alias}.v"), "v_num": F.col(f"{alias}.v_num")}
+
+        filters = []
+        join_conds = []
+        for pos, term in (("e", e), ("a", a), ("v", v)):
+            if term == "_" or term is None:
+                continue
+            if _is_var(term) and term in bound:
+                term = bound[term]  # :in param substitution -> constant
+            if _is_var(term):
+                if term in binding:
+                    join_conds.append(cols[pos] == binding[term])
+                else:
+                    binding[term] = cols[pos]
+                    if pos == "v":
+                        num_binding[term] = cols["v_num"]
+            else:
+                filters.append(cols[pos] == F.lit(term))
+
+        for f in filters:
+            scan = scan.where(f)
+
+        if plan is None:
+            if join_conds:
+                raise DatalogError("first pattern cannot self-reference")
+            plan = scan
+        elif join_conds:
+            cond = join_conds[0]
+            for c in join_conds[1:]:
+                cond = cond & c
+            plan = plan.join(scan, cond)
+        else:
+            plan = plan.crossJoin(scan)  # cartesian — legal datalog, rare
+
+    # :find projection
+    group_cols: list[F.Column] = []
+    agg_cols: list[F.Column] = []
+    out_order: list[str] = []
+    for term in find:
+        if isinstance(term, (tuple, list)):
+            agg, var = term
+            if agg not in AGGS:
+                raise DatalogError(f"unsupported aggregate {agg}")
+            if var not in binding:
+                raise DatalogError(f"unbound aggregate var {var}")
+            name = f"{agg.replace('-', '_')}_{_var_name(var)}"
+            col = binding[var]
+            if agg == "count":
+                agg_cols.append(F.count(col).alias(name))
+            elif agg == "count-distinct":
+                agg_cols.append(F.countDistinct(col).alias(name))
+            else:
+                ncol = num_binding.get(var)
+                if ncol is None:
+                    raise DatalogError(f"aggregate {agg} needs a value var: {var}")
+                agg_cols.append(getattr(F, agg)(ncol).alias(name))
+            out_order.append(name)
+        else:
+            if term not in binding:
+                raise DatalogError(f"unbound find var {term}")
+            group_cols.append(binding[term].alias(_var_name(term)))
+            out_order.append(_var_name(term))
+
+    assert plan is not None
+    if agg_cols:
+        out = (
+            plan.groupBy(*group_cols).agg(*agg_cols)
+            if group_cols
+            else plan.agg(*agg_cols)
+        )
+    else:
+        out = plan.select(*group_cols).distinct()  # datalog returns a set
+
+    out = out.select(*out_order)
+    limit = query.get("limit")
+    if limit is not None and limit >= 0:
+        out = out.limit(limit)
+    return out

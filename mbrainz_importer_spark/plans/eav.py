@@ -1,0 +1,72 @@
+"""Derived EAV (entity-attribute-value) view over relational entity tables.
+
+The reference's database IS a universal EAV triple store queried with
+datalog (examples/explore_db.clj:13-45). Our primary storage is columnar
+relational tables (SURVEY.md §1.3 model decision); this module derives the
+triple view the datalog compiler consumes:
+
+    datoms(e: string, a: string, v: string, v_num: double)
+
+  e      — entity id: "{table}:{primary-key-value}"
+  a      — attribute: ":{table}/{column}" (keyword-style, reference parity)
+  v      — canonical string of the value (join key; integers formatted
+           without decimal point so FK joins line up across tables)
+  v_num  — numeric projection where the value is numeric (aggregations)
+
+Null column values produce NO datom — EAV has no nulls, exactly like the
+reference (absent keys, not null values; SURVEY.md §1.1a).
+
+Scale note: the unpivot is `stack` (built-in generator, JVM-side, no
+shuffle); the view is lazy and Catalyst prunes the stack to only the
+attributes a query touches when the per-table frames are used directly.
+For a 100 TB deployment you would materialize datoms partitioned/z-ordered
+by `a` so each triple pattern becomes a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def table_datoms(df: DataFrame, table: str, id_col: str) -> DataFrame:
+    """Unpivot one entity table into datoms. The id column itself is also
+    emitted as a datom — identity attributes are asserted facts in an EAV
+    store (:artist/gid is a datom with :db.unique/identity, schema.edn:29-33),
+    and FK value-joins against the identity attribute depend on it."""
+    attrs = [f.name for f in df.schema.fields]
+    pairs = []
+    for c in attrs:
+        dt = df.schema[c].dataType
+        v_str = F.col(c).cast("string")
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            v_str = F.regexp_replace(v_str, r"\.0$", "")
+        v_num = (
+            F.col(c).cast("double")
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                               T.FloatType, T.DoubleType, T.DecimalType))
+            else F.lit(None).cast("double")
+        )
+        pairs.append((f":{table}/{c}", v_str, v_num))
+
+    exprs = []
+    for a, v_str, v_num in pairs:
+        exprs.append(F.struct(F.lit(a).alias("a"), v_str.alias("v"), v_num.alias("v_num")))
+    e = F.concat_ws(":", F.lit(table), F.col(id_col).cast("string"))
+    return (
+        df.select(e.alias("e"), F.explode(F.array(*exprs)).alias("t"))
+        .select("e", "t.a", "t.v", "t.v_num")
+        .where(F.col("v").isNotNull())
+    )
+
+
+def build_datoms(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
+    """Union the datom views of {table: (df, id_col)}."""
+    out = None
+    for table, (df, id_col) in tables.items():
+        d = table_datoms(df, table, id_col)
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        raise ValueError("no tables")
+    return out

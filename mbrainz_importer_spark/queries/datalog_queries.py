@@ -1,0 +1,90 @@
+"""Datalog layer queries for the driver gate (SURVEY.md §3.4, J4, G7).
+
+Each runs the datalog-lite compiler over an EAV view derived from the
+driver's testdata tables; the oracle reproduces the same semantics as
+plain relational SQL — which is exactly the equivalence the compiler is
+supposed to guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.datalog import q
+from ..plans.eav import build_datoms
+from ..tables import load
+
+
+def _datoms_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_datoms({
+        "nation": (load(spark, sf_dir, "nation"), "n_nationkey"),
+        "region": (load(spark, sf_dir, "region"), "r_regionkey"),
+    })
+
+
+def datalog_attr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 analog (explore_db.clj:25-31): datoms per attribute, attribute as
+    a VARIABLE — [:find ?a (count ?e) :where [?e ?a _]]."""
+    datoms = _datoms_small(spark, sf_dir)
+    return q({"find": ["?a", ("count", "?e")], "where": [["?e", "?a", "_"]]},
+             datoms).orderBy("a")
+
+
+def datalog_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: implicit equi-joins across three patterns (value-joins region key,
+    entity-joins nation name)."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?rname", ("count", "?n")],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?r", ":region/r_regionkey", "?rk"],
+            ["?r", ":region/r_name", "?rname"],
+        ],
+    }
+    return q(query, datoms).orderBy("rname")
+
+
+def datalog_param_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:in scalar parameter (batch.clj:50-53 passes the attr as input)."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name"],
+        "in": ["?rk"],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?n", ":nation/n_name", "?name"],
+        ],
+    }
+    return q(query, datoms, "2").orderBy("name")
+
+
+QUERIES = {
+    "datalog_attr_counts": datalog_attr_counts,
+    "datalog_region_nations": datalog_region_nations,
+    "datalog_param_in": datalog_param_in,
+}
+
+ORACLES = {
+    "datalog_attr_counts": """
+        SELECT a, count_e FROM (
+            SELECT ':nation/n_nationkey' AS a, COUNT(n_nationkey) AS count_e FROM nation
+            UNION ALL
+            SELECT ':nation/n_name', COUNT(n_name) FROM nation
+            UNION ALL
+            SELECT ':nation/n_regionkey', COUNT(n_regionkey) FROM nation
+            UNION ALL
+            SELECT ':region/r_regionkey', COUNT(r_regionkey) FROM region
+            UNION ALL
+            SELECT ':region/r_name', COUNT(r_name) FROM region
+        ) ORDER BY a
+    """,
+    "datalog_region_nations": """
+        SELECT r_name AS rname, COUNT(*) AS count_n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY rname
+    """,
+    "datalog_param_in": """
+        SELECT n_name AS name FROM nation WHERE n_regionkey = 2 ORDER BY name
+    """,
+}

@@ -1,0 +1,114 @@
+"""Datalog-lite compiler unit tests, including the reference's own example
+queries (examples/explore_db.clj) re-expressed against the imported
+mbrainz warehouse."""
+
+from __future__ import annotations
+
+import pytest
+
+from mbrainz_importer_spark.plans.datalog import DatalogError, q
+from mbrainz_importer_spark.plans.eav import build_datoms, table_datoms
+
+
+@pytest.fixture(scope="module")
+def datoms(spark):
+    schema_rows = [
+        (":artist/gid", ":db.type/uuid", ":db.unique/identity"),
+        (":artist/name", ":db.type/string", None),
+        (":release/gid", ":db.type/uuid", ":db.unique/identity"),
+        (":mbrainz.initial-import/batch-id", ":db.type/string", ":db.unique/value"),
+    ]
+    schema_df = spark.createDataFrame(schema_rows, "ident string, valueType string, unique string")
+    artist_rows = [
+        ("g1", "Adamo", ":artist.type/person"),
+        ("g2", "Blue Sharks", ":artist.type/group"),
+        ("g3", "Trio X", ":artist.type/group"),
+    ]
+    artists_df = spark.createDataFrame(artist_rows, "gid string, name string, type string")
+    return build_datoms({
+        "schema": (schema_df.withColumn("id", schema_df.ident), "id"),
+        "artist": (artists_df, "gid"),
+    })
+
+
+def test_unique_attrs_self_join(datoms):
+    """explore_db.clj:13-18: [:find ?attr :where [?e :db/unique] [?e :db/ident ?attr]]
+    — the J4 EAV self-join on e."""
+    out = q(
+        {"find": ["?attr"],
+         "where": [["?e", ":schema/unique", "_"], ["?e", ":schema/ident", "?attr"]]},
+        datoms,
+    )
+    got = sorted(r["attr"] for r in out.collect())
+    assert got == [":artist/gid", ":mbrainz.initial-import/batch-id", ":release/gid"]
+
+
+def test_count_per_attr(datoms):
+    """explore_db.clj:25-31 shape: per-attribute entity counts."""
+    out = q({"find": ["?a", ("count", "?e")], "where": [["?e", "?a", "_"]]}, datoms)
+    got = {r["a"]: r["count_e"] for r in out.collect()}
+    assert got[":artist/name"] == 3
+    assert got[":schema/valueType"] == 4
+    assert got[":schema/unique"] == 3  # nulls produce no datom
+
+
+def test_group_count_with_join(datoms):
+    out = q(
+        {"find": ["?t", ("count", "?e")],
+         "where": [["?e", ":artist/type", "?t"]]},
+        datoms,
+    )
+    got = {r["t"]: r["count_e"] for r in out.collect()}
+    assert got == {":artist.type/person": 1, ":artist.type/group": 2}
+
+
+def test_distinct_set_semantics(datoms):
+    """Plain-var find returns a SET (no duplicates) like real datalog."""
+    out = q({"find": ["?t"], "where": [["_", ":artist/type", "?t"]]}, datoms)
+    assert out.count() == 2
+
+
+def test_numeric_aggregates(spark):
+    df = spark.createDataFrame([("o1", 10), ("o2", 20), ("o3", 20)], "id string, qty int")
+    datoms = table_datoms(df, "orders", "id")
+    out = q(
+        {"find": [("sum", "?v"), ("min", "?v"), ("max", "?v"), ("count-distinct", "?v")],
+         "where": [["?e", ":orders/qty", "?v"]]},
+        datoms,
+    ).collect()[0]
+    assert (out["sum_v"], out["min_v"], out["max_v"], out["count_distinct_v"]) == (50.0, 10.0, 20.0, 2)
+
+
+def test_in_params_and_limit(datoms):
+    out = q(
+        {"find": ["?n"], "in": ["?t"], "limit": 1,
+         "where": [["?e", ":artist/type", "?t"], ["?e", ":artist/name", "?n"]]},
+        datoms, ":artist.type/group",
+    )
+    assert out.count() == 1
+
+
+def test_errors(datoms):
+    with pytest.raises(DatalogError):
+        q({"find": ["?x"], "where": []}, datoms)
+    with pytest.raises(DatalogError):
+        q({"find": ["?missing"], "where": [["?e", ":artist/name", "?n"]]}, datoms)
+    with pytest.raises(DatalogError):
+        q({"find": ["?n"], "in": ["?a"], "where": [["?e", "?a", "?n"]]}, datoms)  # no param
+
+
+def test_mbrainz_import_then_datalog(spark, tmp_path_factory):
+    """End-to-end: import artists via the pipeline, derive EAV, answer the
+    reference's 'how many artists per type' in datalog."""
+    from mbrainz_importer_spark.pipeline import Importer
+
+    imp = Importer(spark, "/root/reference/subsets")
+    wh = str(tmp_path_factory.mktemp("wh"))
+    imp.load_type("artists", wh)
+    artists = spark.read.parquet(f"{wh}/loaded/artists").drop("batch_id")
+    datoms = build_datoms({"artist": (artists, "gid")})
+    out = q({"find": ["?t", ("count", "?e")], "where": [["?e", ":artist/type", "?t"]]}, datoms)
+    got = {r["t"]: r["count_e"] for r in out.collect()}
+    assert got[":artist.type/person"] == 2243
+    assert got[":artist.type/group"] == 2014
+    assert got[":artist.type/other"] == 5
