@@ -23,6 +23,13 @@ HEADLINE = [
     "batch_numbering",
     "nested_collect",
     "window_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "sim_topk_bruteforce",
+    "multimodal_meta",
+    "datalog_region_nations",
 ]
 
 

@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+  - exact dedup is a hash-groupBy — one shuffle on a 128-bit key, with
+    map-side partial aggregation;
+  - pairwise similarity NEVER does a cross join: candidate pairs come from
+    an inverted index (shared shingle) or LSH band buckets, so the join
+    fans out only where documents actually collide;
+  - all hashes are md5-derived (JVM built-in, reproducible EVERYWHERE —
+    including the DuckDB oracle via try_cast('0x'||substr(md5(..)..)) —
+    and stable across Spark versions, unlike xxhash64 seeds);
+  - per-doc shingle sets stay bounded (distinct word n-grams), so skewed
+    giant documents cannot blow up a band bucket: LSH bucket width is
+    controlled by bands × rows, not document size.
+
+Spark-first: everything below is built-in expressions + joins; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_for_fingerprint, tokens
+
+
+# -------------------------------------------------------------------------
+# exact
+# -------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical normalized content; canonical survivor = min id.
+    Returns (canonical_id, group_size, content_hash)."""
+    h = F.md5(normalize_for_fingerprint(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+# -------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# -------------------------------------------------------------------------
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle) — the
+    inverted-index feed. Distinctness bounds per-doc weight."""
+    toks = tokens(F.col(text_col))
+    # shingle i = tokens[i..i+n-1] joined by single space, for i in 0..len-n.
+    # guard: sequence(0, -1) DESCENDS in Spark, so short docs need an
+    # explicit empty array, not a clamped bound.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Pairwise Jaccard over shingle sets via shared-shingle inverted-index
+    join (no cross join): J(a,b) = |A∩B| / (|A|+|B|-|A∩B|).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    sh = shingle_rows(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------------------
+# MinHash + LSH
+# -------------------------------------------------------------------------
+
+def _hash_hex(seed: int, col: Column) -> Column:
+    """Portable permutation proxy: md5 of seeded shingle, compared as hex
+    text. Lexicographic order over md5 hex is a uniform random order, which
+    is all MinHash needs — and DuckDB computes the identical string."""
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 12
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    md5('{i}:'||shingle). One groupBy, num_hashes aggregates."""
+    sh = shingle_rows(df, id_col, text_col, n)
+    aggs = [F.min(_hash_hex(i, F.col("shingle"))).alias(f"mh{i}") for i in range(num_hashes)]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into `bands` bands of
+    `rows_per_band` hashes; docs sharing any full band land in one bucket
+    and become a candidate pair. Returns distinct (doc_a, doc_b).
+
+    Scale path: the band-bucket groupBy shuffles (doc, bucket) rows — linear
+    in corpus size; collisions (not corpus²) drive the pair fan-out."""
+    num_hashes = bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    melted = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+    l, r = melted.alias("l"), melted.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------------------
+# SimHash
+# -------------------------------------------------------------------------
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit j of the fingerprint is the
+    majority vote of bit j of each token's md5-derived 16-bit hash.
+    Portable bit extraction: hex nibble -> strpos('0123456789abcdef', ch)-1.
+    Returns (id, simhash int)."""
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"))
+    )
+    h4 = F.substring(F.md5(F.col("t")), 1, 4)  # 16 bits = 4 hex nibbles
+    nib = [F.conv(F.substring(h4, i + 1, 1), 16, 10).cast("int") for i in range(4)]
+    bit_cols = []
+    for j in range(16):
+        nibble = nib[j // 4]
+        bit = F.shiftright(nibble, 3 - (j % 4)) % 2  # MSB-first within nibble
+        bit_cols.append(F.when(bit == 1, 1).otherwise(-1).alias(f"b{j}"))
+    votes = tok.select("doc", *bit_cols).groupBy("doc").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(16)]
+    )
+    fp = F.lit(0)
+    for j in range(16):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << (15 - j))).otherwise(F.lit(0))
+    return votes.select("doc", fp.cast("int").alias("simhash"))
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit ints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, matching the brief:
+  - brute-force cosine top-k: exact baseline. The dot product is a
+    JVM-side higher-order expression (zip_with + aggregate) — no Python
+    in the loop. O(Q x N); right when one side is small or broadcastable.
+  - random-hyperplane LSH buckets: the scale path. Bucket key = sign
+    pattern of dot products with R fixed hyperplanes; candidates share a
+    bucket, exact cosine re-ranks within the bucket. Linear shuffle in
+    corpus size, fan-out driven by collisions.
+
+Hyperplanes are seeded-numpy constants embedded as literal arrays, so the
+DuckDB oracle evaluates the identical function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_SEED = 42
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self). Deterministic
+    ranking: (rounded cosine desc, neighbor id asc). The corpus side is
+    broadcast when it fits — a Q x N nested loop with no shuffle."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    sim = F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    pairs = (
+        q.crossJoin(F.broadcast(c))
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit r set iff dot(vec, plane_r) > 0."""
+    bucket = F.lit(0)
+    for r, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    threshold: float = 0.3,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH bucketing + exact re-rank:
+    (id_a, id_b, cos_sim) for same-bucket pairs with cosine >= threshold."""
+    planes = hyperplanes(dim, n_planes)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    sim = F.round(cosine(F.col("l.v"), F.col("r.v")), 6)
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator has a matching
+ANSI-SQL twin in queries/llm.py so the DuckDB oracle can hash-check it.
+
+Operators: tokenization & token counting, quality scoring
+(length/punctuation/stopword ratios), language identification
+(marker-word profile scoring), document fingerprinting (normalized
+content hash + md5-derived numeric hash for sharding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker-word profiles for language scoring. With real data
+# these would be learned character n-gram profiles; the operator shape
+# (per-language score -> argmax with stable tie-break) is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text (BPE-ish regex splits
+    keep punctuation as boundaries)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def _punct_ratio_raw(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[.,;:!?'\"()\[\]{}]", "")
+    return (F.length(col) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(col), F.lit(1)
+    ).cast("double")
+
+
+def _stopword_ratio_raw(col: Column) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(col: Column) -> Column:
+    """fraction of characters that are punctuation."""
+    return F.round(_punct_ratio_raw(col), 6)
+
+
+def stopword_ratio(col: Column) -> Column:
+    return F.round(_stopword_ratio_raw(col), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs,
+    penalizes punctuation soup and stopword-free (unnatural) text.
+
+    Built from RAW (unrounded) ratios, rounded once at the end: composing
+    already-rounded 6-decimal values lands results exactly on .5 rounding
+    boundaries, where engines legitimately disagree."""
+    n_tok = F.size(tokens(col)).cast("double")
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(_punct_ratio_raw(col) * 4, F.lit(1.0))
+    stop_term = F.least(_stopword_ratio_raw(col) * 8, F.lit(1.0))
+    return F.round((length_term * 0.5 + punct_term * 0.25 + stop_term * 0.25), 6)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over distinct tokens."""
+    distinct_toks = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(distinct_toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(col: Column) -> Column:
+    """argmax language with stable tie-break (alphabetical language code,
+    'und' when no marker hits at all)."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = scores[lang]
+        cond = s > best_score  # strict: earlier (alphabetically) lang wins ties
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def normalize_for_fingerprint(col: Column) -> Column:
+    """lowercase, strip punctuation, collapse whitespace — canonical
+    content form for near-identity fingerprinting."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    return c
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint (md5 of normalized text)."""
+    return F.md5(normalize_for_fingerprint(col))
+
+
+def fingerprint_num(col: Column, hex_digits: int = 15) -> Column:
+    """Numeric projection of the fingerprint (60 bits) — shard/bucket key.
+    Portable: DuckDB computes the identical value via
+    try_cast('0x' || substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(fingerprint(col), 1, hex_digits), 16, 10).cast("bigint")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns({
+        "n_tokens": token_count(c),
+        "punct_ratio": punct_ratio(c),
+        "stopword_ratio": stopword_ratio(c),
+        "quality": quality_score(c),
+        "pred_lang": predict_lang(c),
+        "fp": fingerprint(c),
+    })

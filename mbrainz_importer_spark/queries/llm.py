@@ -1,0 +1,346 @@
+"""LLM-training-data pipeline queries for the driver gate: deduplication
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force cosine top-k / hyperplane-LSH), text analysis (token stats,
+quality, language-ID, fingerprinting), multimodal binary plumbing.
+
+Every oracle reproduces the operator bit-for-bit in DuckDB. Hashes are
+md5-based throughout (portable across engines); numeric hash projections
+use try_cast('0x..') on the DuckDB side and conv(.., 16, 10) on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept in lockstep with operators/text.py)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_SQL_NORM = (
+    r"regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+', ' ', 'g')"
+)
+_SQL_SHINGLES = (
+    "list_transform(range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+).format(t="t")
+
+_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, u.sh
+        FROM toks, UNNEST({_SQL_SHINGLES}) AS u(sh)
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text").orderBy("canonical_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, bands=4, rows_per_band=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash16(docs, "doc_id", "text").orderBy("doc")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.with_text_stats(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality", "pred_lang", "fp"
+    ).orderBy("doc_id")
+
+
+def text_fingerprint_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.fingerprint_num(F.col("text")).alias("fp_num"),
+    ).orderBy("doc_id")
+
+
+def text_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = TX.with_text_stats(docs)
+    return (
+        stats.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    return S.brute_force_topk(queries, emb, k=3).orderBy("qid", "rank")
+
+
+def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_near_pairs(emb, n_planes=8, threshold=0.3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    assets = M.text_as_assets(docs, "doc_id", "text")
+    return M.decode_image_meta(assets).orderBy("asset_id")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_stats": text_stats,
+    "text_fingerprint_num": text_fingerprint_num,
+    "text_lang_quality_summary": text_lang_quality_summary,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_lsh_near_pairs": sim_lsh_near_pairs,
+    "multimodal_meta": multimodal_meta,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracles (generated where repetitive)
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle(bands: int = 4, rows: int = 3) -> str:
+    nh = bands * rows
+    sig_cols = ",\n               ".join(
+        f"MIN(md5('{i}:' || sh)) AS mh{i}" for i in range(nh)
+    )
+    band_cols = ",\n               ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    melt = "\n        UNION ALL ".join(
+        f"SELECT doc, {b} AS band, b{b} AS bucket FROM bands" for b in range(bands)
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        sig AS (SELECT doc, {sig_cols} FROM sh GROUP BY doc),
+        bands AS (SELECT doc, {band_cols} FROM sig),
+        melt AS ({melt})
+        SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+        FROM melt l JOIN melt r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle() -> str:
+    bit_exprs = []
+    for j in range(16):
+        nib = f"(strpos('0123456789abcdef', substr(md5(t), {j // 4 + 1}, 1)) - 1)"
+        bit_exprs.append(
+            f"CASE WHEN ({nib} >> {3 - (j % 4)}) & 1 = 1 THEN 1 ELSE -1 END AS b{j}"
+        )
+    bits = ",\n               ".join(bit_exprs)
+    sums = ", ".join(f"SUM(b{j}) AS s{j}" for j in range(16))
+    fp = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << (15 - j)} ELSE 0 END" for j in range(16))
+    return f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+        tok AS (SELECT DISTINCT doc_id AS doc, u.t
+                FROM toks, UNNEST(list_distinct(tk)) AS u(t)),
+        bits AS (SELECT doc, {bits} FROM tok),
+        votes AS (SELECT doc, {sums} FROM bits GROUP BY doc)
+        SELECT doc, CAST({fp} AS INTEGER) AS simhash FROM votes ORDER BY doc
+    """
+
+
+def _lang_case() -> tuple[str, str]:
+    score_cols = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(f"len(list_intersect(list_distinct(tk), [{lst}])) AS s_{lang}")
+    # mirror operators.text.predict_lang: langs scanned in reverse-sorted
+    # order with strict '>', so the FIRST of [zh,fr,es,en,de] at max wins
+    order = sorted(TX.LANG_MARKERS, reverse=True)
+    g = "GREATEST(" + ", ".join(f"s_{l}" for l in order) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {g} THEN '{l}'" for l in order
+    ) + " END"
+    return ",\n               ".join(score_cols), case
+
+
+_LANG_SCORES, _LANG_CASE = _lang_case()
+
+_TEXT_STATS_CORE = f"""
+    base AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS tk,
+               len({_SQL_TOKS}) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS n_punct,
+               len(list_filter({_SQL_TOKS},
+                   x -> x IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, tk,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_raw,
+               CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) AS stop_raw
+        FROM base
+    ),
+    quality AS (
+        SELECT doc_id, tk, n_tokens,
+               ROUND(punct_raw, 6) AS punct_ratio,
+               ROUND(stop_raw, 6) AS stopword_ratio,
+               ROUND(
+                   LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+                   + (1.0 - LEAST(punct_raw * 4, 1.0)) * 0.25
+                   + LEAST(stop_raw * 8, 1.0) * 0.25, 6) AS quality
+        FROM scored
+    )
+"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5({_SQL_NORM}) AS content_hash,
+               MIN(doc_id) AS canonical_id,
+               COUNT(*) AS group_size
+        FROM documents
+        GROUP BY 1 ORDER BY canonical_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLE_CTE},
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+          JOIN sizes sa ON doc_a = sa.doc
+          JOIN sizes sb ON doc_b = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "text_stats": f"""
+        WITH {_TEXT_STATS_CORE},
+        lang AS (
+            SELECT doc_id, {_LANG_SCORES}
+            FROM (SELECT doc_id, tk FROM quality)
+        )
+        SELECT q.doc_id, q.n_tokens, q.punct_ratio, q.stopword_ratio, q.quality,
+               {_LANG_CASE} AS pred_lang,
+               md5({_SQL_NORM}) AS fp
+        FROM quality q
+          JOIN lang USING (doc_id)
+          JOIN documents USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "text_fingerprint_num": f"""
+        SELECT doc_id,
+               md5({_SQL_NORM}) AS fp,
+               try_cast('0x' || substr(md5({_SQL_NORM}), 1, 15) AS BIGINT) AS fp_num
+        FROM documents ORDER BY doc_id
+    """,
+    "text_lang_quality_summary": f"""
+        WITH {_TEXT_STATS_CORE},
+        lang AS (
+            SELECT doc_id, {_LANG_SCORES}
+            FROM (SELECT doc_id, tk FROM quality)
+        ),
+        labeled AS (
+            SELECT q.*, {_LANG_CASE} AS pred_lang
+            FROM quality q JOIN lang USING (doc_id)
+        )
+        SELECT pred_lang, COUNT(*) AS n_docs,
+               ROUND(AVG(quality), 4) AS avg_quality,
+               ROUND(AVG(n_tokens), 4) AS avg_tokens
+        FROM labeled GROUP BY pred_lang ORDER BY pred_lang
+    """,
+    "sim_topk_bruteforce": """
+        SELECT qid, nid, cos_sim, rank FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 50
+        ) WHERE rank <= 3
+        ORDER BY qid, rank
+    """,
+    "multimodal_meta": """
+        SELECT doc_id AS asset_id,
+               octet_length(encode(text)) AS byte_len,
+               md5(text) AS content_md5,
+               CAST(16 + try_cast('0x' || substr(md5(text), 1, 4) AS INTEGER) % 2048 AS INTEGER) AS width,
+               CAST(16 + try_cast('0x' || substr(md5(text), 5, 4) AS INTEGER) % 2048 AS INTEGER) AS height
+        FROM documents ORDER BY asset_id
+    """,
+}
+
+
+def _lsh_oracle() -> str:
+    planes = S.hyperplanes(64, 8)
+    terms = []
+    for r, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) > 0 THEN {1 << r} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH b AS (
+            SELECT vec_id AS id, embedding, CAST({bucket} AS INTEGER) AS bucket
+            FROM embeddings
+        )
+        SELECT l.id AS id_a, r.id AS id_b,
+               ROUND(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+        WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.3
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLES["sim_lsh_near_pairs"] = _lsh_oracle()

@@ -1,0 +1,108 @@
+"""Semantic tests for the training-data-pipeline operators beyond the
+oracle gate: LSH recall vs exact Jaccard, simhash locality, multimodal
+stub contract, similarity ranking sanity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mbrainz_importer_spark.operators import dedup as D
+from mbrainz_importer_spark.operators import multimodal as M
+from mbrainz_importer_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+    rows = [
+        (1, base),
+        (2, base.replace("warm", "cold")),           # near-dup of 1
+        (3, base),                                    # exact dup of 1
+        (4, "completely different text about spark catalyst optimizer and shuffle partitions at scale"),
+        (5, "another unrelated document mentioning minhash lsh banding and jaccard similarity estimation"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(near_dup_docs):
+    groups = D.exact_dedup_groups(near_dup_docs, "doc_id", "text").collect()
+    by_size = sorted(g["group_size"] for g in groups)
+    assert by_size == [1, 1, 1, 2]
+    dup = next(g for g in groups if g["group_size"] == 2)
+    assert dup["canonical_id"] == 1
+
+
+def test_jaccard_finds_near_dups(near_dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(near_dup_docs, "doc_id", "text", threshold=0.2).collect()}
+    assert pairs[(1, 3)] == 1.0          # identical
+    assert pairs[(1, 2)] > 0.6           # one word changed
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_recall(near_dup_docs):
+    """LSH candidates must include every high-Jaccard pair (recall on true
+    near-dups) — the property that makes banding sound."""
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in D.ngram_jaccard_pairs(near_dup_docs, "doc_id", "text", threshold=0.6).collect()}
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in D.minhash_lsh_pairs(near_dup_docs, "doc_id", "text").collect()}
+    assert exact <= cand, f"missed: {exact - cand}"
+    assert (1, 4) not in cand  # unrelated docs don't collide
+
+
+def test_simhash_locality(near_dup_docs):
+    fps = {r["doc"]: r["simhash"] for r in D.simhash16(near_dup_docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[3]  # identical text -> identical fingerprint
+    near = bin(fps[1] ^ fps[2]).count("1")
+    far = bin(fps[1] ^ fps[4]).count("1")
+    assert near < far  # locality: near-dup closer in hamming space
+    assert 0 <= fps[1] < 2 ** 16
+
+
+def test_hamming16_expr(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a int, b int")
+    assert df.select(D.hamming16(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"] == 2
+
+
+def test_brute_force_topk_self_excluded(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.brute_force_topk(emb, emb, k=2).collect()
+    assert all(r["qid"] != r["nid"] for r in out)
+    assert all(r["cos_sim"] == 0.0 for r in out)  # orthonormal basis
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    rows = [(1, [1.0] * 64), (2, [1.0] * 64), (3, [-1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.lsh_near_pairs(emb, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["cos_sim"] == 1.0
+
+
+def test_multimodal_meta_stub(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "x")], "doc_id long, text string")
+    assets = M.text_as_assets(docs, "doc_id", "text")
+    assert dict(assets.dtypes)["content"] == "binary"
+    meta = {r["asset_id"]: r.asDict() for r in M.decode_image_meta(assets).collect()}
+    assert meta[1]["byte_len"] == 11
+    import hashlib
+
+    assert meta[1]["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert 16 <= meta[1]["width"] < 2064 and 16 <= meta[1]["height"] < 2064
+
+
+def test_multimodal_pixel_decode_gated(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assets = M.text_as_assets(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        M.decode_image_pixels(assets)
+
+
+def test_frame_sample_stub(spark):
+    docs = spark.createDataFrame([(1, "a" * 200)], "doc_id long, text string")
+    assets = M.text_as_assets(docs, "doc_id", "text")
+    frames = M.frame_sample_stub(assets, every_n_bytes=64).collect()
+    assert [f["frame_no"] for f in frames] == [0, 1, 2, 3]  # ceil(200/64)
