@@ -1,0 +1,231 @@
+"""Extended engine surface beyond the reference's own operators
+(SURVEY.md §2.4 note: 'the new engine gets the rest for free from Spark
+SQL and declares them in the engine API'): as-of join, range join,
+pivot/unpivot, rollup, exact percentiles, correlation/stddev, JSON
+construction, approximate distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase event, the most recent prior click of
+    the same user. Implemented scalably as a union + ordered window with
+    IGNORE NULLS last_value — one shuffle on user_id, no range join, no
+    per-row subquery (the classic streaming-friendly as-of pattern)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    last_click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click_ts)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: line items shipped within 7 days after their
+    order date — an equi-join on the key plus a range predicate, so Spark
+    keeps the hash join and applies the range as a post-filter (never a
+    nested-loop over the cross product)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns (explicit value list
+    keeps the plan static — no extra distinct pass)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt via stack: lineitem measures to (orderkey, measure,
+    value) rows — the G9/G10 dim-flatten shape applied to facts."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount)"
+            ).alias("measure", "value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: subtotals per (status, priority), per status, grand total."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated, SQL PERCENTILE_CONT semantics) of
+    order totals per status."""
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.min(price), 4).alias("min_price"),
+            F.round(F.max(price), 4).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def stats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample stddev/variance."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.stddev("l_discount"), 6).alias("stddev_disc"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+    )
+
+
+def json_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json/struct construction (§2.6 declared surface): serialize rows
+    back to JSON documents."""
+    nation = load(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.to_json(F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))).alias("doc"),
+    ).orderBy("n_nationkey")
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (sketch differs per engine — rows-only
+    check) alongside the exact value for calibration."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    ).orderBy("event_type")
+
+
+QUERIES = {
+    "asof_last_click_before_purchase": asof_last_click_before_purchase,
+    "range_join_shipments": range_join_shipments,
+    "pivot_event_counts": pivot_event_counts,
+    "unpivot_measures": unpivot_measures,
+    "rollup_revenue": rollup_revenue,
+    "exact_percentiles": exact_percentiles,
+    "stats_surface": stats_surface,
+    "json_construction": json_construction,
+    "approx_distinct_users": approx_distinct_users,
+}
+
+ORACLES = {
+    "asof_last_click_before_purchase": """
+        WITH ev AS (
+            SELECT * FROM events WHERE event_type IN ('click', 'purchase')
+        ), marked AS (
+            SELECT event_id, user_id, ts, event_type,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+            FROM ev
+        )
+        SELECT event_id, user_id, ts, last_click_ts
+        FROM marked WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+    "range_join_shipments": """
+        SELECT o_orderpriority, COUNT(*) AS n_fast_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "unpivot_measures": """
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+            SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount', l_discount
+            FROM lineitem WHERE l_orderkey < 200
+        )
+        ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    "rollup_revenue": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "exact_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(MIN(o_totalprice), 4) AS min_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "stats_surface": """
+        SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(stddev_samp(l_discount), 6) AS stddev_disc,
+               ROUND(var_samp(l_tax), 6) AS var_tax
+        FROM lineitem
+    """,
+    "json_construction": """
+        SELECT n_nationkey,
+               '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS doc
+        FROM nation ORDER BY n_nationkey
+    """,
+    # approx_distinct_users: no oracle (sketches differ) -> rows-only check
+}
