@@ -203,7 +203,8 @@ TRANSFORMS = {
 # -------------------------------------------------------------------------
 
 def _clean(d: dict) -> dict:
-    return {k: v for k, v in d.items() if v is not None and k != "_row_idx"}
+    # engine-internal columns (leading underscore) never appear in tx-data
+    return {k: v for k, v in d.items() if v is not None and not k.startswith("_")}
 
 
 def to_tx_data(type_name: str, row: dict) -> dict:

@@ -67,6 +67,25 @@ def merge_upsert(
     return tagged.groupBy(key).agg(*aggs).select(*cols)
 
 
+def compact_by_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Collapse duplicate-key rows into one entity with Datomic's
+    unique-identity merge semantics (:db.unique/identity, schema.edn:29-33):
+    per attribute, the latest (highest order_col) NON-NULL assertion wins —
+    a later partial row updates only the attributes it carries.
+
+    One hash groupBy on the key; max_by ignores rows whose ordering value
+    is null, which is exactly the ignore-absent-attrs behavior."""
+    aggs = []
+    for c in df.columns:
+        if c in (key, order_col):
+            continue
+        aggs.append(
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col))).alias(c)
+        )
+    out_cols = [c for c in df.columns if c != order_col]
+    return df.groupBy(key).agg(*aggs).select(*out_cols)
+
+
 def attach_many(
     parent: DataFrame,
     links: DataFrame,

@@ -112,7 +112,12 @@ class Importer:
         t = self.transformed(type_name)
         data_cols = [c for c in t.columns if c != "_row_idx"]
         batched = assign_batch_ids(t, batch_size, type_name, ["_row_idx"])
-        return to_envelopes(batched, data_cols)
+        # carry the global row number into the envelope as `_rn`: the load
+        # phase persists it so unique-identity upserts (J2) have Datomic's
+        # later-assertion-wins order available (duplicate gids in a stream
+        # merge in stream order; see plans.metaschema compaction)
+        batched = batched.withColumn("_rn", F.col("rn"))
+        return to_envelopes(batched, data_cols + ["_rn"])
 
     # -- load phase (entry point C, importer.clj:298-316) ------------------
     def load_type(
