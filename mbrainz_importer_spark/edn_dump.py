@@ -10,6 +10,9 @@ from __future__ import annotations
 import re
 
 _UUID_RE = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+# a leading-colon string only serializes as a keyword when it IS a valid
+# keyword (hypothesis found ':;' — the ';' would start an EDN comment)
+_KEYWORD_RE = re.compile(r"^:[A-Za-z0-9*+!_?<>=.-]+(/[A-Za-z0-9*+!_?<>=.-]+)?$")
 _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\t": "\\t", "\r": "\\r"}
 
 
@@ -21,7 +24,7 @@ def dumps(v) -> str:
     if v is False:
         return "false"
     if isinstance(v, str):
-        if v.startswith(":"):
+        if _KEYWORD_RE.match(v):
             return v
         if _UUID_RE.match(v):
             return f'#uuid "{v}"'

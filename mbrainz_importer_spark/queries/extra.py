@@ -135,6 +135,23 @@ def json_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def json_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema (the schema-on-read half of §2.6's
+    JSON surface): parse events.props into a typed struct and project."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
+        .orderBy("k_mod")
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (sketch differs per engine — rows-only
     check) alongside the exact value for calibration."""
@@ -154,6 +171,7 @@ QUERIES = {
     "exact_percentiles": exact_percentiles,
     "stats_surface": stats_surface,
     "json_construction": json_construction,
+    "json_parse_roundtrip": json_parse_roundtrip,
     "approx_distinct_users": approx_distinct_users,
 }
 
@@ -226,6 +244,15 @@ ORACLES = {
         SELECT n_nationkey,
                '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS doc
         FROM nation ORDER BY n_nationkey
+    """,
+    "json_parse_roundtrip": """
+        WITH parsed AS (
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT k % 10 AS k_mod, COUNT(*) AS n, MAX(k) AS max_k
+        FROM parsed WHERE k IS NOT NULL
+        GROUP BY 1 ORDER BY 1
     """,
     # approx_distinct_users: no oracle (sketches differ) -> rows-only check
 }

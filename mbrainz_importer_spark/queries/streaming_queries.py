@@ -25,13 +25,29 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_counts(ev).orderBy("user_id", "session_start")
 
 
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the applyInPandasWithState operator
+    (streaming/stateful.py) — one declared semantics, two execution modes;
+    the streaming side is proven equal in tests/test_stateful_streaming.py."""
+    from ..streaming.stateful import running_user_totals
+
+    ev = load(spark, sf_dir, "events")
+    return running_user_totals(ev).orderBy("user_id")
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
+    "stream_stateful_user_totals": stream_stateful_user_totals,
 }
 
 ORACLES = {
+    "stream_stateful_user_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "stream_tumbling_hourly": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
