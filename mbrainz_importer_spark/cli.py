@@ -33,6 +33,8 @@ def read_manifest(path: str) -> dict:
     out = {}
     for k, v in raw.items():
         key = str(k).lstrip(":").replace("-", "_")
+        if key == "import_order":
+            v = [str(x).lstrip(":") for x in v]  # EDN keywords -> stage names
         out[key] = v
     for req in ("basedir", "warehouse"):
         if req not in out:

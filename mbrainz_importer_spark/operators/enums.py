@@ -48,6 +48,9 @@ def super_enums_dim(spark: SparkSession, basedir: str) -> DataFrame:
     return spark.createDataFrame(rows, SCH.SUPER_ENUM_DIM)
 
 
+MISS_PREFIX = "__miss_"
+
+
 def resolve_enum(
     fact: DataFrame,
     value_col: str,
@@ -56,21 +59,24 @@ def resolve_enum(
     dim_ident_col: str,
     out_col: str | None = None,
     guard: bool = True,
+    defer_guard: bool = False,
 ) -> DataFrame:
     """Replace `value_col` with its dimension ident via broadcast join.
 
     Null fact values pass through as null (optional keys). Non-null values
-    that miss the dim raise MissingDimensionValue when `guard` — the
-    zero-miss contract (P2).
+    that miss the dim raise MissingDimensionValue — eagerly when `guard`,
+    or (with `defer_guard`) recorded in a `__miss_{col}` indicator column
+    so a whole stage validates every dimension in ONE action
+    (assert_no_misses) instead of one Spark job per enum column.
     """
     out_col = out_col or value_col
     d = F.broadcast(dim.select(
         F.col(dim_value_col).alias("__dim_v"), F.col(dim_ident_col).alias("__dim_ident")
     ))
     joined = fact.join(d, fact[value_col] == d["__dim_v"], "left")
-    if guard:
-        misses = joined.where(F.col(value_col).isNotNull() & F.col("__dim_ident").isNull())
-        sample = misses.select(value_col).limit(5).collect()
+    miss = F.col(value_col).isNotNull() & F.col("__dim_ident").isNull()
+    if guard and not defer_guard:
+        sample = joined.where(miss).select(value_col).limit(5).collect()
         if sample:
             raise MissingDimensionValue(
                 f"could not resolve {value_col!r}: sample unresolved values "
@@ -80,4 +86,26 @@ def resolve_enum(
         F.col("__dim_ident").alias(out_col) if c == value_col else F.col(c)
         for c in fact.columns
     ]
+    if guard and defer_guard:
+        cols.append(miss.alias(f"{MISS_PREFIX}{out_col}"))
     return joined.select(*cols)
+
+
+def assert_no_misses(df: DataFrame) -> DataFrame:
+    """Single-action validation of every deferred `__miss_*` indicator:
+    raises MissingDimensionValue naming the offending columns, returns the
+    frame with indicators dropped. The one job replaces N per-column guard
+    jobs (each of which re-ran the whole upstream pipeline)."""
+    miss_cols = [c for c in df.columns if c.startswith(MISS_PREFIX)]
+    if not miss_cols:
+        return df
+    any_miss = None
+    for c in miss_cols:
+        any_miss = F.col(c) if any_miss is None else (any_miss | F.col(c))
+    sample = df.where(any_miss).select(*miss_cols).limit(5).collect()
+    if sample:
+        bad = sorted({
+            c[len(MISS_PREFIX):] for r in sample for c in miss_cols if r[c]
+        })
+        raise MissingDimensionValue(f"could not resolve dimension column(s): {bad}")
+    return df.drop(*miss_cols)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .enums import resolve_enum
+from .enums import assert_no_misses, resolve_enum
 
 
 def _keep_idx(df: DataFrame, cols: list) -> list:
@@ -30,12 +30,12 @@ def _keep_idx(df: DataFrame, cols: list) -> list:
 
 def _enum(df: DataFrame, col: str, enums_dim: DataFrame, enum_type: str) -> DataFrame:
     dim = enums_dim.where(F.col("enum_type") == enum_type)
-    return resolve_enum(df, col, dim, "value", "ident")
+    return resolve_enum(df, col, dim, "value", "ident", defer_guard=True)
 
 
 def _super(df: DataFrame, col: str, super_dim: DataFrame, table: str) -> DataFrame:
     dim = super_dim.where(F.col("table") == table)
-    return resolve_enum(df, col, dim, "code", "ident")
+    return resolve_enum(df, col, dim, "code", "ident", defer_guard=True)
 
 
 def transform_artists(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame) -> DataFrame:
@@ -55,7 +55,7 @@ def transform_artists(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame)
     out = _enum(out, "type", enums_dim, "artist_type")
     out = _enum(out, "gender", enums_dim, "gender")
     out = _super(out, "country", super_dim, "countries")
-    return out
+    return assert_no_misses(out)
 
 
 def transform_areleases(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame) -> DataFrame:
@@ -66,7 +66,7 @@ def transform_areleases(df: DataFrame, enums_dim: DataFrame, super_dim: DataFram
         F.col("type"),
         F.col("artist_credit").alias("artistCredit"),
     ]))
-    return _enum(out, "type", enums_dim, "release_group_type")
+    return assert_no_misses(_enum(out, "type", enums_dim, "release_group_type"))
 
 
 def transform_releases(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame) -> DataFrame:
@@ -93,7 +93,7 @@ def transform_releases(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame
     out = _super(out, "country", super_dim, "countries")
     out = _super(out, "language", super_dim, "langs")
     out = _super(out, "script", super_dim, "scripts")
-    return out
+    return assert_no_misses(out)
 
 
 def transform_labels(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame) -> DataFrame:
@@ -113,7 +113,7 @@ def transform_labels(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame) 
     ]))
     out = _enum(out, "type", enums_dim, "label_type")
     out = _super(out, "country", super_dim, "countries")
-    return out
+    return assert_no_misses(out)
 
 
 def transform_releases_artists(df: DataFrame, *_dims) -> DataFrame:
@@ -148,7 +148,7 @@ def transform_media(df: DataFrame, enums_dim: DataFrame, super_dim: DataFrame) -
     Track order inside a medium is by position — recoverable, unlike the
     reference's incidental reversed-conj list order.
     """
-    mt = _enum(df, "format", enums_dim, "medium_format")
+    mt = assert_no_misses(_enum(df, "format", enums_dim, "medium_format"))
     tracks = (
         mt.groupBy("id", "tracknum")
         .agg(

@@ -125,12 +125,34 @@ class Importer:
     ) -> dict:
         """Idempotent load of one entity stage into the warehouse:
         batches -> anti-join against already-loaded ids -> append with
-        batch_id atomic-with-data. Re-running is a no-op ({'txes': 0})."""
+        batch_id atomic-with-data. Re-running is a no-op ({'txes': 0}).
+
+        Fast path: a completed load writes a marker with its batch count;
+        a re-run whose sink still matches the marker skips source parsing
+        and transformation entirely (the reference's already-transacted
+        gate, batch.clj:46-60, applied before any work). A crashed run
+        leaves no marker, so restart takes the full anti-join path."""
+        import json as _json
+        import os
+
         from .operators.idempotency import IdempotentParquetSink, load_envelopes
 
-        sink = IdempotentParquetSink(f"{warehouse}/loaded/{type_name}")
+        sink_path = f"{warehouse}/loaded/{type_name}"
+        marker = f"{sink_path}/_IMPORT_COMPLETE.json"
+        sink = IdempotentParquetSink(sink_path)
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                expected = _json.load(fh)
+            done = sink.done_ids(self.spark).count()
+            if done == expected["n_batches"] and expected["batch_size"] == batch_size:
+                return {"txes": 0, "datoms": 0}
+
         env = self.create_batches(type_name, batch_size).drop("__first_rn")
-        return load_envelopes(sink, env, self.spark)
+        result = load_envelopes(sink, env, self.spark)
+        n_batches = sink.done_ids(self.spark).count()
+        with open(marker, "w", encoding="utf-8") as fh:
+            _json.dump({"n_batches": n_batches, "batch_size": batch_size}, fh)
+        return result
 
     def run_import(
         self, warehouse: str, batch_size: int = DEFAULT_BATCH_SIZE,
@@ -143,8 +165,14 @@ class Importer:
         with driver-side row counts."""
         import os
 
+        order = import_order or IMPORT_ORDER
+        unknown = [t for t in order if t not in DIM_STAGES and t not in TRANSFORMS]
+        if unknown:
+            raise KeyError(
+                f"unknown import stage(s) {unknown}; valid: {IMPORT_ORDER}"
+            )
         results: dict[str, dict] = {}
-        for type_name in import_order or IMPORT_ORDER:
+        for type_name in order:
             if type_name in DIM_STAGES:
                 results[type_name] = {"rows": len(self.dim_tx_data(type_name))}
                 continue
