@@ -135,6 +135,39 @@ def json_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers that have at least one order,
+    counted by segment — the membership-probe complement of the anti-join
+    (J5). Semi joins never duplicate the probe side."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def scalar_subquery_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape (TPC-H Q17): revenue of line items whose
+    quantity is below half the average quantity of their part. Expressed
+    as a grouped-average join (the plan Spark would rewrite the correlated
+    subquery into anyway)."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_x := F.col("l_quantity").cast("decimal(18,2)")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.pk)
+        .where(F.col("l_quantity").cast("decimal(18,2)") < F.lit(0.5).cast("decimal(18,2)") * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("small_revenue"),
+        )
+    )
+
+
 def json_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json with a declared schema (the schema-on-read half of §2.6's
     JSON surface): parse events.props into a typed struct and project."""
@@ -171,6 +204,8 @@ QUERIES = {
     "exact_percentiles": exact_percentiles,
     "stats_surface": stats_surface,
     "json_construction": json_construction,
+    "semi_join_active_customers": semi_join_active_customers,
+    "scalar_subquery_small_orders": scalar_subquery_small_orders,
     "json_parse_roundtrip": json_parse_roundtrip,
     "approx_distinct_users": approx_distinct_users,
 }
@@ -244,6 +279,23 @@ ORACLES = {
         SELECT n_nationkey,
                '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS doc
         FROM nation ORDER BY n_nationkey
+    """,
+    "semi_join_active_customers": """
+        SELECT c_mktsegment, COUNT(*) AS n_active
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "scalar_subquery_small_orders": """
+        WITH avg_qty AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        FROM lineitem JOIN avg_qty ON l_partkey = pk
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) < CAST(0.5 AS DECIMAL(18,2)) * avg_qty
     """,
     "json_parse_roundtrip": """
         WITH parsed AS (
