@@ -118,6 +118,32 @@ def fingerprint_num(col: Column, hex_digits: int = 15) -> Column:
     return F.conv(F.substring(fingerprint(col), 1, hex_digits), 16, 10).cast("bigint")
 
 
+def quality_quartiles_per_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group-wise fold via applyInPandas (SURVEY.md §2.8: the escape hatch
+    for per-group logic built-ins can't express — here numpy quartiles with
+    linear interpolation per predicted language). Arrow-batched; one shuffle
+    on the group key. Rows-only gate check (quartile interpolation is
+    engine-specific by design)."""
+    import pandas as pd
+
+    labeled = df.select(predict_lang(F.col(text_col)).alias("lang"),
+                        quality_score(F.col(text_col)).alias("q"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf["q"].quantile([0.25, 0.5, 0.75], interpolation="linear")
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n": [len(pdf)],
+            "q25": [round(float(qs.iloc[0]), 6)],
+            "q50": [round(float(qs.iloc[1]), 6)],
+            "q75": [round(float(qs.iloc[2]), 6)],
+        })
+
+    return labeled.groupBy("lang").applyInPandas(
+        fold, schema="lang string, n long, q25 double, q50 double, q75 double"
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns({

@@ -127,7 +127,14 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_meta(assets).orderBy("asset_id")
 
 
+def text_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group fold (§2.8) — rows-only check by design."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.quality_quartiles_per_lang(docs).orderBy("lang")
+
+
 QUERIES = {
+    "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
