@@ -144,6 +144,49 @@ def quality_quartiles_per_lang(df: DataFrame, text_col: str = "text") -> DataFra
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character k-gram of the normalized text, then keep the MINIMUM hash of
+    each sliding window of `window` consecutive k-gram hashes, deduped.
+    Guarantees any shared substring of length >= k+window-1 produces at
+    least one shared fingerprint — the local dedup/plagiarism primitive.
+
+    All JVM-side higher-order functions (transform/sequence/array_min),
+    no UDFs; the k-gram hash is the md5-derived 60-bit value so the DuckDB
+    oracle computes identical fingerprints. One row per (doc, fingerprint).
+    """
+    norm = normalize_for_fingerprint(F.col(text_col))
+    d = df.select(F.col(id_col).alias("doc"), norm.alias("__t"))
+    n = F.length(F.col("__t"))
+    # k-gram hashes: positions 1..len-k+1
+    grams = F.when(
+        n >= k, F.sequence(F.lit(1), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    d = d.withColumn("__hashes", F.transform(
+        grams,
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("__t").substr(i, F.lit(k))), 1, 15), 16, 10
+        ).cast("bigint"),
+    ))
+    n_h = F.size(F.col("__hashes"))
+    windows = F.when(
+        n_h >= window, F.sequence(F.lit(0), n_h - window)
+    ).otherwise(F.array().cast("array<int>"))
+    mins = F.transform(
+        windows,
+        lambda i: F.array_min(F.slice(F.col("__hashes"), i + 1, window)),
+    )
+    return d.select(
+        "doc", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns({

@@ -121,6 +121,25 @@ def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal
 # ---------------------------------------------------------------------------
 
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme) — k-gram hash +
+    sliding-window minimum, all higher-order JVM expressions."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return TX.winnowing_fingerprints(docs, "doc_id").orderBy("doc", "fingerprint")
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse cells + multi-probe exact
+    re-rank. Rows-only (centroid training is engine-specific); recall vs
+    brute force asserted in tests."""
+    from ..operators.ann import ivf_topk, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, n_cells=16)
+    queries = emb.where(F.col("vec_id") < 50)
+    return ivf_topk(queries, emb, centroids, k=3).orderBy("qid", "rank")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = M.text_as_assets(docs, "doc_id", "text")
@@ -144,6 +163,8 @@ QUERIES = {
     "text_lang_quality_summary": text_lang_quality_summary,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_near_pairs": sim_lsh_near_pairs,
+    "sim_ivf_topk": sim_ivf_topk,
+    "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -266,6 +287,28 @@ ORACLES = {
         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
         ORDER BY doc_a, doc_b
     """,
+    "text_winnowing_fingerprints": f"""
+        WITH norm AS (
+            SELECT doc_id AS doc, {_SQL_NORM} AS t
+            FROM documents WHERE doc_id < 100
+        ),
+        h AS (
+            SELECT doc,
+                   list_transform(range(1, GREATEST(len(t) - 8 + 1, 0) + 1),
+                       i -> try_cast('0x' || substr(md5(substr(t, i, 8)), 1, 15) AS BIGINT)
+                   ) AS hs
+            FROM norm
+        ),
+        w AS (
+            SELECT doc,
+                   list_distinct(list_transform(range(1, GREATEST(len(hs) - 4 + 1, 0) + 1),
+                       i -> list_min(hs[i : i + 3]))) AS fps
+            FROM h
+        )
+        SELECT doc, UNNEST(fps) AS fingerprint FROM w
+        ORDER BY doc, fingerprint
+    """,
+    # sim_ivf_topk: rows-only (KMeans training engine-specific)
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "text_stats": f"""

