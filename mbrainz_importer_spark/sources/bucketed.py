@@ -1,0 +1,47 @@
+"""Bucketed entity-table storage — the 100 TB merge path (SURVEY.md §7.2 M6).
+
+Every import pass merges on the same upsert key (gid). Hash-bucketing the
+warehouse tables on that key makes each subsequent merge/join co-located:
+Catalyst sees compatible output partitioning on both sides and plans a
+SortMergeJoin with NO Exchange — the shuffle that would otherwise move the
+entire big side on every pass simply disappears.
+
+Bucketed tables require the session catalog (saveAsTable); paths alone
+cannot carry bucket metadata. `assert_no_exchange` is the test hook that
+proves the property from the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 16,
+) -> None:
+    """Persist as a bucketed+sorted managed table keyed for co-located
+    merges. Sorting within buckets additionally lets SMJ skip its sort."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def joined_bucketed(spark: SparkSession, left: str, right: str, key: str) -> DataFrame:
+    return spark.table(left).join(spark.table(right), key)
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan."""
+    plan = physical_plan(df)
+    return sum(1 for line in plan.splitlines() if "Exchange hashpartitioning" in line)
