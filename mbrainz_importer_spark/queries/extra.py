@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .core import _dec
 
 
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +196,55 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation pairs by year —
+    double dimension join (both broadcast) + derived grouping key."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    n1 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, sup.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .where(F.col("l_year") == 1996)
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q16_excluding_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute with a
+    NOT IN exclusion list (anti-join on a computed predicate set)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(50)
+    )
+
+
 QUERIES = {
+    "q7_nation_volume": q7_nation_volume,
+    "q16_excluding_suppliers": q16_excluding_suppliers,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
     "range_join_shipments": range_join_shipments,
     "pivot_event_counts": pivot_event_counts,
@@ -211,6 +260,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name AND YEAR(l_shipdate) = 1996
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q16_excluding_suppliers": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        excluded AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps
+          JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 50
+    """,
     "asof_last_click_before_purchase": """
         WITH ev AS (
             SELECT * FROM events WHERE event_type IN ('click', 'purchase')
