@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.batching import assign_batch_ids
 from ..tables import load
 
 
@@ -189,20 +190,15 @@ def batch_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsets/batches/artists.edn). The reference gets order from the file;
     we make it explicit with a stable sort key. batch_id = 'orders-N'.
 
-    Scale note: a single global row_number is a 1-partition window — fine
-    for batch manifests (small), wrong for 100 TB facts; the general
-    operator (operators.batching) uses a two-phase partition-offset scheme.
+    Routed through the scale-safe two-phase numbering
+    (operators.batching.assign_batch_ids): value-bucketed parallel windows
+    plus driver-side prefix offsets — no 1-partition global window, so the
+    same plan holds at 100 TB.
     """
     orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    numbered = assign_batch_ids(orders.select("o_orderkey"), 100, "orders", ["o_orderkey"])
     return (
-        orders.select("o_orderkey")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "batch_id",
-            F.concat_ws("-", F.lit("orders"), F.floor((F.col("rn") - 1) / 100) + 1),
-        )
-        .groupBy("batch_id")
+        numbered.groupBy("batch_id")
         .agg(
             F.count(F.lit(1)).alias("batch_size"),
             F.min("o_orderkey").alias("first_key"),
