@@ -30,6 +30,11 @@ class EdnError(ValueError):
     pass
 
 
+# Internal marker returned by the `#_` discard reader; never escapes this
+# module — every consumer of `_read_raw` filters it out.
+_DISCARD = object()
+
+
 class _Reader:
     __slots__ = ("s", "i", "n")
 
@@ -55,6 +60,12 @@ class _Reader:
         return self.i >= self.n
 
     def read(self):
+        form = self._read_raw()
+        while form is _DISCARD:
+            form = self._read_raw()
+        return form
+
+    def _read_raw(self):
         self._skip_ws()
         if self.i >= self.n:
             raise EdnError("unexpected EOF")
@@ -83,7 +94,9 @@ class _Reader:
             if self.s[self.i] == closer:
                 self.i += 1
                 return out
-            out.append(self.read())
+            item = self._read_raw()
+            if item is not _DISCARD:
+                out.append(item)
 
     def _read_map(self, ns: str | None) -> dict:
         self.i += 1  # consume '{'
@@ -95,8 +108,12 @@ class _Reader:
             if self.s[self.i] == "}":
                 self.i += 1
                 return out
-            k = self.read()
-            v = self.read()
+            k = self._read_raw()
+            if k is _DISCARD:
+                continue
+            v = self._read_raw()
+            while v is _DISCARD:
+                v = self._read_raw()
             if ns and isinstance(k, str) and k.startswith(":") and "/" not in k:
                 k = f":{ns}/{k[1:]}"
             out[_hashable(k)] = v
@@ -143,9 +160,15 @@ class _Reader:
             ns = s[start : self.i].strip()
             return self._read_map(ns)
         if s.startswith("#_", self.i):  # discard form
+            # Consume exactly one real form and contribute nothing; nested
+            # discards (`#_ #_ a b`) each consume a further form, matching
+            # Clojure reader semantics. A closing delimiter or EOF here is
+            # an error, never a silent empty symbol.
             self.i += 2
-            self.read()
-            return self.read()
+            form = self._read_raw()
+            while form is _DISCARD:
+                form = self._read_raw()
+            return _DISCARD
         raise EdnError(f"unsupported dispatch at {self.i}: {s[self.i:self.i+10]!r}")
 
     def _read_token(self) -> str:
@@ -159,6 +182,12 @@ class _Reader:
 
     def _read_scalar(self):
         tok = self._read_token()
+        if tok == "":
+            # _read_token stalled on a delimiter: a form was required but a
+            # closing bracket/brace (or similar) is next.
+            raise EdnError(
+                f"expected a form at {self.i}: {self.s[self.i:self.i+10]!r}"
+            )
         if tok == "nil":
             return None
         if tok == "true":
@@ -185,18 +214,23 @@ def _hashable(v):
 
 
 def loads(text: str):
-    """Parse a single EDN form."""
+    """Parse a single EDN form (leading/trailing discards are transparent)."""
     r = _Reader(text)
     out = r.read()
-    if not r.eof():
-        raise EdnError(f"trailing content at {r.i}")
+    while not r.eof():
+        pos = r.i
+        if r._read_raw() is not _DISCARD:
+            raise EdnError(f"trailing content at {pos}")
     return out
 
 
 def iter_forms(text: str) -> Iterator:
     """Iterate top-level EDN forms in a string (streaming, bounded memory
     per form) — the analog of the reference's PushbackReader loop
-    (src/cognitect/xform/async_edn.clj:27-51)."""
+    (src/cognitect/xform/async_edn.clj:27-51). Discard forms contribute
+    nothing."""
     r = _Reader(text)
     while not r.eof():
-        yield r.read()
+        form = r._read_raw()
+        if form is not _DISCARD:
+            yield form

@@ -85,19 +85,23 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
+    # threshold is applied to the UNROUNDED ratio (the oracle's WHERE clause
+    # is also unrounded — rounding first would keep values in
+    # [threshold-5e-7, threshold) that the oracle drops); rounding happens
+    # only on the output column, for representation-stable hashing.
+    raw = (
+        F.col("inter").cast("double")
+        / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+    )
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
         .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .where(raw >= threshold)
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.round(raw, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 

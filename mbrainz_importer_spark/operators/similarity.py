@@ -94,13 +94,15 @@ def lsh_near_pairs(
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
-    sim = F.round(cosine(F.col("l.v"), F.col("r.v")), 6)
+    # threshold on the UNROUNDED cosine (matches the oracle's WHERE);
+    # rounding is output-only, for representation-stable hashing.
+    raw = cosine(F.col("l.v"), F.col("r.v"))
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .where(raw >= threshold)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            sim.alias("cos_sim"),
+            F.round(raw, 6).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= threshold)
     )

@@ -84,14 +84,19 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 
 def predict_lang(col: Column) -> Column:
-    """argmax language with stable tie-break (alphabetical language code,
-    'und' when no marker hits at all)."""
+    """argmax language with a stable tie-break: on equal scores the
+    alphabetically LATER language code wins ('und' when no marker hits at
+    all). The oracle SQL encodes the identical rule — do not change one
+    side without the other (pinned by test_predict_lang_tie_break)."""
     scores = lang_scores(col)
     best = F.lit("und")
     best_score = F.lit(0)
     for lang in sorted(LANG_MARKERS, reverse=True):
         s = scores[lang]
-        cond = s > best_score  # strict: earlier (alphabetically) lang wins ties
+        # strict `>` while iterating reverse-alphabetically: an
+        # alphabetically-earlier lang (visited later) cannot displace an
+        # equal-scoring one, so the LATER code survives ties.
+        cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
     return best

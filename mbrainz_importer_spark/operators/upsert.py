@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def merge_upsert(
@@ -28,6 +29,7 @@ def merge_upsert(
     updates: DataFrame,
     key: str,
     set_union_cols: tuple[str, ...] = (),
+    check_unique: bool = True,
 ) -> DataFrame:
     """Merge `updates` into `target` by `key`.
 
@@ -36,11 +38,29 @@ def merge_upsert(
       tx-data leaves the existing assertion alone);
     - `set_union_cols` (array columns): set-union of both sides;
     - rows only in updates are inserted, only in target are kept.
+
+    PRECONDITION: each side has at most one row per key — the scalar
+    resolution picks the first non-null per priority class, which is only
+    deterministic under that invariant. Duplicate-key streams must be
+    pre-compacted with `compact_by_key` (which has an explicit order
+    column). `check_unique=True` enforces this with two bounded
+    aggregations; pass False only when the caller guarantees uniqueness.
     """
     cols = target.columns
     if set(cols) != set(updates.columns):
         missing = set(cols) ^ set(updates.columns)
         raise ValueError(f"target/updates column mismatch: {sorted(missing)}")
+    if check_unique:
+        for name, side in (("target", target), ("updates", updates)):
+            dup = (
+                side.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_upsert: {name} has >1 row for key "
+                    f"{dup[0][key]!r}; pre-compact with compact_by_key"
+                )
 
     tagged = target.withColumn("__pri", F.lit(0)).unionByName(
         updates.withColumn("__pri", F.lit(1))
@@ -97,10 +117,13 @@ def attach_many(
     """Attach a cardinality-many ref column to a parent table from a link
     table (e.g. release.artists from releases-artists pairs, J2+J3):
     groupBy link parent -> sorted distinct array -> left join onto parent.
-    Unmatched parents get an empty array (no assertion, not null-poison)."""
+    Unmatched parents get an empty array (no assertion, not null-poison),
+    typed from the link column's schema so non-string keys coalesce
+    cleanly."""
+    elem_type = links.schema[link_value_col].dataType
     grouped = links.groupBy(F.col(link_parent_key).alias(parent_key)).agg(
         F.array_sort(F.collect_set(link_value_col)).alias(out_col)
     )
     return parent.join(grouped, parent_key, "left").withColumn(
-        out_col, F.coalesce(F.col(out_col), F.array().cast(f"array<string>"))
+        out_col, F.coalesce(F.col(out_col), F.array().cast(T.ArrayType(elem_type)))
     )

@@ -131,7 +131,15 @@ class Importer:
         a re-run whose sink still matches the marker skips source parsing
         and transformation entirely (the reference's already-transacted
         gate, batch.clj:46-60, applied before any work). A crashed run
-        leaves no marker, so restart takes the full anti-join path."""
+        leaves no marker, so restart takes the full anti-join path.
+
+        Batch-size guard: batch ids like 'artists-1' denote different row
+        sets at different batch sizes, so loading into a sink that was
+        started at another batch_size would silently duplicate/skip rows —
+        the hazard the reference README warns about ('Never import at
+        different batch sizes into the same db'). The requested size is
+        recorded at load START (so crashed runs are covered too) and any
+        mismatch raises instead of proceeding."""
         import json as _json
         import os
 
@@ -139,13 +147,33 @@ class Importer:
 
         sink_path = f"{warehouse}/loaded/{type_name}"
         marker = f"{sink_path}/_IMPORT_COMPLETE.json"
+        size_file = f"{sink_path}/_BATCH_SIZE.json"
         sink = IdempotentParquetSink(sink_path)
+        recorded = None
+        if os.path.exists(size_file):
+            with open(size_file, encoding="utf-8") as fh:
+                recorded = _json.load(fh)["batch_size"]
+        elif os.path.exists(marker):  # sinks predating the size file
+            with open(marker, encoding="utf-8") as fh:
+                recorded = _json.load(fh)["batch_size"]
+        if recorded is not None and recorded != batch_size:
+            raise ValueError(
+                f"{type_name}: sink {sink_path} was loaded with "
+                f"batch_size={recorded}; re-importing at batch_size="
+                f"{batch_size} would corrupt batch identity — use a fresh "
+                "warehouse or the original batch size"
+            )
         if os.path.exists(marker):
             with open(marker, encoding="utf-8") as fh:
                 expected = _json.load(fh)
             done = sink.done_ids(self.spark).count()
-            if done == expected["n_batches"] and expected["batch_size"] == batch_size:
+            if done == expected["n_batches"]:
                 return {"txes": 0, "datoms": 0}
+
+        os.makedirs(sink_path, exist_ok=True)
+        if not os.path.exists(size_file):
+            with open(size_file, "w", encoding="utf-8") as fh:
+                _json.dump({"batch_size": batch_size}, fh)
 
         env = self.create_batches(type_name, batch_size).drop("__first_rn")
         result = load_envelopes(sink, env, self.spark)

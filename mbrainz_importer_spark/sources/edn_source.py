@@ -9,7 +9,11 @@ bounded chunks — parallelism across files, bounded memory per chunk.
 A `_row_idx` column captures form order within the file: the reference gets
 stable input order implicitly from the file stream; we materialize it
 because batch numbering (G3) and media run-grouping (G1) depend on it
-(SURVEY.md §7.4.1).
+(SURVEY.md §7.4.1). With a glob input the key is composed as
+`file_ordinal * 2^40 + in_file_index` (files ranked by sorted path,
+driver-side listing without content read), so the total order — and hence
+batch membership under the idempotency contract — stays deterministic
+run-to-run across any number of files.
 
 Scale note: EDN is the reference's interchange format, kept for parity and
 for golden tests. A 100 TB deployment would land data as Parquet/JSONL and
@@ -29,10 +33,29 @@ from pyspark.sql import types as T
 from ..edn import iter_forms
 
 CHUNK = 2048
+_FILE_STRIDE = 1 << 40  # max forms per file before ordinals collide
 
 
 def _strip_kw(k):
     return k[1:] if isinstance(k, str) and k.startswith(":") else k
+
+
+def _norm_path(p: str) -> str:
+    """Normalize 'file:///x', 'file:/x', '/x' to one comparable form."""
+    if "://" in p:
+        p = p.split("://", 1)[1]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    return "/" + p.lstrip("/")
+
+
+def _file_ranks(spark: SparkSession, path: str) -> dict[str, int]:
+    """Deterministic ordinal per matched file, by sorted path. Uses the
+    binaryFile source with a path-only projection so file CONTENT is never
+    read for the listing."""
+    rows = spark.read.format("binaryFile").load(path).select("path").collect()
+    files = sorted(_norm_path(r["path"]) for r in rows)
+    return {f: i for i, f in enumerate(files)}
 
 
 def read_edn_entities(
@@ -50,10 +73,18 @@ def read_edn_entities(
     out_schema = T.StructType(
         list(schema.fields) + ([T.StructField("_row_idx", T.LongType(), False)] if with_index else [])
     )
+    ranks = _file_ranks(spark, path) if with_index else {}
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for text in pdf["value"]:
+            for fname, text in zip(pdf["_file"], pdf["value"]):
+                if with_index:
+                    rank = ranks.get(_norm_path(fname))
+                    if rank is None:
+                        raise ValueError(
+                            f"file {fname!r} not in driver listing {sorted(ranks)}"
+                        )
+                    base = rank * _FILE_STRIDE
                 rows: list[dict] = []
                 for idx, form in enumerate(iter_forms(text)):
                     if not isinstance(form, dict):
@@ -64,7 +95,7 @@ def read_edn_entities(
                         if n in row:
                             row[n] = v
                     if with_index:
-                        row["_row_idx"] = idx
+                        row["_row_idx"] = base + idx
                     rows.append(row)
                     if len(rows) >= CHUNK:
                         yield pd.DataFrame(rows, columns=list(row))
@@ -72,7 +103,9 @@ def read_edn_entities(
                 if rows:
                     yield pd.DataFrame(rows, columns=list(rows[0]))
 
-    raw = spark.read.text(path, wholetext=True)
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("_file"), "value"
+    )
     return raw.mapInPandas(parse, schema=out_schema)
 
 
