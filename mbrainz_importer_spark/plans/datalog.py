@@ -7,6 +7,12 @@ Covers the query surface the reference actually exercises
     wildcards ('_') in any position;
   - implicit equi-joins on shared variables (J4 — the self-join of the
     EAV view on `e`);
+  - predicate clauses [(op ?v x)] — the EDN vector-wrapping-a-list shape
+    `[(> ?v 5)]` mirrors to a 1-element list holding an (op, lhs, rhs)
+    tuple, e.g. [(">", "?v", 5)]. Ops: > >= < <= = == != not=. Operands
+    are bound vars, constants, or :in params; compiled to a `.where` on
+    the accumulated plan (so, as in Datomic, a predicate must appear
+    after the patterns that bind its vars);
   - :find with plain variables and/or aggregates
     (count, count-distinct, sum, min, max) — grouped by the plain vars;
   - :in scalar parameters;
@@ -40,6 +46,14 @@ from pyspark.sql import functions as F
 
 AGGS = {"count", "count-distinct", "sum", "min", "max"}
 
+import operator as _op
+
+_PRED_OPS = {
+    ">": _op.gt, ">=": _op.ge, "<": _op.lt, "<=": _op.le,
+    "=": _op.eq, "==": _op.eq, "!=": _op.ne, "not=": _op.ne,
+}
+_ORDERING_OPS = {">", ">=", "<", "<="}
+
 
 def _is_var(x) -> bool:
     return isinstance(x, str) and x.startswith("?")
@@ -51,6 +65,44 @@ def _var_name(v: str) -> str:
 
 class DatalogError(ValueError):
     pass
+
+
+def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
+    """Compile (op, lhs, rhs) to a boolean Column over already-bound vars.
+
+    Numeric context (ordering ops, or a numeric constant operand) resolves
+    value-position vars through the datoms view's `v_num` projection so
+    `(> ?price 100)` compares numbers, not strings; equality against a
+    string constant uses the canonical string `v`. Vars bound at e/a
+    positions have no numeric projection — in numeric context Spark casts
+    their string form (unparseable -> null -> row dropped), matching EAV's
+    dynamic typing (see module docstring's known limitation)."""
+    if len(clause) != 3:
+        raise DatalogError(f"predicate must be (op lhs rhs): {clause}")
+    op_name, lhs, rhs = clause
+    fn = _PRED_OPS.get(op_name)
+    if fn is None:
+        raise DatalogError(
+            f"unsupported predicate op {op_name!r} (have {sorted(_PRED_OPS)})"
+        )
+    # :in parameter substitution
+    lhs = bound.get(lhs, lhs)
+    rhs = bound.get(rhs, rhs)
+    numeric_ctx = op_name in _ORDERING_OPS or any(
+        isinstance(x, (int, float)) and not isinstance(x, bool)
+        for x in (lhs, rhs)
+    )
+
+    def operand(x):
+        if _is_var(x):
+            if x not in binding:
+                raise DatalogError(f"unbound predicate var {x}")
+            if numeric_ctx and x in num_binding:
+                return num_binding[x]
+            return binding[x]
+        return F.lit(x)
+
+    return fn(operand(lhs), operand(rhs))
 
 
 def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
@@ -75,6 +127,14 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
     num_binding: dict[str, F.Column] = {}
 
     for i, pat in enumerate(where):
+        if len(pat) == 1 and isinstance(pat[0], (tuple, list)):
+            # predicate clause [(op lhs rhs)] -> .where on the bound plan
+            if plan is None:
+                raise DatalogError(f"predicate clause before any pattern: {pat}")
+            plan = plan.where(
+                _compile_predicate(pat[0], binding, num_binding, bound)
+            )
+            continue
         if len(pat) != 3:
             raise DatalogError(f"pattern must be [e a v]: {pat}")
         e, a, v = pat

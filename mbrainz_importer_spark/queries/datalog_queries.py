@@ -59,10 +59,30 @@ def datalog_param_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms, "2").orderBy("name")
 
 
+def datalog_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate clauses beyond triple patterns — `[(> ?v c)]` const
+    comparison and `[(< ?u ?v)]` var-var comparison, the first things a
+    datalog user writes past explore_db.clj's pattern-only ceiling.
+    Compiled to `.where` on v_num-projected bound columns."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name"],
+        "where": [
+            ["?n", ":nation/n_nationkey", "?nk"],
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?n", ":nation/n_name", "?name"],
+            [(">", "?nk", 5)],
+            [("<", "?rk", "?nk")],
+        ],
+    }
+    return q(query, datoms).orderBy("name")
+
+
 QUERIES = {
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_param_in": datalog_param_in,
+    "datalog_predicate_filter": datalog_predicate_filter,
 }
 
 ORACLES = {
@@ -86,5 +106,10 @@ ORACLES = {
     """,
     "datalog_param_in": """
         SELECT n_name AS name FROM nation WHERE n_regionkey = 2 ORDER BY name
+    """,
+    "datalog_predicate_filter": """
+        SELECT DISTINCT n_name AS name FROM nation
+        WHERE n_nationkey > 5 AND n_regionkey < n_nationkey
+        ORDER BY name
     """,
 }

@@ -147,7 +147,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas group fold (§2.8) — rows-only check by design."""
+    """applyInPandas group fold (§2.8). Oracle-paired: numpy's
+    interpolation='linear' quantile is exactly DuckDB's quantile_cont
+    (both h = (n-1)q between order statistics)."""
     docs = load(spark, sf_dir, "documents")
     return TX.quality_quartiles_per_lang(docs).orderBy("lang")
 
@@ -330,6 +332,22 @@ ORACLES = {
                md5({_SQL_NORM}) AS fp,
                try_cast('0x' || substr(md5({_SQL_NORM}), 1, 15) AS BIGINT) AS fp_num
         FROM documents ORDER BY doc_id
+    """,
+    "text_quality_quartiles": f"""
+        WITH {_TEXT_STATS_CORE},
+        lang AS (
+            SELECT doc_id, {_LANG_SCORES}
+            FROM (SELECT doc_id, tk FROM quality)
+        ),
+        labeled AS (
+            SELECT q.quality, {_LANG_CASE} AS pred_lang
+            FROM quality q JOIN lang USING (doc_id)
+        )
+        SELECT pred_lang AS lang, COUNT(*) AS n,
+               ROUND(quantile_cont(quality, 0.25), 6) AS q25,
+               ROUND(quantile_cont(quality, 0.50), 6) AS q50,
+               ROUND(quantile_cont(quality, 0.75), 6) AS q75
+        FROM labeled GROUP BY 1 ORDER BY lang
     """,
     "text_lang_quality_summary": f"""
         WITH {_TEXT_STATS_CORE},

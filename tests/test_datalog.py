@@ -88,6 +88,73 @@ def test_in_params_and_limit(datoms):
     assert out.count() == 1
 
 
+def test_predicate_const_comparison(spark):
+    df = spark.createDataFrame(
+        [("o1", 10), ("o2", 20), ("o3", 30)], "id string, qty int"
+    )
+    datoms = table_datoms(df, "orders", "id")
+    out = q(
+        {"find": ["?e"],
+         "where": [["?e", ":orders/qty", "?v"], [(">", "?v", 15)]]},
+        datoms,
+    )
+    assert sorted(r["e"] for r in out.collect()) == ["orders:o2", "orders:o3"]
+
+
+def test_predicate_var_var_and_equality(spark):
+    df = spark.createDataFrame(
+        [("o1", 10, 5), ("o2", 20, 25), ("o3", 30, 30)],
+        "id string, qty int, cap int",
+    )
+    datoms = table_datoms(df, "orders", "id")
+    # var-var ordering comparison
+    out = q(
+        {"find": ["?e"],
+         "where": [["?e", ":orders/qty", "?v"],
+                   ["?e", ":orders/cap", "?c"],
+                   [("<", "?v", "?c")]]},
+        datoms,
+    )
+    assert [r["e"] for r in out.collect()] == ["orders:o2"]
+    # string equality predicate (non-numeric context -> canonical v)
+    out2 = q(
+        {"find": ["?e"],
+         "where": [["?e", ":orders/qty", "?v"], [("=", "?v", "20")]]},
+        datoms,
+    )
+    assert [r["e"] for r in out2.collect()] == ["orders:o2"]
+    # not= with :in param substitution
+    out3 = q(
+        {"find": ["?e"], "in": ["?x"],
+         "where": [["?e", ":orders/qty", "?v"], [("not=", "?v", "?x")]]},
+        datoms, "20",
+    )
+    assert sorted(r["e"] for r in out3.collect()) == ["orders:o1", "orders:o3"]
+
+
+def test_predicate_errors(datoms):
+    # unbound predicate var
+    with pytest.raises(DatalogError, match="unbound predicate var"):
+        q({"find": ["?n"],
+           "where": [["?e", ":artist/name", "?n"], [(">", "?zzz", 1)]]},
+          datoms)
+    # predicate before any pattern
+    with pytest.raises(DatalogError, match="before any pattern"):
+        q({"find": ["?n"],
+           "where": [[(">", "?n", 1)], ["?e", ":artist/name", "?n"]]},
+          datoms)
+    # unsupported operator
+    with pytest.raises(DatalogError, match="unsupported predicate op"):
+        q({"find": ["?n"],
+           "where": [["?e", ":artist/name", "?n"], [("like", "?n", "A%")]]},
+          datoms)
+    # wrong arity
+    with pytest.raises(DatalogError, match="op lhs rhs"):
+        q({"find": ["?n"],
+           "where": [["?e", ":artist/name", "?n"], [(">", "?n")]]},
+          datoms)
+
+
 def test_errors(datoms):
     with pytest.raises(DatalogError):
         q({"find": ["?x"], "where": []}, datoms)
