@@ -20,7 +20,8 @@ _MODULES = [core]
 
 def _load_optional() -> None:
     global _MODULES
-    names = ["mbrainz", "datalog_queries", "llm", "streaming_queries", "extra"]
+    names = ["mbrainz", "datalog_queries", "llm", "streaming_queries", "extra",
+             "fulltext_queries"]
     for name in names:
         try:
             mod = __import__(f"{__name__}.{name}", fromlist=[name])

@@ -1,0 +1,69 @@
+"""Fulltext gate queries (Datomic :db/fulltext analog,
+subsets/entities/schema.edn:37,183) over the documents table.
+
+Oracles rebuild the identical postings index in DuckDB SQL; scoring is
+integer tf sums so the hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.fulltext import build_fulltext_index, fulltext_search, fulltext_topk
+from ..tables import load
+
+_SQL_POSTINGS = r"""
+    toks AS (
+        SELECT doc_id AS doc,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    postings AS (
+        SELECT term, doc, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    )
+"""
+
+
+def fulltext_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics fulltext: docs containing BOTH 'hash' and 'join',
+    scored by summed term frequency."""
+    docs = load(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs, "doc_id", "text")
+    return fulltext_search(idx, "hash join", mode="all").orderBy("doc")
+
+
+def fulltext_any_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-semantics top-20 by (score desc, doc asc) — deterministic
+    k-boundary, TakeOrdered plan."""
+    docs = load(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs, "doc_id", "text")
+    return fulltext_topk(idx, "vector scan batch", k=20, mode="any")
+
+
+QUERIES = {
+    "fulltext_and_search": fulltext_and_search,
+    "fulltext_any_topk": fulltext_any_topk,
+}
+
+ORACLES = {
+    "fulltext_and_search": f"""
+        WITH {_SQL_POSTINGS}
+        SELECT doc,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(tf) AS BIGINT) AS score
+        FROM postings WHERE term IN ('hash', 'join')
+        GROUP BY doc HAVING COUNT(*) = 2
+        ORDER BY doc
+    """,
+    "fulltext_any_topk": f"""
+        WITH {_SQL_POSTINGS}
+        SELECT doc,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(tf) AS BIGINT) AS score
+        FROM postings WHERE term IN ('batch', 'scan', 'vector')
+        GROUP BY doc
+        ORDER BY score DESC, doc ASC
+        LIMIT 20
+    """,
+}

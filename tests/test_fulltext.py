@@ -1,0 +1,85 @@
+"""Fulltext operator tests — the :db/fulltext true analog
+(subsets/entities/schema.edn:37 flags artist/name; Datomic queries it via
+(fulltext $ :artist/name ?q) returning entity/value/score tuples)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbrainz_importer_spark.operators.fulltext import (
+    build_fulltext_index,
+    fulltext_search,
+    fulltext_topk,
+    query_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick quick brown cats"),
+        (3, "slow green turtle"),
+        (4, "QUICK Brown FOX"),  # case-insensitive match
+        (5, ""),  # empty doc indexes nothing
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return build_fulltext_index(corpus, "doc_id", "text").cache()
+
+
+def test_index_shape_and_tf(index):
+    got = {(r["term"], r["doc"]): r["tf"] for r in index.collect()}
+    assert got[("quick", 2)] == 2  # term frequency counted
+    assert got[("the", 1)] == 2
+    assert ("quick", 4) in got  # lowercased
+    assert not any(doc == 5 for (_, doc) in got)  # empty doc absent
+    assert not any(term == "" for (term, _) in got)
+
+
+def test_and_search(index):
+    out = {r["doc"]: (r["n_matched"], r["score"])
+           for r in fulltext_search(index, "quick brown", mode="all").collect()}
+    # docs 1, 2, 4 contain both; doc 3 neither
+    assert set(out) == {1, 2, 4}
+    assert out[2] == (2, 3)  # quick*2 + brown*1
+    assert out[1] == (2, 2)
+
+
+def test_any_search(index):
+    out = {r["doc"] for r in
+           fulltext_search(index, "turtle fox", mode="any").collect()}
+    assert out == {1, 3, 4}
+
+
+def test_topk_deterministic_order(index):
+    rows = fulltext_topk(index, "quick brown the", k=2, mode="any").collect()
+    # doc 2 scores 3; docs 1 (the*2+quick+brown=4)... compute: doc1 terms
+    # the(2)+quick(1)+brown(1)=4, doc2 quick(2)+brown(1)=3, doc4=2
+    assert [(r["doc"], r["score"]) for r in rows] == [(1, 4), (2, 3)]
+
+
+def test_query_terms_normalization():
+    assert query_terms("  Brown QUICK brown ") == ["brown", "quick"]
+    with pytest.raises(ValueError):
+        query_terms("   ")
+    with pytest.raises(ValueError):
+        fulltext_search(None, "x", mode="fuzzy")
+
+
+def test_artist_name_fulltext(spark):
+    """Parity shape with the reference's fulltext attributes: search
+    artist/name the way (fulltext $ :artist/name "jimi") would."""
+    artists = spark.createDataFrame(
+        [("g1", "The Jimi Hendrix Experience"),
+         ("g2", "Jimi Tenor"),
+         ("g3", "Billy Cobham")],
+        "gid string, name string",
+    )
+    idx = build_fulltext_index(artists, "gid", "name")
+    hits = fulltext_search(idx, "jimi", mode="all")
+    assert sorted(r["doc"] for r in hits.collect()) == ["g1", "g2"]
