@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -64,4 +65,53 @@ def running_user_totals(df: DataFrame) -> DataFrame:
     return df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+TTL_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("evicted", BooleanType()),
+])
+
+
+def running_user_totals_ttl(df: DataFrame, ttl_ms: int = 60_000) -> DataFrame:
+    """`running_user_totals` with BOUNDED state: keys idle for `ttl_ms`
+    of processing time are evicted (state.remove()) and emit one final
+    tombstone row with evicted=true. This is what keeps state O(active
+    keys) instead of O(all keys ever seen) on an unbounded key space —
+    the 100 TB requirement for any long-running stateful stream. A key
+    seen again after eviction restarts from zero (proved by
+    test_stateful_ttl_eviction)."""
+    if not df.isStreaming:
+        raise ValueError("running_user_totals_ttl is streaming-only")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id], "n_events": [n],
+                "total_value": [total], "evicted": [True],
+            })
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({
+            "user_id": [user_id], "n_events": [n],
+            "total_value": [round(total, 6)], "evicted": [False],
+        })
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TTL_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
