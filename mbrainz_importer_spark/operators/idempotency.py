@@ -18,7 +18,10 @@ committed batches. This is the canonical `foreachBatch` idempotent-sink
 recipe in batch clothing, and it needs no retry/backoff of its own — task
 retries (`spark.task.maxFailures`) + committer atomicity replace the
 reference's busy/unavailable/429/503 backoff loop (batch.clj:62-91), which
-only exists because its sink is a remote transactor.
+only exists because its sink is a remote transactor. For sinks that DO
+commit per call (JDBC/REST/transactor via foreachBatch), that loop is
+back in `operators/retry.py` with the same classification and
+conflict-swallow semantics.
 """
 
 from __future__ import annotations
