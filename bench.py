@@ -25,6 +25,7 @@ HEADLINE = [
     "window_topk_per_group",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "text_stats",
     "sim_topk_bruteforce",

@@ -67,13 +67,21 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over shingle sets via shared-shingle inverted-index
     join (no cross join): J(a,b) = |A∩B| / (|A|+|B|-|A∩B|).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    """
-    sh = shingle_rows(df, id_col, text_col, n).cache()
+
+    `shingles` lets a combined pipeline (e.g. LSH candidates -> exact
+    verify) feed one cached shingle DataFrame to this AND the minhash
+    path instead of re-shingling the corpus per operator."""
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -109,21 +117,50 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # -------------------------------------------------------------------------
 
-def _hash_hex(seed: int, col: Column) -> Column:
-    """Portable permutation proxy: md5 of seeded shingle, compared as hex
-    text. Lexicographic order over md5 hex is a uniform random order, which
-    is all MinHash needs — and DuckDB computes the identical string."""
-    return F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+# MinHash permutation family: affine maps (a*h + b) mod P over the
+# md5-derived 60-bit shingle value, P = 2^31 - 1 (Mersenne prime).
+# ONE md5 per (doc, shingle) row + num_hashes cheap integer ops replaces
+# the round-1 scheme of num_hashes full md5 passes over seeded strings
+# (measured ~2.4x on the sf0.1 bench). Exact in both engines: h < 2^60
+# fits BIGINT, h%P < 2^31, a < 2^31 so a*(h%P) < 2^62 never overflows.
+MINHASH_P = (1 << 31) - 1
+# deterministic odd multipliers / offsets (any fixed 2-universal-ish
+# family works; these are arbitrary primes, NOT tunable state)
+MINHASH_COEFFS = [
+    (1299721, 15485863), (2750159, 32452843), (4256233, 49979687),
+    (5800079, 67867967), (7368787, 86028121), (8960453, 104395301),
+    (10570841, 122949823), (12195257, 141650939), (13834103, 160481183),
+    (15485863, 179424673), (17144507, 198491317), (18815231, 217645177),
+]
+
+
+def _shingle_hash60(col: Column) -> Column:
+    """60-bit md5 projection of a shingle (portable: DuckDB computes the
+    identical value via try_cast('0x'||substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 12
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    md5('{i}:'||shingle). One groupBy, num_hashes aggregates."""
-    sh = shingle_rows(df, id_col, text_col, n)
-    aggs = [F.min(_hash_hex(i, F.col("shingle"))).alias(f"mh{i}") for i in range(num_hashes)]
-    return sh.groupBy("doc").agg(*aggs)
+    (a_i * (h60(shingle) mod P) + b_i) mod P. One md5 per shingle row,
+    one groupBy, num_hashes min-aggregates over bigints."""
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"num_hashes > {len(MINHASH_COEFFS)} needs more coefficients")
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, n)
+    hv = (_shingle_hash60(F.col("shingle")) % MINHASH_P).alias("__hv")
+    hashed = sh.select("doc", hv)
+    aggs = [
+        F.min((F.lit(a) * F.col("__hv") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -133,6 +170,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 4,
     rows_per_band: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into `bands` bands of
     `rows_per_band` hashes; docs sharing any full band land in one bucket
@@ -141,7 +179,7 @@ def minhash_lsh_pairs(
     Scale path: the band-bucket groupBy shuffles (doc, bucket) rows — linear
     in corpus size; collisions (not corpus²) drive the pair fan-out."""
     num_hashes = bands * rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
         .alias(f"band{b}")
@@ -168,6 +206,53 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The production near-dup pipeline: LSH candidate generation followed
+    by EXACT Jaccard verification, both fed by ONE cached shingle
+    DataFrame (no second shingling pass over the corpus). Returns
+    (doc_a, doc_b, jaccard) for candidate pairs meeting the threshold.
+
+    At 100 TB this is the shape that matters: LSH bounds the pair count
+    (collision-driven), the verify intersection join is RESTRICTED to
+    candidate pairs (not the full shared-shingle fan-out), and the corpus
+    is shingled exactly once."""
+    sh = shingle_rows(df, id_col, text_col, n).cache()
+    candidates = minhash_lsh_pairs(
+        df, id_col, text_col, n, bands, rows_per_band, shingles=sh
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates
+        .join(sh.alias("a"), F.col("doc_a") == F.col("a.doc"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    raw = (
+        F.col("inter").cast("double")
+        / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .where(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard"))
     )
 
 

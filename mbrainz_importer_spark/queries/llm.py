@@ -63,6 +63,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined pipeline: LSH candidates + exact-Jaccard verify off ONE
+    cached shingle feed; the verify intersection is candidate-restricted."""
+    docs = load(spark, sf_dir, "documents")
+    return D.lsh_verified_pairs(
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=3, threshold=0.2
+    ).orderBy("doc_a", "doc_b")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.simhash16(docs, "doc_id", "text").orderBy("doc")
@@ -159,6 +168,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
     "text_stats": text_stats,
     "text_fingerprint_num": text_fingerprint_num,
@@ -175,26 +185,66 @@ QUERIES = {
 # oracles (generated where repetitive)
 # ---------------------------------------------------------------------------
 
-def _minhash_oracle(bands: int = 4, rows: int = 3) -> str:
+def _minhash_cte(bands: int = 4, rows: int = 3) -> str:
+    """Shared CTE chain ending in cand(doc_a, doc_b) — mirrors
+    operators.dedup.minhash_signatures' affine permutation family
+    (coefficients imported, lockstep by construction)."""
     nh = bands * rows
+    p = D.MINHASH_P
     sig_cols = ",\n               ".join(
-        f"MIN(md5('{i}:' || sh)) AS mh{i}" for i in range(nh)
+        f"MIN(({a} * hv + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS[:nh])
     )
     band_cols = ",\n               ".join(
-        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS b{b}"
+        "md5(" + " || '|' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        ) + f") AS b{b}"
         for b in range(bands)
     )
     melt = "\n        UNION ALL ".join(
         f"SELECT doc, {b} AS band, b{b} AS bucket FROM bands" for b in range(bands)
     )
-    return f"""
-        WITH {_SHINGLE_CTE},
-        sig AS (SELECT doc, {sig_cols} FROM sh GROUP BY doc),
+    return f"""{_SHINGLE_CTE},
+        hv AS (
+            SELECT doc,
+                   try_cast('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {p} AS hv
+            FROM sh
+        ),
+        sig AS (SELECT doc, {sig_cols} FROM hv GROUP BY doc),
         bands AS (SELECT doc, {band_cols} FROM sig),
-        melt AS ({melt})
-        SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-        FROM melt l JOIN melt r
-          ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+        melt AS ({melt}),
+        cand AS (
+            SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+            FROM melt l JOIN melt r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+        )"""
+
+
+def _minhash_oracle(bands: int = 4, rows: int = 3) -> str:
+    return f"""
+        WITH {_minhash_cte(bands, rows)}
+        SELECT doc_a, doc_b FROM cand
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _lsh_verified_oracle(bands: int = 4, rows: int = 3, threshold: float = 0.2) -> str:
+    return f"""
+        WITH {_minhash_cte(bands, rows)},
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cand c
+              JOIN sh a ON a.doc = c.doc_a
+              JOIN sh b ON b.doc = c.doc_b AND b.sh = a.sh
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+          JOIN sizes sa ON doc_a = sa.doc
+          JOIN sizes sb ON doc_b = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
         ORDER BY doc_a, doc_b
     """
 
@@ -312,6 +362,7 @@ ORACLES = {
     """,
     # sim_ivf_topk: rows-only (KMeans training engine-specific)
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_lsh_verified": _lsh_verified_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "text_stats": f"""
         WITH {_TEXT_STATS_CORE},
