@@ -155,6 +155,24 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_meta(assets).orderBy("asset_id")
 
 
+def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize genuine binary PPM files
+    (pixel bytes = md5(text) cycled), decode them with the numpy netpbm
+    parser, emit per-asset stats + intensity histogram. The oracle
+    recomputes the expected stats straight from md5(text) — if the
+    encoder OR decoder mangled a single byte, the hashes diverge."""
+    docs = load(spark, sf_dir, "documents")
+    assets = M.synth_ppm_assets(docs, "doc_id", "text", width=4, height=4)
+    out = M.decode_image_pixels(assets, hist_bins=8)
+    return out.select(
+        "asset_id", "width", "height", "channels", "n_pixels",
+        "mean_intensity", "min_px", "max_px",
+        F.array_join(
+            F.transform(F.col("histogram"), lambda x: x.cast("string")), ","
+        ).alias("hist_str"),
+    ).orderBy("asset_id")
+
+
 def text_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas group fold (§2.8). Oracle-paired: numpy's
     interpolation='linear' quantile is exactly DuckDB's quantile_cont
@@ -178,6 +196,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,
+    "multimodal_pixel_decode": multimodal_pixel_decode,
 }
 
 
@@ -428,6 +447,26 @@ ORACLES = {
             WHERE q.vec_id < 50
         ) WHERE rank <= 3
         ORDER BY qid, rank
+    """,
+    "multimodal_pixel_decode": """
+        WITH d AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents),
+        b AS (
+            SELECT asset_id,
+                   list_transform(range(0, 16),
+                       i -> try_cast('0x' || substr(h, 2*i + 1, 2) AS INTEGER)
+                   ) AS bytes
+            FROM d
+        )
+        SELECT asset_id,
+               4 AS width, 4 AS height, 3 AS channels,
+               CAST(16 AS BIGINT) AS n_pixels,
+               ROUND(list_aggregate(bytes, 'avg'), 6) AS mean_intensity,
+               list_aggregate(bytes, 'min') AS min_px,
+               list_aggregate(bytes, 'max') AS max_px,
+               array_to_string(list_transform(range(0, 8),
+                   k -> 3 * len(list_filter(bytes, x -> x // 32 = k))), ','
+               ) AS hist_str
+        FROM b ORDER BY asset_id
     """,
     "multimodal_meta": """
         SELECT doc_id AS asset_id,
