@@ -13,6 +13,13 @@ Covers the query surface the reference actually exercises
     are bound vars, constants, or :in params; compiled to a `.where` on
     the accumulated plan (so, as in Datomic, a predicate must appear
     after the patterns that bind its vars);
+  - named rules (the :in % analog): definitions in query["rules"] as
+    [[(name ?a ?b), clause...], ...], invoked in :where as
+    [(name term term)]. Multiple defs of a name UNION (Datomic OR
+    semantics); each def compiles to a distinct subplan projected onto
+    the head vars (with numeric projections carried across the rule
+    boundary). Recursive rules are rejected, not mis-answered — a
+    fixpoint engine is the documented non-goal;
   - :find with plain variables and/or aggregates
     (count, count-distinct, sum, min, max) — grouped by the plain vars;
   - :in scalar parameters;
@@ -105,40 +112,156 @@ def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
     return fn(operand(lhs), operand(rhs))
 
 
-def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
-    """Run a datalog-lite query against a datoms(e,a,v,v_num) view.
+def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
+    """Validate rule definitions [[(name ?a ?b), clause...], ...] into
+    {name: [(args, body), ...]} — multiple defs per name = OR/union
+    (Datomic rule semantics)."""
+    defs: dict[str, list[tuple[list, list]]] = {}
+    for rd in rules:
+        if not rd or not isinstance(rd[0], (tuple, list)) or not rd[0]:
+            raise DatalogError(f"rule needs a (name ?args...) head: {rd}")
+        name, *args = rd[0]
+        if not isinstance(name, str) or _is_var(name):
+            raise DatalogError(f"bad rule name {name!r}")
+        if not args or not all(_is_var(a) for a in args):
+            raise DatalogError(f"rule {name} head args must be vars: {args}")
+        prior = defs.setdefault(name, [])
+        if prior and len(prior[0][0]) != len(args):
+            raise DatalogError(f"rule {name} defs disagree on arity")
+        prior.append((list(args), list(rd[1:])))
+    return defs
 
-    Output columns: plain find-vars keep their name sans '?'
-    (`?name` -> `name`); aggregates are named `{agg}_{var}`
-    (`(count ?c)` -> `count_c`) — stable, oracle-friendly aliases.
-    """
-    where = query.get("where") or []
-    find = query.get("find") or []
-    in_vars = query.get("in") or []
-    if not where or not find:
-        raise DatalogError("query needs :find and :where")
-    if len(in_vars) != len(params):
-        raise DatalogError(f":in arity {len(in_vars)} != {len(params)} params")
-    bound = {v: p for v, p in zip(in_vars, params)}
 
-    # each pattern: aliased scan with constant filters; record var -> column
+def _compile_rule(
+    name: str,
+    datoms: DataFrame,
+    rules: dict[str, list[tuple[list, list]]],
+    stack: tuple[str, ...],
+) -> DataFrame:
+    """Compile every definition of a rule to one DataFrame with
+    positional columns a0..aN (plus __num_aJ numeric projections, null
+    where a def binds the var non-numerically), unioned across defs.
+    Recursion is detected and rejected (no fixpoint engine — document
+    over surprise)."""
+    if name in stack:
+        raise DatalogError(f"recursive rule {name!r} is not supported")
+    branches = []
+    for args, body in rules[name]:
+        plan, binding, num_binding = _compile_where(
+            body, datoms, {}, rules, stack + (name,)
+        )
+        if plan is None:
+            raise DatalogError(f"rule {name} has an empty body")
+        proj = []
+        for j, a in enumerate(args):
+            if a not in binding:
+                raise DatalogError(f"rule {name} head var {a} unbound in body")
+            proj.append(binding[a].alias(f"a{j}"))
+            proj.append(
+                num_binding.get(a, F.lit(None).cast("double")).alias(f"__num_a{j}")
+            )
+        branches.append(plan.select(*proj))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def _apply_rule(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    clause: list,
+    datoms: DataFrame,
+    bound: dict,
+    rules: dict,
+    stack: tuple[str, ...],
+    idx: int,
+) -> DataFrame:
+    """Join a rule invocation [(name term...)] into the running plan:
+    constants filter the rule plan, already-bound vars become join
+    conditions, fresh vars bind to the rule plan's columns."""
+    name, *terms = clause
+    arity = len(rules[name][0][0])
+    if len(terms) != arity:
+        raise DatalogError(f"rule {name} arity {arity} != {len(terms)} args")
+    alias = f"rule{idx}_{len(stack)}"
+    rp = _compile_rule(name, datoms, rules, stack).alias(alias)
+    cols = [F.col(f"{alias}.a{j}") for j in range(arity)]
+    ncols = [F.col(f"{alias}.__num_a{j}") for j in range(arity)]
+
+    filters, join_conds, fresh = [], [], []
+    for j, term in enumerate(terms):
+        if term == "_" or term is None:
+            continue
+        if _is_var(term) and term in bound:
+            term = bound[term]
+        if _is_var(term):
+            if term in binding:
+                join_conds.append(cols[j] == binding[term])
+            else:
+                fresh.append((term, cols[j], ncols[j]))
+        else:
+            filters.append(cols[j] == F.lit(term))
+
+    scan = rp
+    for f in filters:
+        scan = scan.where(f)
+    if plan is None:
+        plan = scan
+    elif join_conds:
+        cond = join_conds[0]
+        for c in join_conds[1:]:
+            cond = cond & c
+        plan = plan.join(scan, cond)
+    else:
+        plan = plan.crossJoin(scan)
+    for term, c, nc in fresh:
+        binding[term] = c
+        num_binding[term] = nc
+    return plan
+
+
+def _compile_where(
+    where: list,
+    datoms: DataFrame,
+    bound: dict,
+    rules: dict,
+    stack: tuple[str, ...] = (),
+) -> tuple[DataFrame | None, dict, dict]:
+    """Compile a clause list (triple patterns, predicates, rule
+    invocations) to (plan, binding, num_binding). Shared by the top-level
+    query and by rule bodies (which recurse here)."""
     plan: DataFrame | None = None
     binding: dict[str, F.Column] = {}
     num_binding: dict[str, F.Column] = {}
 
     for i, pat in enumerate(where):
         if len(pat) == 1 and isinstance(pat[0], (tuple, list)):
-            # predicate clause [(op lhs rhs)] -> .where on the bound plan
-            if plan is None:
-                raise DatalogError(f"predicate clause before any pattern: {pat}")
-            plan = plan.where(
-                _compile_predicate(pat[0], binding, num_binding, bound)
-            )
+            clause = list(pat[0])
+            head = clause[0] if clause else None
+            if head in _PRED_OPS:
+                # predicate clause [(op lhs rhs)] -> .where on the plan
+                if plan is None:
+                    raise DatalogError(f"predicate clause before any pattern: {pat}")
+                plan = plan.where(
+                    _compile_predicate(clause, binding, num_binding, bound)
+                )
+            elif isinstance(head, str) and head in rules:
+                plan = _apply_rule(
+                    plan, binding, num_binding, clause, datoms, bound,
+                    rules, stack, i,
+                )
+            else:
+                raise DatalogError(
+                    f"unsupported predicate op or unknown rule {head!r} "
+                    f"(ops: {sorted(_PRED_OPS)}; rules: {sorted(rules)})"
+                )
             continue
         if len(pat) != 3:
             raise DatalogError(f"pattern must be [e a v]: {pat}")
         e, a, v = pat
-        alias = f"p{i}"
+        alias = f"p{i}_{len(stack)}"
         scan = datoms.alias(alias)
         cols = {"e": F.col(f"{alias}.e"), "a": F.col(f"{alias}.a"),
                 "v": F.col(f"{alias}.v"), "v_num": F.col(f"{alias}.v_num")}
@@ -174,6 +297,32 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
             plan = plan.join(scan, cond)
         else:
             plan = plan.crossJoin(scan)  # cartesian — legal datalog, rare
+    return plan, binding, num_binding
+
+
+def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
+    """Run a datalog-lite query against a datoms(e,a,v,v_num) view.
+
+    Output columns: plain find-vars keep their name sans '?'
+    (`?name` -> `name`); aggregates are named `{agg}_{var}`
+    (`(count ?c)` -> `count_c`) — stable, oracle-friendly aliases.
+
+    `query["rules"]` supplies rule definitions (the :in % analog):
+    [[("rule-name", "?a", "?b"), clause, ...], ...]; invoke in :where as
+    [("rule-name", term, term)]. Multiple defs of one name union
+    (Datomic OR semantics); recursion raises.
+    """
+    where = query.get("where") or []
+    find = query.get("find") or []
+    in_vars = query.get("in") or []
+    if not where or not find:
+        raise DatalogError("query needs :find and :where")
+    if len(in_vars) != len(params):
+        raise DatalogError(f":in arity {len(in_vars)} != {len(params)} params")
+    bound = {v: p for v, p in zip(in_vars, params)}
+    rules = _parse_rules(query.get("rules") or [])
+
+    plan, binding, num_binding = _compile_where(where, datoms, bound, rules)
 
     # :find projection
     group_cols: list[F.Column] = []

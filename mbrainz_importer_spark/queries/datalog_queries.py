@@ -78,11 +78,40 @@ def datalog_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("name")
 
 
+def datalog_rules_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named rules with union semantics (the :in % analog, Datomic rule
+    surface): two definitions of extreme-nation OR together; the
+    invocation joins a further pattern for the region name."""
+    datoms = _datoms_small(spark, sf_dir)
+    rules = [
+        [("extreme-nation", "?n", "?name"),
+         ["?n", ":nation/n_nationkey", "?nk"],
+         ["?n", ":nation/n_name", "?name"],
+         [("<", "?nk", 3)]],
+        [("extreme-nation", "?n", "?name"),
+         ["?n", ":nation/n_nationkey", "?nk"],
+         ["?n", ":nation/n_name", "?name"],
+         [(">", "?nk", 20)]],
+    ]
+    query = {
+        "find": ["?name", "?rname"],
+        "rules": rules,
+        "where": [
+            [("extreme-nation", "?n", "?name")],
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?r", ":region/r_regionkey", "?rk"],
+            ["?r", ":region/r_name", "?rname"],
+        ],
+    }
+    return q(query, datoms).orderBy("name")
+
+
 QUERIES = {
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_param_in": datalog_param_in,
     "datalog_predicate_filter": datalog_predicate_filter,
+    "datalog_rules_union": datalog_rules_union,
 }
 
 ORACLES = {
@@ -110,6 +139,12 @@ ORACLES = {
     "datalog_predicate_filter": """
         SELECT DISTINCT n_name AS name FROM nation
         WHERE n_nationkey > 5 AND n_regionkey < n_nationkey
+        ORDER BY name
+    """,
+    "datalog_rules_union": """
+        SELECT DISTINCT n_name AS name, r_name AS rname
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE n_nationkey < 3 OR n_nationkey > 20
         ORDER BY name
     """,
 }

@@ -155,6 +155,97 @@ def test_predicate_errors(datoms):
           datoms)
 
 
+def test_rule_basic_and_join(spark):
+    df = spark.createDataFrame(
+        [("o1", 10, "east"), ("o2", 20, "west"), ("o3", 30, "east")],
+        "id string, qty int, zone string",
+    )
+    datoms = table_datoms(df, "orders", "id")
+    rules = [
+        [("big-order", "?e", "?q"),
+         ["?e", ":orders/qty", "?q"],
+         [(">", "?q", 15)]],
+    ]
+    # rule output joins a further pattern on the shared entity var
+    out = q(
+        {"find": ["?zone", ("count", "?e")],
+         "rules": rules,
+         "where": [[("big-order", "?e", "_")],
+                   ["?e", ":orders/zone", "?zone"]]},
+        datoms,
+    )
+    got = {r["zone"]: r["count_e"] for r in out.collect()}
+    assert got == {"east": 1, "west": 1}
+    # numeric projection survives the rule boundary: sum over a rule var
+    out2 = q(
+        {"find": [("sum", "?q")],
+         "rules": rules,
+         "where": [[("big-order", "_", "?q")]]},
+        datoms,
+    ).first()
+    assert out2["sum_q"] == 50.0
+
+
+def test_rule_union_of_definitions(spark):
+    df = spark.createDataFrame(
+        [("o1", 1), ("o2", 15), ("o3", 99)], "id string, qty int"
+    )
+    datoms = table_datoms(df, "orders", "id")
+    rules = [
+        [("extreme", "?e"),
+         ["?e", ":orders/qty", "?q"], [("<", "?q", 5)]],
+        [("extreme", "?e"),
+         ["?e", ":orders/qty", "?q"], [(">", "?q", 50)]],
+    ]
+    out = q({"find": ["?e"], "rules": rules, "where": [[("extreme", "?e")]]},
+            datoms)
+    assert sorted(r["e"] for r in out.collect()) == ["orders:o1", "orders:o3"]
+
+
+def test_rule_constant_arg_and_in_param(spark):
+    df = spark.createDataFrame(
+        [("o1", "east"), ("o2", "west")], "id string, zone string"
+    )
+    datoms = table_datoms(df, "orders", "id")
+    rules = [[("zone-of", "?e", "?z"), ["?e", ":orders/zone", "?z"]]]
+    out = q(
+        {"find": ["?e"], "rules": rules, "where": [[("zone-of", "?e", "west")]]},
+        datoms,
+    )
+    assert [r["e"] for r in out.collect()] == ["orders:o2"]
+    out2 = q(
+        {"find": ["?e"], "in": ["?z"], "rules": rules,
+         "where": [[("zone-of", "?e", "?z")]]},
+        datoms, "east",
+    )
+    assert [r["e"] for r in out2.collect()] == ["orders:o1"]
+
+
+def test_rule_errors(spark):
+    df = spark.createDataFrame([("o1", 1)], "id string, qty int")
+    datoms = table_datoms(df, "orders", "id")
+    base = {"find": ["?e"]}
+    with pytest.raises(DatalogError, match="recursive rule"):
+        q({**base, "rules": [[("loop", "?e"), [("loop", "?e")]]],
+           "where": [[("loop", "?e")]]}, datoms)
+    with pytest.raises(DatalogError, match="arity"):
+        q({**base,
+           "rules": [[("r", "?a"), ["?a", ":orders/qty", "_"]]],
+           "where": [[("r", "?a", "?b")]]}, datoms)
+    with pytest.raises(DatalogError, match="disagree on arity"):
+        q({**base,
+           "rules": [[("r", "?a"), ["?a", ":orders/qty", "_"]],
+                     [("r", "?a", "?b"), ["?a", ":orders/qty", "?b"]]],
+           "where": [[("r", "?a")]]}, datoms)
+    with pytest.raises(DatalogError, match="head var .* unbound"):
+        q({**base,
+           "rules": [[("r", "?a", "?zz"), ["?a", ":orders/qty", "?b"]]],
+           "where": [[("r", "?a", "?x")]]}, datoms)
+    with pytest.raises(DatalogError, match="unknown rule"):
+        q({**base, "where": [["?e", ":orders/qty", "?q"], [("nope", "?q")]]},
+          datoms)
+
+
 def test_errors(datoms):
     with pytest.raises(DatalogError):
         q({"find": ["?x"], "where": []}, datoms)
