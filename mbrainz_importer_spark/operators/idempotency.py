@@ -81,3 +81,83 @@ def load_envelopes(
         F.col(BATCH_ID_COL), F.explode("data").alias("m")
     ).select(BATCH_ID_COL, "m.*")
     return sink.load(rows, spark)
+
+
+@dataclass
+class TxMetadataParquetSink(IdempotentParquetSink):
+    """IdempotentParquetSink + a transaction-metadata table — the faithful
+    model of the reference asserting the batch-id ON the transaction
+    entity itself (`{:db/id "datomic.tx" tx-attr "prefix-N"}`,
+    cognitect/xform/batch.clj:36-37): one tx row per committed batch,
+    in its own table, not just a column on the facts.
+
+    Scale win: the done-set query reads the TX table — O(batches) rows —
+    instead of column-scanning batch_id over the whole fact sink
+    (O(datoms) pages at 100 TB).
+
+    Commit protocol (parquet has no cross-table transaction):
+      1. `heal`: any batch present in DATA but missing from TX was
+         committed by a run that crashed between the two appends (each
+         append is committer-atomic, so its presence means ALL its rows
+         are there) — register it in TX. One column-pruned data scan per
+         RESTART, not per batch.
+      2. anti-join incoming batches against the TX done-set;
+      3. append data (commit point for the facts);
+      4. append tx rows (commit point for the done-set).
+    A crash at any step re-runs to the same final state: between 3 and 4
+    the next heal registers; before 3 nothing is visible."""
+
+    tx_path: str = ""
+
+    def __post_init__(self):
+        if not self.tx_path:
+            self.tx_path = self.path.rstrip("/") + "_tx"
+
+    def tx_table(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self.tx_path)
+        except AnalysisException:
+            return spark.createDataFrame(
+                [], f"{BATCH_ID_COL} string, n_datoms long"
+            )
+
+    def done_ids(self, spark: SparkSession) -> DataFrame:
+        """Done-set from the tx table (tiny), NOT the fact sink."""
+        return self.tx_table(spark).select(BATCH_ID_COL).distinct()
+
+    def data_ids(self, spark: SparkSession) -> DataFrame:
+        """Batch ids actually present in the fact sink (column-pruned)."""
+        return super().done_ids(spark)
+
+    def heal(self, spark: SparkSession) -> int:
+        """Register data-committed batches missing from the tx table
+        (crash between data append and tx append). Returns #healed."""
+        missing = self.data_ids(spark).join(
+            F.broadcast(self.done_ids(spark)), on=BATCH_ID_COL, how="left_anti"
+        )
+        if missing.isEmpty():
+            return 0
+        rows = (
+            spark.read.parquet(self.path)
+            .join(F.broadcast(missing), on=BATCH_ID_COL)
+            .groupBy(BATCH_ID_COL)
+            .agg(F.count(F.lit(1)).alias("n_datoms"))
+        )
+        n = rows.count()
+        rows.write.mode("append").parquet(self.tx_path)
+        return n
+
+    def load(self, batches: DataFrame, spark: SparkSession) -> dict:
+        self.heal(spark)
+        todo = self.filter_new(batches, spark)
+        stats = todo.agg(
+            F.countDistinct(BATCH_ID_COL).alias("txes"),
+            F.count(F.lit(1)).alias("datoms"),
+        ).collect()[0]
+        if stats["txes"]:
+            todo.write.mode("append").parquet(self.path)
+            tx_rows = todo.groupBy(BATCH_ID_COL).agg(
+                F.count(F.lit(1)).alias("n_datoms")
+            )
+            tx_rows.write.mode("append").parquet(self.tx_path)
+        return {"txes": stats["txes"], "datoms": stats["datoms"]}
