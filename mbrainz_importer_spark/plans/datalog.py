@@ -18,8 +18,18 @@ Covers the query surface the reference actually exercises
     [(name term term)]. Multiple defs of a name UNION (Datomic OR
     semantics); each def compiles to a distinct subplan projected onto
     the head vars (with numeric projections carried across the rule
-    boundary). Recursive rules are rejected, not mis-answered — a
-    fixpoint engine is the documented non-goal;
+    boundary);
+  - DIRECTLY recursive rules (Datomic graph-walk rules, e.g. ancestor)
+    via semi-naive fixpoint: base (non-recursive) defs seed the
+    relation; each iteration re-derives the linearly-recursive defs
+    against only the PREVIOUS iteration's delta (defs with several
+    self-calls fall back to naive whole-relation substitution — still
+    correct, just re-derives more), anti-joins out known tuples, and
+    stops when the delta is empty. Every iteration localCheckpoints to
+    cut lineage (on a cluster you'd point this at a checkpoint dir);
+    the iteration count is bounded by MAX_FIXPOINT_ITERS (the depth of
+    the data graph in practice — ~log2(N) for trees). MUTUAL recursion
+    (a->b->a) is still rejected, not mis-answered;
   - :find with plain variables and/or aggregates
     (count, count-distinct, sum, min, max) — grouped by the plain vars;
   - :in scalar parameters;
@@ -72,6 +82,26 @@ def _var_name(v: str) -> str:
 
 class DatalogError(ValueError):
     pass
+
+
+# Fixpoint iteration bound for recursive rules. Reachable depth doubles
+# nowhere (linear recursion walks one edge per iteration), so this is the
+# longest path the engine will follow; raise it for very deep graphs.
+MAX_FIXPOINT_ITERS = 100
+
+
+def _self_calls(body: list, name: str) -> int:
+    """Count direct invocations of rule `name` in a rule body."""
+    n = 0
+    for pat in body:
+        if (
+            len(pat) == 1
+            and isinstance(pat[0], (tuple, list))
+            and pat[0]
+            and pat[0][0] == name
+        ):
+            n += 1
+    return n
 
 
 def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
@@ -137,18 +167,33 @@ def _compile_rule(
     datoms: DataFrame,
     rules: dict[str, list[tuple[list, list]]],
     stack: tuple[str, ...],
+    rec_impl: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Compile every definition of a rule to one DataFrame with
     positional columns a0..aN (plus __num_aJ numeric projections, null
     where a def binds the var non-numerically), unioned across defs.
-    Recursion is detected and rejected (no fixpoint engine — document
-    over surprise)."""
+
+    Directly recursive rules evaluate by semi-naive fixpoint: the
+    non-recursive defs seed `total`; each round re-derives the
+    recursive defs with the self-call bound to the previous round's
+    `delta` (naive whole-`total` substitution when a def has several
+    self-calls), anti-joins already-known tuples, and terminates on an
+    empty delta. `rec_impl` carries the in-progress relation down the
+    compile so the self-invocation resolves to a DataFrame instead of
+    recursing; mutual recursion still trips the `stack` guard."""
+    rec_impl = rec_impl or {}
+    if name in rec_impl:
+        return rec_impl[name]
     if name in stack:
-        raise DatalogError(f"recursive rule {name!r} is not supported")
-    branches = []
-    for args, body in rules[name]:
+        raise DatalogError(
+            f"mutually recursive rule {name!r} is not supported "
+            "(only direct self-recursion has fixpoint semantics here)"
+        )
+    defs = rules[name]
+
+    def branch(args: list, body: list, impl: dict[str, DataFrame]) -> DataFrame:
         plan, binding, num_binding = _compile_where(
-            body, datoms, {}, rules, stack + (name,)
+            body, datoms, {}, rules, stack + (name,), impl
         )
         if plan is None:
             raise DatalogError(f"rule {name} has an empty body")
@@ -160,11 +205,51 @@ def _compile_rule(
             proj.append(
                 num_binding.get(a, F.lit(None).cast("double")).alias(f"__num_a{j}")
             )
-        branches.append(plan.select(*proj))
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out.distinct()
+        return plan.select(*proj)
+
+    def union_all(branches: list[DataFrame]) -> DataFrame:
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
+    base_defs = [d for d in defs if not _self_calls(d[1], name)]
+    rec_defs = [d for d in defs if _self_calls(d[1], name)]
+
+    if not rec_defs:
+        return union_all([branch(a, b, rec_impl) for a, b in defs]).distinct()
+
+    if not base_defs:
+        raise DatalogError(
+            f"recursive rule {name!r} has no non-recursive def to seed the fixpoint"
+        )
+    key_cols = [f"a{j}" for j in range(len(defs[0][0]))]
+    total = (
+        union_all([branch(a, b, rec_impl) for a, b in base_defs])
+        .distinct()
+        .localCheckpoint()
+    )
+    delta = total
+    for _ in range(MAX_FIXPOINT_ITERS):
+        rounds = []
+        for args, body in rec_defs:
+            impl = dict(rec_impl)
+            impl[name] = delta if _self_calls(body, name) == 1 else total
+            rounds.append(branch(args, body, impl))
+        new = (
+            union_all(rounds)
+            .distinct()
+            .join(total, on=key_cols, how="left_anti")
+            .localCheckpoint()
+        )
+        if not new.take(1):
+            return total
+        total = total.unionByName(new).localCheckpoint()
+        delta = new
+    raise DatalogError(
+        f"rule {name!r} did not reach a fixpoint within {MAX_FIXPOINT_ITERS} "
+        "iterations (raise datalog.MAX_FIXPOINT_ITERS for deeper graphs)"
+    )
 
 
 def _apply_rule(
@@ -177,6 +262,7 @@ def _apply_rule(
     rules: dict,
     stack: tuple[str, ...],
     idx: int,
+    rec_impl: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Join a rule invocation [(name term...)] into the running plan:
     constants filter the rule plan, already-bound vars become join
@@ -186,7 +272,7 @@ def _apply_rule(
     if len(terms) != arity:
         raise DatalogError(f"rule {name} arity {arity} != {len(terms)} args")
     alias = f"rule{idx}_{len(stack)}"
-    rp = _compile_rule(name, datoms, rules, stack).alias(alias)
+    rp = _compile_rule(name, datoms, rules, stack, rec_impl).alias(alias)
     cols = [F.col(f"{alias}.a{j}") for j in range(arity)]
     ncols = [F.col(f"{alias}.__num_a{j}") for j in range(arity)]
 
@@ -228,6 +314,7 @@ def _compile_where(
     bound: dict,
     rules: dict,
     stack: tuple[str, ...] = (),
+    rec_impl: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame | None, dict, dict]:
     """Compile a clause list (triple patterns, predicates, rule
     invocations) to (plan, binding, num_binding). Shared by the top-level
@@ -250,7 +337,7 @@ def _compile_where(
             elif isinstance(head, str) and head in rules:
                 plan = _apply_rule(
                     plan, binding, num_binding, clause, datoms, bound,
-                    rules, stack, i,
+                    rules, stack, i, rec_impl,
                 )
             else:
                 raise DatalogError(
@@ -310,7 +397,8 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
     `query["rules"]` supplies rule definitions (the :in % analog):
     [[("rule-name", "?a", "?b"), clause, ...], ...]; invoke in :where as
     [("rule-name", term, term)]. Multiple defs of one name union
-    (Datomic OR semantics); recursion raises.
+    (Datomic OR semantics); directly recursive rules run to a
+    semi-naive fixpoint; mutual recursion raises.
     """
     where = query.get("where") or []
     find = query.get("find") or []

@@ -9,6 +9,7 @@ supposed to guarantee.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.datalog import q
 from ..plans.eav import build_datoms
@@ -106,7 +107,61 @@ def datalog_rules_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("name")
 
 
+_ANCESTOR_RULES = [
+    [("ancestor", "?x", "?y"),
+     ["?e", ":node/id", "?x"],
+     ["?e", ":node/parent", "?y"]],
+    [("ancestor", "?x", "?y"),
+     ["?e", ":node/id", "?x"],
+     ["?e", ":node/parent", "?z"],
+     [("ancestor", "?z", "?y")]],
+]
+
+
+def _tree_datoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic deep tree derived from customer keys: node k's
+    parent is floor(k/2) (k in [2, 400]) — a binary tree ~8 levels deep,
+    so the fixpoint genuinely iterates instead of terminating in one
+    round like a 2-level dim hierarchy would."""
+    from ..plans.eav import table_datoms
+
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey").between(2, 400))
+    node = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+    )
+    return table_datoms(node, "node", "id")
+
+
+def datalog_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly recursive rule -> semi-naive fixpoint (the Datomic
+    graph-walk: ancestor via parent edges). ~2800 transitive pairs over
+    an 8-deep tree; the oracle is DuckDB WITH RECURSIVE."""
+    datoms = _tree_datoms(spark, sf_dir)
+    query = {
+        "find": ["?x", "?y"],
+        "rules": _ANCESTOR_RULES,
+        "where": [[("ancestor", "?x", "?y")]],
+    }
+    return q(query, datoms).orderBy("x", "y")
+
+
+def datalog_recursive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a recursive rule's closure: descendant count per
+    ancestor (the root of the k/2 tree dominates). Proves the fixpoint
+    relation composes with :find aggregates like any other subplan."""
+    datoms = _tree_datoms(spark, sf_dir)
+    query = {
+        "find": ["?y", ("count", "?x")],
+        "rules": _ANCESTOR_RULES,
+        "where": [[("ancestor", "?x", "?y")]],
+    }
+    return q(query, datoms).orderBy("y")
+
+
 QUERIES = {
+    "datalog_recursive_ancestors": datalog_recursive_ancestors,
+    "datalog_recursive_counts": datalog_recursive_counts,
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_param_in": datalog_param_in,
@@ -114,7 +169,26 @@ QUERIES = {
     "datalog_rules_union": datalog_rules_union,
 }
 
+_ANC_CTE = """
+    WITH RECURSIVE edges AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS x,
+               CAST(CAST(FLOOR(c_custkey / 2) AS BIGINT) AS VARCHAR) AS y
+        FROM customer WHERE c_custkey BETWEEN 2 AND 400
+    ), anc(x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT e.x, a.y FROM edges e JOIN anc a ON e.y = a.x
+    )
+"""
+
 ORACLES = {
+    "datalog_recursive_ancestors": _ANC_CTE + """
+        SELECT x, y FROM anc ORDER BY x, y
+    """,
+    "datalog_recursive_counts": _ANC_CTE + """
+        SELECT y, CAST(COUNT(x) AS BIGINT) AS count_x
+        FROM anc GROUP BY y ORDER BY y
+    """,
     "datalog_attr_counts": """
         SELECT a, count_e FROM (
             SELECT ':nation/n_nationkey' AS a, COUNT(n_nationkey) AS count_e FROM nation

@@ -246,6 +246,98 @@ def test_rule_errors(spark):
           datoms)
 
 
+def _chain_datoms(spark, edges):
+    df = spark.createDataFrame(
+        [(c, p) for c, p in edges], "id string, parent string"
+    )
+    return table_datoms(df, "node", "id")
+
+
+_ANC = [
+    [("anc", "?x", "?y"),
+     ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?y"]],
+    [("anc", "?x", "?y"),
+     ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?z"],
+     [("anc", "?z", "?y")]],
+]
+
+
+def test_recursive_rule_linear_closure(spark):
+    """a->b->c->d chain: the semi-naive fixpoint yields all 6 transitive
+    pairs, deduplicated (set semantics) across iterations."""
+    datoms = _chain_datoms(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = q({"find": ["?x", "?y"], "rules": _ANC,
+             "where": [[("anc", "?x", "?y")]]}, datoms)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "c"), ("b", "d"), ("c", "d")}
+
+
+def test_recursive_rule_nonlinear_doubling(spark):
+    """Two self-calls in one def (anc := anc . anc) — the naive
+    whole-relation substitution path — converges to the same closure."""
+    rules = [
+        [("anc", "?x", "?y"),
+         ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?y"]],
+        [("anc", "?x", "?y"),
+         [("anc", "?x", "?z")], [("anc", "?z", "?y")]],
+    ]
+    datoms = _chain_datoms(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    )
+    out = q({"find": ["?x", "?y"], "rules": rules,
+             "where": [[("anc", "?x", "?y")]]}, datoms)
+    assert out.count() == 10  # C(5,2) ordered pairs along the chain
+
+
+def test_recursive_rule_joins_and_bound_arg(spark):
+    """The fixpoint relation behaves like any subplan: a constant arg
+    filters it, and further patterns join onto its bindings."""
+    datoms = _chain_datoms(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = q({"find": ["?y"], "rules": _ANC,
+             "where": [[("anc", "a", "?y")]]}, datoms)
+    assert {r["y"] for r in out.collect()} == {"b", "c", "d"}
+
+
+def test_recursive_rule_cycle_terminates(spark):
+    """A cyclic graph (a->b->c->a) must terminate: set semantics make
+    the closure finite (9 pairs), not an infinite loop."""
+    datoms = _chain_datoms(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    out = q({"find": ["?x", "?y"], "rules": _ANC,
+             "where": [[("anc", "?x", "?y")]]}, datoms)
+    assert out.count() == 9
+
+
+def test_mutual_recursion_rejected(spark):
+    datoms = _chain_datoms(spark, [("a", "b")])
+    rules = [
+        [("p", "?x", "?y"),
+         ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?y"]],
+        [("p", "?x", "?y"), [("r", "?x", "?y")]],
+        [("r", "?x", "?y"), [("p", "?x", "?y")]],
+    ]
+    with pytest.raises(DatalogError, match="mutually recursive"):
+        q({"find": ["?x"], "rules": rules,
+           "where": [[("p", "?x", "?y")]]}, datoms).collect()
+
+
+def test_fixpoint_iteration_bound(spark):
+    """MAX_FIXPOINT_ITERS caps runaway iteration: a 6-deep chain cannot
+    close within 2 iterations."""
+    from mbrainz_importer_spark.plans import datalog as D
+
+    edges = [(chr(97 + i), chr(98 + i)) for i in range(6)]
+    datoms = _chain_datoms(spark, edges)
+    old = D.MAX_FIXPOINT_ITERS
+    D.MAX_FIXPOINT_ITERS = 2
+    try:
+        with pytest.raises(DatalogError, match="fixpoint"):
+            q({"find": ["?x", "?y"], "rules": _ANC,
+               "where": [[("anc", "?x", "?y")]]}, datoms)
+    finally:
+        D.MAX_FIXPOINT_ITERS = old
+
+
 def test_errors(datoms):
     with pytest.raises(DatalogError):
         q({"find": ["?x"], "where": []}, datoms)
