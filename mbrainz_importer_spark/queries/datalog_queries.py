@@ -159,7 +159,45 @@ def datalog_recursive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("y")
 
 
+def pull_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic pull analog: typed attribute projection per entity plus
+    forward ref navigation ({:customer/nation [:nation/name]}) — one
+    groupBy(e) for the attrs, one broadcast join for the ref."""
+    from ..plans.pull import pull_entities, pull_ref
+
+    datoms = build_datoms({
+        "customer": (load(spark, sf_dir, "customer"), "c_custkey"),
+        "nation": (load(spark, sf_dir, "nation"), "n_nationkey"),
+    })
+    prof = pull_entities(datoms, {
+        "name": ":customer/c_name",
+        "balance": (":customer/c_acctbal", "num"),
+        "segment": ":customer/c_mktsegment",
+        "nk": ":customer/c_nationkey",
+    })
+    out = pull_ref(
+        prof, datoms, "nk", ":nation/n_nationkey",
+        {"nation_name": ":nation/n_name"},
+    )
+    return out.select("e", "name", "balance", "segment", "nation_name").orderBy("e")
+
+
+def pull_reverse_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse ref navigation (:nation/_regionkey analog): per region
+    key, the sorted set of referencing nation entities, serialized for
+    a representation-stable oracle hash."""
+    from ..plans.pull import pull_reverse
+
+    datoms = _datoms_small(spark, sf_dir)
+    rev = pull_reverse(datoms, ":nation/n_regionkey")
+    return rev.select(
+        "ref_value", F.concat_ws(",", "referrers").alias("nations")
+    ).orderBy("ref_value")
+
+
 QUERIES = {
+    "pull_customer_profile": pull_customer_profile,
+    "pull_reverse_refs": pull_reverse_refs,
     "datalog_recursive_ancestors": datalog_recursive_ancestors,
     "datalog_recursive_counts": datalog_recursive_counts,
     "datalog_attr_counts": datalog_attr_counts,
@@ -182,6 +220,24 @@ _ANC_CTE = """
 """
 
 ORACLES = {
+    "pull_customer_profile": """
+        SELECT CONCAT('customer:', CAST(c_custkey AS VARCHAR)) AS e,
+               c_name AS name,
+               CAST(c_acctbal AS DOUBLE) AS balance,
+               c_mktsegment AS segment,
+               n_name AS nation_name
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY e
+    """,
+    "pull_reverse_refs": """
+        SELECT CAST(n_regionkey AS VARCHAR) AS ref_value,
+               STRING_AGG(nid, ',' ORDER BY nid) AS nations
+        FROM (SELECT n_regionkey,
+                     CONCAT('nation:', CAST(n_nationkey AS VARCHAR)) AS nid
+              FROM nation)
+        GROUP BY n_regionkey
+        ORDER BY ref_value
+    """,
     "datalog_recursive_ancestors": _ANC_CTE + """
         SELECT x, y FROM anc ORDER BY x, y
     """,
