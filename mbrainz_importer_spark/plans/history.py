@@ -1,0 +1,138 @@
+"""Time-travel over a transaction-stamped datom log — Datomic's
+`d/as-of`, `d/since`, and `d/history` database views (the reference's
+target store keeps every datom with its transaction; asserting batch
+ids on tx entities, cognitect/xform/batch.clj:36-37, is what makes the
+import idempotent across time).
+
+The log is an append-only DataFrame:
+
+    log(e string, a string, v_num double, tx long, added boolean)
+
+(`v_num` here; the same operators work over any value column — pass
+`value_col`.) `added=false` is a retraction of the fact.
+
+Semantics (cardinality-one default, per-attr cardinality-many opt-in):
+  - as_of(log, t):   the database state at transaction t — for each
+    (e, a) [or (e, a, v) for many-attrs], the value written by the
+    LATEST tx <= t, kept only if that op was an assert. One groupBy
+    with max_by — a single shuffle; the tx <= t predicate reaches the
+    scan, so a log partitioned by tx-range prunes at 100 TB.
+  - since(log, t):   the CURRENT state restricted to facts whose
+    deciding tx came after t (what changed since t, Datomic d/since).
+  - history(log):    the full op stream, unfiltered (d/history) — every
+    assert and retract with its tx.
+
+The cutoff `t` may be an int literal, a Column, or a ONE-ROW scalar
+DataFrame (e.g. `log.agg(F.max("tx"))`-derived) — the scalar frame is
+broadcast-cross-joined so the cutoff stays inside the plan with no
+driver-side collect.
+
+Precondition (documented, as in Datomic): at most one op per
+(e, a [, v]) per transaction — max_by ties on tx are otherwise
+arbitrary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Cutoff = "int | Column | DataFrame"
+
+
+def _with_cutoff(frame: DataFrame, t) -> tuple[DataFrame, Column, str | None]:
+    """Normalize a cutoff into (frame', column, joined_col_name):
+    scalar DataFrames broadcast-cross-join onto the frame."""
+    if isinstance(t, DataFrame):
+        name = t.columns[0]
+        return frame.crossJoin(F.broadcast(t)), F.col(name), name
+    return frame, (t if isinstance(t, Column) else F.lit(t)), None
+
+
+def _latest(
+    log: DataFrame,
+    keys: list[str],
+    value_col: str,
+    value_is_key: bool,
+) -> DataFrame:
+    """Latest-op resolution: one groupBy over the keys with max_by on
+    tx. When the value column is itself a group key (cardinality-many),
+    it is not re-aggregated."""
+    aggs = []
+    if not value_is_key:
+        aggs.append(F.max_by(F.col(value_col), F.col("tx")).alias(value_col))
+    aggs += [
+        F.max_by(F.col("added"), F.col("tx")).alias("__last_added"),
+        F.max("tx").alias("tx"),
+    ]
+    out = log.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    cols = ["e", "a", value_col, "tx"]
+    return out.where(F.col("__last_added")).select(*cols)
+
+
+def _state(
+    log: DataFrame,
+    many_attrs,
+    value_col: str,
+) -> DataFrame:
+    if not many_attrs:
+        return _latest(log, ["e", "a"], value_col, False)
+    one = _latest(
+        log.where(~F.col("a").isin(*many_attrs)), ["e", "a"], value_col, False
+    )
+    many = _latest(
+        log.where(F.col("a").isin(*many_attrs)),
+        ["e", "a", value_col],
+        value_col,
+        True,
+    )
+    return one.unionByName(many)
+
+
+def as_of(
+    log: DataFrame,
+    t,
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+) -> DataFrame:
+    """Database state at tx t: (e, a, value, tx) rows. Cardinality-one
+    attrs resolve per (e, a) — a newer assert implicitly retracts the
+    old value; attrs in `many_attrs` resolve per (e, a, value) so each
+    asserted value lives or dies independently (Datomic cardinality
+    semantics)."""
+    frame, cut, _ = _with_cutoff(log, t)
+    return _state(frame.where(F.col("tx") <= cut), many_attrs, value_col)
+
+
+def since(
+    log: DataFrame,
+    t,
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+) -> DataFrame:
+    """Current facts whose deciding transaction came AFTER t — the
+    'what changed' view (d/since). Computed as the full current state
+    filtered on its deciding tx, NOT as a scan cutoff from t: a fact
+    asserted before t and still current must not appear, and a fact
+    retracted after t must not reappear."""
+    state = _state(log, many_attrs, value_col)
+    frame, cut, joined = _with_cutoff(state, t)
+    out = frame.where(F.col("tx") > cut)
+    return out.drop(joined) if joined else out
+
+
+def history(log: DataFrame) -> DataFrame:
+    """The raw op stream (d/history): every assert/retract with its tx.
+    Identity on the log — exposed for API parity and for composing
+    with filters (history of one entity = .where(e == ...))."""
+    return log
+
+
+def entity_timeline(log: DataFrame, entity: str, value_col: str = "v_num") -> DataFrame:
+    """All ops for one entity in tx order — the d/history-of-entity
+    audit query."""
+    return (
+        log.where(F.col("e") == entity)
+        .select("e", "a", value_col, "tx", "added")
+        .orderBy("tx", "a")
+    )

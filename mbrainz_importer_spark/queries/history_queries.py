@@ -1,0 +1,104 @@
+"""Time-travel gate queries (plans/history.py): as-of, since, and
+entity-timeline views over a transaction log derived deterministically
+from the events table (entity = user, attr = event type, tx = event id,
+every 7th op a retraction — both engines derive the same log, so the
+oracle certifies the time-travel semantics, not the derivation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.history import as_of, entity_timeline, since
+from ..tables import load
+
+
+def _tx_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("e"),
+        F.concat(F.lit(":user/"), F.col("event_type")).alias("a"),
+        F.col("value").alias("v_num"),
+        F.col("event_id").alias("tx"),
+        (F.col("event_id") % 7 != 0).alias("added"),
+    )
+
+
+def _cutoff(log: DataFrame) -> DataFrame:
+    return log.agg(F.floor(F.max("tx") * 0.6).cast("long").alias("cutoff"))
+
+
+def history_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/as-of analog: state at 60% of the log — latest op per (e, a)
+    up to the cutoff, surviving only if it was an assert. The cutoff is
+    a plan-side broadcast scalar, not a driver collect."""
+    log = _tx_log(spark, sf_dir)
+    return as_of(log, _cutoff(log)).orderBy("e", "a")
+
+
+def history_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/since analog: current facts whose deciding tx is after the
+    cutoff. Facts retracted after the cutoff stay gone; facts current
+    since before it stay absent."""
+    log = _tx_log(spark, sf_dir)
+    return since(log, _cutoff(log)).orderBy("e", "a")
+
+
+def history_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/history-of-entity audit: every assert/retract for one entity
+    in tx order."""
+    log = _tx_log(spark, sf_dir)
+    return entity_timeline(log, "user:7")
+
+
+QUERIES = {
+    "history_as_of": history_as_of,
+    "history_since": history_since,
+    "history_entity_timeline": history_entity_timeline,
+}
+
+_LOG_CTE = """
+    WITH log AS (
+        SELECT CONCAT('user:', CAST(user_id AS VARCHAR)) AS e,
+               CONCAT(':user/', event_type) AS a,
+               value AS v_num,
+               event_id AS tx,
+               (event_id % 7 <> 0) AS added
+        FROM events
+    ), cut AS (
+        SELECT CAST(FLOOR(MAX(tx) * 0.6) AS BIGINT) AS cutoff FROM log
+    ), latest AS (
+        SELECT e, a, MAX_BY(v_num, tx) AS v_num,
+               MAX_BY(added, tx) AS last_added,
+               CAST(MAX(tx) AS BIGINT) AS tx
+        FROM log GROUP BY e, a
+    )
+"""
+
+ORACLES = {
+    "history_as_of": _LOG_CTE + """
+        SELECT e, a, v_num, tx FROM (
+            SELECT e, a, MAX_BY(v_num, tx) AS v_num,
+                   MAX_BY(added, tx) AS last_added,
+                   CAST(MAX(tx) AS BIGINT) AS tx
+            FROM log, cut WHERE tx <= cutoff GROUP BY e, a
+        ) WHERE last_added
+        ORDER BY e, a
+    """,
+    "history_since": _LOG_CTE + """
+        SELECT e, a, v_num, tx FROM latest, cut
+        WHERE last_added AND tx > cutoff
+        ORDER BY e, a
+    """,
+    "history_entity_timeline": """
+        SELECT CONCAT('user:', CAST(user_id AS VARCHAR)) AS e,
+               CONCAT(':user/', event_type) AS a,
+               value AS v_num,
+               event_id AS tx,
+               (event_id % 7 <> 0) AS added
+        FROM events
+        WHERE user_id = 7
+        ORDER BY tx, a
+    """,
+}

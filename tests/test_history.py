@@ -1,0 +1,104 @@
+"""Time-travel semantics (plans/history.py): cardinality-one override,
+retraction, re-assertion, cardinality-many independence, since-view
+correctness."""
+
+from __future__ import annotations
+
+import pytest
+
+from mbrainz_importer_spark.plans.history import (
+    as_of,
+    entity_timeline,
+    history,
+    since,
+)
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    # (e, a, v_num, tx, added)
+    rows = [
+        ("u1", ":u/score", 10.0, 1, True),
+        ("u1", ":u/score", 20.0, 3, True),    # overrides tx1 (card-one)
+        ("u1", ":u/level", 1.0, 2, True),
+        ("u1", ":u/level", 1.0, 5, False),    # retracted at tx5
+        ("u2", ":u/score", 7.0, 4, True),
+        ("u2", ":u/score", 7.0, 6, False),    # retract...
+        ("u2", ":u/score", 9.0, 8, True),     # ...then re-assert
+        ("u1", ":u/tag", 100.0, 2, True),     # card-many attr
+        ("u1", ":u/tag", 200.0, 3, True),     # second value coexists
+        ("u1", ":u/tag", 100.0, 7, False),    # retract one value only
+    ]
+    return spark.createDataFrame(
+        rows, "e string, a string, v_num double, tx long, added boolean"
+    )
+
+
+MANY = {":u/tag"}
+
+
+def _state(df):
+    return {(r["e"], r["a"], r["v_num"]) for r in df.collect()}
+
+
+def test_as_of_latest_assert_wins(log):
+    s = _state(as_of(log, 3, MANY))
+    assert ("u1", ":u/score", 20.0) in s
+    assert ("u1", ":u/score", 10.0) not in s
+
+
+def test_as_of_before_override_sees_old_value(log):
+    s = _state(as_of(log, 2, MANY))
+    assert ("u1", ":u/score", 10.0) in s
+
+
+def test_retraction_hides_fact(log):
+    assert ("u1", ":u/level", 1.0) in _state(as_of(log, 4, MANY))
+    assert ("u1", ":u/level", 1.0) not in _state(as_of(log, 5, MANY))
+
+
+def test_reassert_after_retract(log):
+    assert ("u2", ":u/score", 7.0) not in _state(as_of(log, 7, MANY))
+    assert ("u2", ":u/score", 9.0) in _state(as_of(log, 8, MANY))
+
+
+def test_cardinality_many_values_independent(log):
+    s6 = _state(as_of(log, 6, MANY))
+    assert ("u1", ":u/tag", 100.0) in s6 and ("u1", ":u/tag", 200.0) in s6
+    s7 = _state(as_of(log, 7, MANY))
+    assert ("u1", ":u/tag", 100.0) not in s7
+    assert ("u1", ":u/tag", 200.0) in s7
+
+
+def test_cardinality_one_without_many_collapses(log):
+    """Without the many-attr declaration, :u/tag resolves per (e, a):
+    only the latest value survives — the declaration is load-bearing."""
+    s = _state(as_of(log, 3))
+    assert ("u1", ":u/tag", 200.0) in s
+    assert ("u1", ":u/tag", 100.0) not in s
+
+
+def test_since_only_recent_deciding_tx(log):
+    s = _state(since(log, 5, MANY))
+    # u2 score re-asserted at tx8 -> in; u1 score decided at tx3 -> out
+    assert ("u2", ":u/score", 9.0) in s
+    assert ("u1", ":u/score", 20.0) not in s
+    # u1 level retracted at tx5 must NOT reappear via the since window
+    assert all(x[1] != ":u/level" for x in s)
+
+
+def test_history_is_full_op_stream(log):
+    assert history(log).count() == 10
+
+
+def test_entity_timeline_ordered(log):
+    rows = entity_timeline(log, "u2").collect()
+    assert [(r["tx"], r["added"]) for r in rows] == [
+        (4, True), (6, False), (8, True)
+    ]
+
+
+def test_as_of_single_shuffle(log):
+    """Cardinality-one as_of is one groupBy: exactly one Exchange."""
+    plan = as_of(log, 5)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
