@@ -35,7 +35,55 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_totals(ev).orderBy("user_id")
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of dropDuplicatesWithinWatermark (streaming/dedup.py):
+    the surviving KEY SET is deterministic (which duplicate row survives
+    is arrival-order-dependent by design, so the gate projects keys)."""
+    from ..streaming.dedup import dedup_within_horizon
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        dedup_within_horizon(ev, ["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the watermarked stream-stream interval join
+    (streaming/dedup.py): purchases within 30 minutes after a
+    same-user click."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.dedup import join_within_interval
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        join_within_interval(
+            clicks, purchases,
+            left_key="cu", right_key="pu",
+            left_ts="click_ts", right_ts="purchase_ts",
+            within="30 minutes",
+        )
+        .select(
+            F.col("cu").alias("user_id"), "click_id", "purchase_id",
+            "click_ts", "purchase_ts",
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
 QUERIES = {
+    "stream_dedup_keys": stream_dedup_keys,
+    "stream_interval_join": stream_interval_join,
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
@@ -43,6 +91,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_dedup_keys": """
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+    "stream_interval_join": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY c.user_id, click_id, purchase_id
+    """,
     "stream_stateful_user_totals": """
         SELECT user_id, COUNT(*) AS n_events,
                ROUND(SUM(value), 6) AS total_value
