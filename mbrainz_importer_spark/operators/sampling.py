@@ -1,0 +1,84 @@
+"""Deterministic dataset splitting & sampling for training-data
+pipelines (train/val/test assignment, per-stratum downsampling).
+
+Everything is hash-based and seed-stable: the SAME row lands in the
+SAME split on every run, on any cluster size, in any engine that can
+compute md5 — no RNG state, no partition-order dependence (Spark's
+randomSplit changes membership under repartitioning; this does not).
+That portability is also what lets the DuckDB oracle certify the split
+bit-for-bit.
+
+Scale: the hash is a narrow projection (no shuffle at all for the
+split-column assignment; one map-side filter for sampling) — the
+operators add zero exchanges to whatever plan they feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 6 hex digits = 24 bits -> bucket in [0, 2^24); plenty of resolution
+# for per-mille split fractions while staying exact in a BIGINT in
+# every engine.
+_BUCKETS = 1 << 24
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 2^24): md5 of salt|key, first 6 hex
+    digits (DuckDB twin: try_cast('0x' || substr(md5(...), 1, 6) AS
+    BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 6),
+        16, 10,
+    ).cast("bigint")
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign a stable split label per key: {"train": .8, "val": .1,
+    "test": .1} — boundaries are cumulative fractions of the 2^24
+    bucket space. Fractions must sum to 1 (within 1e-9); every key
+    gets exactly one label. Changing `salt` re-deals the assignment;
+    keeping it pins membership forever (the property training pipelines
+    need: no test-set leakage across re-runs)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = _hash_bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        bound = int(acc * _BUCKETS)
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fraction: float,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep a deterministic ~`fraction` of keys WITHIN each stratum:
+    the hash is salted with the stratum value, so the kept set in one
+    stratum is independent of every other (equal per-stratum rates,
+    the property plain hash-sampling lacks when strata correlate with
+    keys)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    bucket = _hash_bucket(
+        F.concat_ws("#", F.col(strata_col).cast("string"), F.col(key_col).cast("string")),
+        salt,
+    )
+    return df.where(bucket < F.lit(int(fraction * _BUCKETS)))

@@ -192,6 +192,54 @@ def winnowing_fingerprints(
     )
 
 
+def repetition_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of n-gram OCCURRENCES that are duplicates of an earlier
+    one (dup_fraction) and the share held by the single most repeated
+    n-gram (top_fraction) — the standard filters for boilerplate and
+    degenerate repetition in training corpora (cf. the repetition
+    heuristics in the Gopher/MassiveText cleaning literature).
+
+    Raw (non-distinct) shingles, unlike the dedup feed: repetition IS
+    the signal. Two hash aggregations — (doc, shingle) counts, then a
+    per-doc rollup; both map-side combinable, no window, no UDF.
+    Documents with fewer than n tokens have no n-grams and are absent
+    (no fabricated 0/0 rows)."""
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    t = F.col("__toks")
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+    occ = toked.select("doc", F.explode(grams).alias("shingle"))
+    per_gram = occ.groupBy("doc", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("doc")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc",
+            F.col("total").alias("n_grams"),
+            F.round(
+                1.0 - F.col("distinct_grams") / F.col("total").cast("double"), 6
+            ).alias("dup_fraction"),
+            F.round(F.col("top_count") / F.col("total").cast("double"), 6).alias(
+                "top_fraction"
+            ),
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns({

@@ -181,7 +181,45 @@ def text_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_quartiles_per_lang(docs).orderBy("lang")
 
 
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate n-gram occurrence
+    fraction + most-repeated n-gram share, per document."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.repetition_scores(docs, "doc_id").orderBy("doc")
+
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: per-(lang, split) document
+    counts — the whole assignment is certified because a single moved
+    document changes a count."""
+    from ..operators.sampling import with_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = with_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic ~30% sample: kept doc ids, certified
+    row-for-row (membership is pure md5 arithmetic)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "lang", 0.3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_repetition_scores": text_repetition_scores,
+    "split_assignment": split_assignment,
+    "stratified_sample_docs": stratified_sample_docs,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -502,3 +540,62 @@ def _lsh_oracle() -> str:
 
 
 ORACLES["sim_lsh_near_pairs"] = _lsh_oracle()
+
+# --- sampling / repetition oracles (boundaries computed by the SAME
+# Python arithmetic the operators use, so the literals stay in lockstep)
+from ..operators.sampling import _BUCKETS as _SPLIT_BUCKETS  # noqa: E402
+
+
+def _split_bounds(fractions: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    out, acc = [], 0.0
+    for name, frac in fractions[:-1]:
+        acc += frac
+        out.append((name, int(acc * _SPLIT_BUCKETS)))
+    return out
+
+
+_B = _split_bounds([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+_SAMPLE_BOUND = int(0.3 * _SPLIT_BUCKETS)
+
+ORACLES["text_repetition_scores"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id AS doc, u.sh
+        FROM toks,
+             UNNEST(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(sh)
+    ),
+    per_gram AS (SELECT doc, sh, COUNT(*) AS c FROM occ GROUP BY doc, sh)
+    SELECT doc,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_fraction,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_fraction
+    FROM per_gram GROUP BY doc ORDER BY doc
+"""
+
+ORACLES["split_assignment"] = f"""
+    WITH b AS (
+        SELECT lang,
+               try_cast('0x' || substr(
+                   md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT
+               ) AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {_B[0][1]} THEN '{_B[0][0]}'
+                WHEN bucket < {_B[1][1]} THEN '{_B[1][0]}'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+ORACLES["stratified_sample_docs"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE try_cast('0x' || substr(
+              md5('sample-v1|' || lang || '#' || CAST(doc_id AS VARCHAR)),
+              1, 6) AS BIGINT) < {_SAMPLE_BOUND}
+    ORDER BY doc_id
+"""
