@@ -127,3 +127,56 @@ def attach_many(
     return parent.join(grouped, parent_key, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast(T.ArrayType(elem_type)))
     )
+
+
+class CasConflict(ValueError):
+    """A compare-and-swap update found a current value that differs from
+    its expectation (the Datomic :db/cas abort)."""
+
+
+def cas_update(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    value_col: str,
+    expected_col: str = "expected",
+    new_col: str = "new_value",
+    on_conflict: str = "error",
+) -> DataFrame:
+    """Compare-and-swap column update — the Datomic `:db/cas` transaction
+    function as a set operation: for each update row (key, expected,
+    new), the target's `value_col` becomes `new` ONLY IF its current
+    value equals `expected` (null-safe, so CAS-from-absent works like
+    cas from nil).
+
+    on_conflict="error" mirrors Datomic's tx abort: ANY mismatch raises
+    CasConflict with a bounded sample (this forces one action over the
+    updates-joined frame — bounded by the update set, not the target).
+    on_conflict="skip" applies the matching rows and leaves conflicting
+    rows unchanged (the at-least-once retry-friendly mode).
+
+    One broadcast-or-shuffle left join on the key; the target is never
+    collected."""
+    if on_conflict not in ("error", "skip"):
+        raise ValueError(f"on_conflict must be 'error' or 'skip': {on_conflict}")
+    upd = updates.select(
+        F.col(key).alias("__k"),
+        F.col(expected_col).alias("__exp"),
+        F.col(new_col).alias("__new"),
+        F.lit(True).alias("__has_upd"),
+    )
+    joined = target.join(upd, target[key] == F.col("__k"), "left")
+    conflict = F.col("__has_upd") & ~F.col(value_col).eqNullSafe(F.col("__exp"))
+    if on_conflict == "error":
+        sample = joined.where(conflict).select(
+            key, value_col, F.col("__exp").alias(expected_col)
+        ).take(5)
+        if sample:
+            raise CasConflict(
+                f"cas_update: current != expected for {len(sample)}+ rows, "
+                f"e.g. {[tuple(r) for r in sample]}"
+            )
+    applied = F.col("__has_upd") & F.col(value_col).eqNullSafe(F.col("__exp"))
+    return joined.withColumn(
+        value_col, F.when(applied, F.col("__new")).otherwise(F.col(value_col))
+    ).drop("__k", "__exp", "__new", "__has_upd")

@@ -61,6 +61,36 @@ def table_datoms(df: DataFrame, table: str, id_col: str) -> DataFrame:
     )
 
 
+_INDEX_ORDERS = {
+    "eavt": ["e", "a", "v"],
+    "aevt": ["a", "e", "v"],
+    "avet": ["a", "v", "e"],
+}
+
+
+def datoms_index(
+    datoms: DataFrame,
+    index: str = "eavt",
+    e: str | None = None,
+    a: str | None = None,
+    v: str | None = None,
+) -> DataFrame:
+    """The `d/datoms` index-scan API: the datom set ordered as one of
+    Datomic's covering indexes (EAVT entity-major, AEVT attribute-major,
+    AVET attribute-value — the lookup index), with optional component
+    prefix filters. On materialized storage each ordering is a
+    sort-ordered/z-ordered table and a component filter is a
+    partition-pruned range scan; here the filters push down into the
+    parquet scan and the sort is the query's explicit output order."""
+    if index not in _INDEX_ORDERS:
+        raise ValueError(f"index must be one of {sorted(_INDEX_ORDERS)}: {index}")
+    out = datoms
+    for col, val in (("e", e), ("a", a), ("v", v)):
+        if val is not None:
+            out = out.where(F.col(col) == val)
+    return out.orderBy(*_INDEX_ORDERS[index])
+
+
 def build_datoms(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
     """Union the datom views of {table: (df, id_col)}."""
     out = None

@@ -128,6 +128,31 @@ def history(log: DataFrame) -> DataFrame:
     return log
 
 
+def retract_entity(
+    log: DataFrame,
+    entity: str,
+    tx: int,
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+) -> DataFrame:
+    """The `:db.fn/retractEntity` transaction function: append a
+    retraction op at `tx` for every fact of `entity` current just
+    before `tx`. Purely log-structured — nothing is deleted, so
+    as_of(t < tx) still sees the entity and as_of(t >= tx) does not.
+    Returns the extended log."""
+    current = _state(
+        log.where((F.col("e") == entity) & (F.col("tx") < tx)),
+        many_attrs,
+        value_col,
+    )
+    retracts = current.select(
+        "e", "a", value_col,
+        F.lit(tx).cast("long").alias("tx"),
+        F.lit(False).alias("added"),
+    )
+    return log.unionByName(retracts)
+
+
 def entity_timeline(log: DataFrame, entity: str, value_col: str = "v_num") -> DataFrame:
     """All ops for one entity in tx order — the d/history-of-entity
     audit query."""

@@ -242,7 +242,39 @@ def q16_excluding_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cas_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:db/cas as a set operation (operators/upsert.cas_update): one
+    deterministic update batch where keys ending in 0 carry a correct
+    expectation (applied: +100) and keys ending in 5 a stale one
+    (skipped) — on_conflict='skip' retry semantics."""
+    from ..operators.upsert import cas_update
+
+    cust = load(spark, sf_dir, "customer")
+    updates = cust.where((F.col("c_custkey") % 10).isin(0, 5)).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") + 1)
+        .alias("expected"),
+        (F.col("c_acctbal") + 100).alias("new_value"),
+    )
+    out = cas_update(
+        cust, updates, "c_custkey", "c_acctbal", on_conflict="skip"
+    )
+    return out.select("c_custkey", "c_acctbal", "c_mktsegment").orderBy("c_custkey")
+
+
+def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/datoms AVET index scan: one attribute's datoms in value order
+    (the lookup index), component filter pushed to the scan."""
+    from ..plans.eav import build_datoms, datoms_index
+
+    datoms = build_datoms({"nation": (load(spark, sf_dir, "nation"), "n_nationkey")})
+    return datoms_index(datoms, "avet", a=":nation/n_regionkey")
+
+
 QUERIES = {
+    "cas_conditional_update": cas_conditional_update,
+    "datoms_index_scan": datoms_index_scan,
     "q7_nation_volume": q7_nation_volume,
     "q16_excluding_suppliers": q16_excluding_suppliers,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
@@ -260,6 +292,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cas_conditional_update": """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    "datoms_index_scan": """
+        SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)) AS e,
+               ':nation/n_regionkey' AS a,
+               CAST(n_regionkey AS VARCHAR) AS v,
+               CAST(n_regionkey AS DOUBLE) AS v_num
+        FROM nation
+        ORDER BY a, v, e
+    """,
     "q7_nation_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,

@@ -98,6 +98,23 @@ def test_entity_timeline_ordered(log):
     ]
 
 
+def test_retract_entity_log_structured(log):
+    from mbrainz_importer_spark.plans.history import retract_entity
+
+    extended = retract_entity(log, "u1", 10, MANY)
+    # before the retraction tx the entity is fully visible
+    before = _state(as_of(extended, 9, MANY))
+    assert any(e == "u1" for e, _, _ in before)
+    # at/after the retraction tx every fact of u1 is gone, u2 untouched
+    after = _state(as_of(extended, 10, MANY))
+    assert not any(e == "u1" for e, _, _ in after)
+    assert ("u2", ":u/score", 9.0) in after
+    # nothing was deleted: the op count grew by the retracted fact count
+    assert extended.count() == log.count() + len(
+        [x for x in before if x[0] == "u1"]
+    )
+
+
 def test_as_of_single_shuffle(log):
     """Cardinality-one as_of is one groupBy: exactly one Exchange."""
     plan = as_of(log, 5)._jdf.queryExecution().executedPlan().toString()
