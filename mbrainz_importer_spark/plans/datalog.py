@@ -30,6 +30,14 @@ Covers the query surface the reference actually exercises
     the iteration count is bounded by MAX_FIXPOINT_ITERS (the depth of
     the data graph in practice — ~log2(N) for trees). MUTUAL recursion
     (a->b->a) is still rejected, not mis-answered;
+  - (not clause+) negation — [("not", [e a v], ...)]: bindings
+    satisfying the inner clauses are subtracted via a left-anti join on
+    the variables shared with the outer plan (Datomic unification;
+    inner-only vars are existential; zero shared vars is rejected);
+  - (or leg+) disjunction — [("or", [e a v], ("and", [..], [..]))]:
+    every leg must bind the same variable set; legs union into one
+    relation (an anonymous inline rule) that joins the outer plan.
+    "not"/"or"/"and" are reserved words, not usable as rule names;
   - :find with plain variables and/or aggregates
     (count, count-distinct, sum, min, max) — grouped by the plain vars;
   - :in scalar parameters;
@@ -153,6 +161,8 @@ def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
         name, *args = rd[0]
         if not isinstance(name, str) or _is_var(name):
             raise DatalogError(f"bad rule name {name!r}")
+        if name in ("not", "or", "and"):
+            raise DatalogError(f"rule name {name!r} is a reserved word")
         if not args or not all(_is_var(a) for a in args):
             raise DatalogError(f"rule {name} head args must be vars: {args}")
         prior = defs.setdefault(name, [])
@@ -308,6 +318,114 @@ def _apply_rule(
     return plan
 
 
+def _apply_not(
+    plan: DataFrame | None,
+    binding: dict,
+    inner: list,
+    datoms: DataFrame,
+    bound: dict,
+    rules: dict,
+    stack: tuple[str, ...],
+    rec_impl: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """(not clause+): remove bindings for which the inner clauses are
+    satisfiable — a left-anti join on the variables shared with the
+    outer plan (Datomic unification). Vars appearing ONLY inside the
+    not are existential; at least one shared var is required (a not
+    with no unification would be all-or-nothing, which Datomic also
+    rejects)."""
+    if plan is None:
+        raise DatalogError("(not ...) before any pattern has nothing to subtract")
+    if not inner:
+        raise DatalogError("(not ...) needs at least one inner clause")
+    sub, sub_binding, _ = _compile_where(
+        [c if isinstance(c, list) else [c] for c in inner],
+        datoms, bound, rules, stack, rec_impl,
+    )
+    shared = [v for v in sub_binding if v in binding]
+    if not shared:
+        raise DatalogError(
+            f"(not ...) shares no variables with the outer clauses: {inner}"
+        )
+    proj = sub.select(
+        *[sub_binding[v].alias(f"__not_{j}") for j, v in enumerate(shared)]
+    )
+    cond = None
+    for j, v in enumerate(shared):
+        c = binding[v] == F.col(f"__not_{j}")
+        cond = c if cond is None else cond & c
+    return plan.join(proj, cond, "left_anti")
+
+
+def _apply_or(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    legs: list,
+    datoms: DataFrame,
+    bound: dict,
+    rules: dict,
+    stack: tuple[str, ...],
+    idx: int,
+    rec_impl: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """(or leg+): each leg is one clause or an ("and", clause+) group;
+    every leg must bind the SAME variable set (Datomic's rule for or).
+    Compiles to an anonymous inline rule: legs union into one relation
+    on the shared vars, which then joins the outer plan exactly like a
+    rule invocation (bound vars unify, fresh vars bind)."""
+    if not legs:
+        raise DatalogError("(or ...) needs at least one leg")
+    leg_rels: list[tuple[DataFrame, dict, dict]] = []
+    for leg in legs:
+        if isinstance(leg, tuple) and leg and leg[0] == "and":
+            clauses = [c if isinstance(c, list) else [c] for c in leg[1:]]
+        else:
+            clauses = [leg if isinstance(leg, list) else [leg]]
+        sub, sb, snb = _compile_where(clauses, datoms, bound, rules, stack, rec_impl)
+        if sub is None:
+            raise DatalogError(f"(or ...) leg is empty: {leg}")
+        leg_rels.append((sub, sb, snb))
+    var_sets = [set(sb) for _, sb, _ in leg_rels]
+    if any(vs != var_sets[0] for vs in var_sets[1:]):
+        raise DatalogError(
+            f"(or ...) legs bind different variable sets: {sorted(map(sorted, var_sets))}"
+        )
+    vars_ = sorted(var_sets[0])
+    branches = []
+    for sub, sb, snb in leg_rels:
+        proj = []
+        for j, v in enumerate(vars_):
+            proj.append(sb[v].alias(f"a{j}"))
+            proj.append(snb.get(v, F.lit(None).cast("double")).alias(f"__num_a{j}"))
+        branches.append(sub.select(*proj))
+    rel = branches[0]
+    for b in branches[1:]:
+        rel = rel.unionByName(b)
+    rel = rel.distinct().alias(f"or{idx}_{len(stack)}")
+
+    join_conds, fresh = [], []
+    for j, v in enumerate(vars_):
+        col, ncol = rel[f"a{j}"], rel[f"__num_a{j}"]
+        if v in binding:
+            join_conds.append(col == binding[v])
+        else:
+            fresh.append((v, col, ncol))
+    if plan is None:
+        plan = rel
+    elif join_conds:
+        cond = join_conds[0]
+        for c in join_conds[1:]:
+            cond = cond & c
+        plan = plan.join(rel, cond)
+    else:
+        plan = plan.crossJoin(rel)
+    for v, col, ncol in fresh:
+        binding[v] = col
+        num_binding[v] = ncol
+    return plan
+
+
 def _compile_where(
     where: list,
     datoms: DataFrame,
@@ -333,6 +451,15 @@ def _compile_where(
                     raise DatalogError(f"predicate clause before any pattern: {pat}")
                 plan = plan.where(
                     _compile_predicate(clause, binding, num_binding, bound)
+                )
+            elif head == "not":
+                plan = _apply_not(
+                    plan, binding, clause[1:], datoms, bound, rules, stack, rec_impl
+                )
+            elif head == "or":
+                plan = _apply_or(
+                    plan, binding, num_binding, clause[1:], datoms, bound,
+                    rules, stack, i, rec_impl,
                 )
             elif isinstance(head, str) and head in rules:
                 plan = _apply_rule(

@@ -195,7 +195,45 @@ def pull_reverse_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ref_value")
 
 
+def datalog_not_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(not ...) negation: nations NOT in the ASIA region — anti-join
+    on the unified ?rk variable (the inner ?r is existential)."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name"],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?n", ":nation/n_name", "?name"],
+            [("not",
+              ["?r", ":region/r_regionkey", "?rk"],
+              ["?r", ":region/r_name", "ASIA"])],
+        ],
+    }
+    return q(query, datoms).orderBy("name")
+
+
+def datalog_or_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(or ...) disjunction with an ("and", ...) leg: nations in region
+    0, or nation 12 when it sits in region 2 — every leg binds exactly
+    {?n} (the Datomic same-variables rule)."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name"],
+        "where": [
+            [("or",
+              ["?n", ":nation/n_regionkey", "0"],
+              ("and",
+               ["?n", ":nation/n_regionkey", "2"],
+               ["?n", ":nation/n_nationkey", "12"]))],
+            ["?n", ":nation/n_name", "?name"],
+        ],
+    }
+    return q(query, datoms).orderBy("name")
+
+
 QUERIES = {
+    "datalog_not_clause": datalog_not_clause,
+    "datalog_or_clause": datalog_or_clause,
     "pull_customer_profile": pull_customer_profile,
     "pull_reverse_refs": pull_reverse_refs,
     "datalog_recursive_ancestors": datalog_recursive_ancestors,
@@ -220,6 +258,21 @@ _ANC_CTE = """
 """
 
 ORACLES = {
+    "datalog_not_clause": """
+        SELECT DISTINCT n_name AS name
+        FROM nation
+        WHERE NOT EXISTS (
+            SELECT 1 FROM region
+            WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        ORDER BY name
+    """,
+    "datalog_or_clause": """
+        SELECT DISTINCT n_name AS name
+        FROM nation
+        WHERE n_regionkey = 0
+           OR (n_regionkey = 2 AND n_nationkey = 12)
+        ORDER BY name
+    """,
     "pull_customer_profile": """
         SELECT CONCAT('customer:', CAST(c_custkey AS VARCHAR)) AS e,
                c_name AS name,

@@ -246,6 +246,64 @@ def test_rule_errors(spark):
           datoms)
 
 
+def test_not_clause_subtracts_unified_bindings(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 1, "y")],
+        "id string, grp int, tag string",
+    )
+    blocked = spark.createDataFrame([(1,)], "code int")
+    datoms = build_datoms({"t": (df, "id"), "blk": (blocked, "code")})
+    out = q({
+        "find": ["?id"],
+        "where": [
+            ["?e", ":t/id", "?id"],
+            ["?e", ":t/grp", "?g"],
+            [("not", ["?b", ":blk/code", "?g"])],
+        ],
+    }, datoms)
+    assert {r["id"] for r in out.collect()} == {"b"}
+
+
+def test_not_requires_shared_vars(spark):
+    df = spark.createDataFrame([("a", 1)], "id string, grp int")
+    datoms = build_datoms({"t": (df, "id")})
+    with pytest.raises(DatalogError, match="shares no variables"):
+        q({"find": ["?id"],
+           "where": [["?e", ":t/id", "?id"],
+                     [("not", ["?x", ":t/grp", "?zz"])]]}, datoms)
+
+
+def test_or_clause_union_and_same_vars_rule(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")],
+        "id string, grp int, tag string",
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q({
+        "find": ["?id"],
+        "where": [
+            [("or",
+              ["?e", ":t/grp", "1"],
+              ("and", ["?e", ":t/grp", "3"], ["?e", ":t/tag", "z"]))],
+            ["?e", ":t/id", "?id"],
+        ],
+    }, datoms)
+    assert {r["id"] for r in out.collect()} == {"a", "c"}
+    with pytest.raises(DatalogError, match="different variable sets"):
+        q({"find": ["?id"],
+           "where": [[("or", ["?e", ":t/grp", "1"], ["?f", ":t/grp", "2"])],
+                     ["?e", ":t/id", "?id"]]}, datoms)
+
+
+def test_reserved_rule_names(spark):
+    df = spark.createDataFrame([("a", 1)], "id string, grp int")
+    datoms = build_datoms({"t": (df, "id")})
+    with pytest.raises(DatalogError, match="reserved word"):
+        q({"find": ["?id"],
+           "rules": [[("not", "?x"), ["?x", ":t/grp", "_"]]],
+           "where": [["?e", ":t/id", "?id"]]}, datoms)
+
+
 def _chain_datoms(spark, edges):
     df = spark.createDataFrame(
         [(c, p) for c, p in edges], "id string, parent string"
