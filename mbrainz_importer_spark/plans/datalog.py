@@ -38,8 +38,20 @@ Covers the query surface the reference actually exercises
     every leg must bind the same variable set; legs union into one
     relation (an anonymous inline rule) that joins the outer plan.
     "not"/"or"/"and" are reserved words, not usable as rule names;
-  - :find with plain variables and/or aggregates
-    (count, count-distinct, sum, min, max) — grouped by the plain vars;
+  - function-binding clauses [(fn arg...) ?out] — arithmetic
+    (+ - * / quot mod abs, via the numeric v_num projection), (str ...)
+    concatenation, (ground const), and (get-else ?e :attr default)
+    which left-joins the attribute and falls back to the default where
+    the entity has no datom (EAV nulls are ABSENT datoms, eav.py:16-17);
+  - (missing? ?e :attr) predicate — anti-join on entities that lack the
+    attribute;
+  - :find with plain variables and/or aggregates (count, count-distinct,
+    sum, min, max, avg, median, variance, stddev, distinct) — grouped by
+    the plain vars. Aggregation follows Datomic SET semantics: the bound
+    relation is deduplicated over the find variables (plus :with
+    variables) BEFORE aggregating, so `[:find ?x (sum ?v)]` sums each
+    distinct (x, v) pair once; add `"with": ["?e"]` to keep per-entity
+    duplicates, exactly like Datomic's :with clause;
   - :in scalar parameters;
   - :limit (the reference's `:limit -1` = no limit).
 
@@ -69,7 +81,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-AGGS = {"count", "count-distinct", "sum", "min", "max"}
+AGGS = {
+    "count", "count-distinct", "sum", "min", "max",
+    "avg", "median", "variance", "stddev", "distinct",
+}
+# aggregates that consume the numeric v_num projection
+_NUM_AGGS = {"sum", "min", "max", "avg", "median", "variance", "stddev"}
 
 import operator as _op
 
@@ -150,6 +167,134 @@ def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
     return fn(operand(lhs), operand(rhs))
 
 
+_ARITH_FNS = {"+", "-", "*", "/", "quot", "mod", "abs"}
+_FN_HEADS = _ARITH_FNS | {"str", "ground", "get-else"}
+
+
+def _canon_const(x) -> str:
+    """Canonical string of a constant, matching eav.table_datoms's `v`
+    formatting (integral floats lose the trailing .0)."""
+    s = str(x)
+    if isinstance(x, float) and s.endswith(".0"):
+        s = s[:-2]
+    return s
+
+
+def _apply_fn_binding(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    clause: list,
+    out: str,
+    datoms: DataFrame,
+    bound: dict,
+    idx: int,
+) -> DataFrame | None:
+    """[(fn arg...) ?out] — bind ?out to a computed column.
+
+    Arithmetic fns resolve var operands through the numeric v_num
+    projection (falling back to a string->double cast for e/a-bound
+    vars, EAV dynamic typing); (str ...) concatenates canonical string
+    forms; (ground c) binds a literal; (get-else ?e :attr default)
+    left-joins the attr's datoms on ?e and coalesces to the default —
+    Datomic's accessor for optional attributes, since EAV models null
+    as datom ABSENCE."""
+    head, *args = clause
+    args = [bound.get(a, a) if _is_var(a) else a for a in args]
+    if out in binding:
+        raise DatalogError(f"function output var {out} is already bound")
+
+    if head == "ground":
+        if len(args) != 1 or _is_var(args[0]):
+            raise DatalogError(f"(ground const) takes one constant: {clause}")
+        c = args[0]
+        binding[out] = F.lit(_canon_const(c) if not isinstance(c, str) else c)
+        if isinstance(c, (int, float)) and not isinstance(c, bool):
+            num_binding[out] = F.lit(float(c))
+        return plan
+
+    if head == "get-else":
+        a = args[1:] if args and args[0] == "$" else args
+        if len(a) != 3:
+            raise DatalogError(f"(get-else ?e :attr default) expects 3 args: {clause}")
+        evar, attr, default = a
+        if not _is_var(evar) or evar not in binding:
+            raise DatalogError(f"(get-else ...) entity var {evar} must be bound")
+        if _is_var(attr) or _is_var(default):
+            raise DatalogError("(get-else ...) attr and default must be constants")
+        if plan is None:
+            raise DatalogError("(get-else ...) before any pattern")
+        al = f"ge{idx}"
+        sub = datoms.where(F.col("a") == attr).select(
+            F.col("e").alias(f"__{al}_e"),
+            F.col("v").alias(f"__{al}_v"),
+            F.col("v_num").alias(f"__{al}_vn"),
+        )
+        plan = plan.join(sub, binding[evar] == F.col(f"__{al}_e"), "left")
+        binding[out] = F.coalesce(
+            F.col(f"__{al}_v"),
+            F.lit(default if isinstance(default, str) else _canon_const(default)),
+        )
+        num_default = (
+            F.lit(float(default))
+            if isinstance(default, (int, float)) and not isinstance(default, bool)
+            else F.lit(None).cast("double")
+        )
+        num_binding[out] = F.coalesce(F.col(f"__{al}_vn"), num_default)
+        return plan
+
+    if head == "str":
+        parts = []
+        for x in args:
+            if _is_var(x):
+                if x not in binding:
+                    raise DatalogError(f"unbound (str ...) operand {x}")
+                parts.append(binding[x].cast("string"))
+            else:
+                parts.append(F.lit(x if isinstance(x, str) else _canon_const(x)))
+        binding[out] = F.concat(*parts)
+        return plan
+
+    # arithmetic over the numeric projection
+    def num(x):
+        if _is_var(x):
+            if x not in binding:
+                raise DatalogError(f"unbound function operand {x}")
+            return num_binding.get(x, binding[x].cast("double"))
+        if not isinstance(x, (int, float)) or isinstance(x, bool):
+            raise DatalogError(f"non-numeric operand {x!r} for ({head} ...)")
+        return F.lit(float(x))
+
+    if head == "abs":
+        if len(args) != 1:
+            raise DatalogError(f"(abs x) takes one arg: {clause}")
+        expr = F.abs(num(args[0]))
+    elif len(args) < 2 and head != "-":
+        raise DatalogError(f"({head} ...) needs at least two args: {clause}")
+    elif head == "-" and len(args) == 1:
+        expr = -num(args[0])
+    else:
+        ops = [num(x) for x in args]
+        expr = ops[0]
+        for o in ops[1:]:
+            if head == "+":
+                expr = expr + o
+            elif head == "-":
+                expr = expr - o
+            elif head == "*":
+                expr = expr * o
+            elif head == "/":
+                expr = expr / o
+            elif head == "quot":
+                # truncation toward zero (double->long cast), Clojure quot
+                expr = (expr / o).cast("long").cast("double")
+            elif head == "mod":
+                expr = expr % o
+    binding[out] = expr
+    num_binding[out] = expr
+    return plan
+
+
 def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
     """Validate rule definitions [[(name ?a ?b), clause...], ...] into
     {name: [(args, body), ...]} — multiple defs per name = OR/union
@@ -161,7 +306,7 @@ def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
         name, *args = rd[0]
         if not isinstance(name, str) or _is_var(name):
             raise DatalogError(f"bad rule name {name!r}")
-        if name in ("not", "or", "and"):
+        if name in ("not", "or", "and", "missing?"):
             raise DatalogError(f"rule name {name!r} is a reserved word")
         if not args or not all(_is_var(a) for a in args):
             raise DatalogError(f"rule {name} head args must be vars: {args}")
@@ -442,6 +587,22 @@ def _compile_where(
     num_binding: dict[str, F.Column] = {}
 
     for i, pat in enumerate(where):
+        if (
+            len(pat) == 2
+            and isinstance(pat[0], (tuple, list))
+            and _is_var(pat[1])
+        ):
+            # function binding [(fn arg...) ?out]
+            clause = list(pat[0])
+            head = clause[0] if clause else None
+            if head not in _FN_HEADS:
+                raise DatalogError(
+                    f"unsupported function {head!r} (have {sorted(_FN_HEADS)})"
+                )
+            plan = _apply_fn_binding(
+                plan, binding, num_binding, clause, pat[1], datoms, bound, i
+            )
+            continue
         if len(pat) == 1 and isinstance(pat[0], (tuple, list)):
             clause = list(pat[0])
             head = clause[0] if clause else None
@@ -460,6 +621,25 @@ def _compile_where(
                 plan = _apply_or(
                     plan, binding, num_binding, clause[1:], datoms, bound,
                     rules, stack, i, rec_impl,
+                )
+            elif head == "missing?":
+                a = clause[1:]
+                if a and a[0] == "$":
+                    a = a[1:]
+                if len(a) != 2:
+                    raise DatalogError(
+                        f"(missing? ?e :attr) expects entity var + attr: {clause}"
+                    )
+                evar, attr = a
+                if plan is None or evar not in binding:
+                    raise DatalogError(f"(missing? ...) entity var {evar} must be bound")
+                if _is_var(attr):
+                    raise DatalogError("(missing? ...) attr must be a constant")
+                sub = datoms.where(F.col("a") == attr).select(
+                    F.col("e").alias(f"__miss{i}_e")
+                )
+                plan = plan.join(
+                    sub, binding[evar] == F.col(f"__miss{i}_e"), "left_anti"
                 )
             elif isinstance(head, str) and head in rules:
                 plan = _apply_rule(
@@ -539,11 +719,17 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
 
     plan, binding, num_binding = _compile_where(where, datoms, bound, rules)
 
-    # :find projection
-    group_cols: list[F.Column] = []
-    agg_cols: list[F.Column] = []
+    # :find projection — Datomic SET semantics: the bound relation is
+    # deduplicated over (find vars + :with vars) BEFORE aggregation, so
+    # each distinct tuple contributes once; :with vars keep duplicates
+    # that differ only in those vars (e.g. per-entity contributions to a
+    # sum), then drop out of the output.
+    assert plan is not None
+    plain_names: list[str] = []
+    agg_specs: list[tuple[str, str, str]] = []  # (agg, operand_alias, out_name)
+    sel_cols: list[F.Column] = []
     out_order: list[str] = []
-    for term in find:
+    for k, term in enumerate(find):
         if isinstance(term, (tuple, list)):
             agg, var = term
             if agg not in AGGS:
@@ -551,32 +737,47 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
             if var not in binding:
                 raise DatalogError(f"unbound aggregate var {var}")
             name = f"{agg.replace('-', '_')}_{_var_name(var)}"
-            col = binding[var]
-            if agg == "count":
-                agg_cols.append(F.count(col).alias(name))
-            elif agg == "count-distinct":
-                agg_cols.append(F.countDistinct(col).alias(name))
-            else:
+            al = f"__agg{k}"
+            if agg in _NUM_AGGS:
                 ncol = num_binding.get(var)
                 if ncol is None:
                     raise DatalogError(f"aggregate {agg} needs a value var: {var}")
-                agg_cols.append(getattr(F, agg)(ncol).alias(name))
+                sel_cols.append(ncol.alias(al))
+            else:
+                sel_cols.append(binding[var].alias(al))
+            agg_specs.append((agg, al, name))
             out_order.append(name)
         else:
             if term not in binding:
                 raise DatalogError(f"unbound find var {term}")
-            group_cols.append(binding[term].alias(_var_name(term)))
+            sel_cols.append(binding[term].alias(_var_name(term)))
+            plain_names.append(_var_name(term))
             out_order.append(_var_name(term))
 
-    assert plan is not None
-    if agg_cols:
+    if agg_specs:
+        for k, w in enumerate(query.get("with") or []):
+            if w not in binding:
+                raise DatalogError(f"unbound :with var {w}")
+            sel_cols.append(binding[w].alias(f"__with{k}"))
+        tuples = plan.select(*sel_cols).distinct()
+        agg_cols = []
+        for agg, al, name in agg_specs:
+            col = F.col(al)
+            if agg == "count":
+                agg_cols.append(F.count(col).alias(name))
+            elif agg == "count-distinct":
+                agg_cols.append(F.countDistinct(col).alias(name))
+            elif agg == "distinct":
+                agg_cols.append(F.sort_array(F.collect_set(col)).alias(name))
+            else:  # sum min max avg median variance stddev (numeric)
+                agg_cols.append(getattr(F, agg)(col).alias(name))
         out = (
-            plan.groupBy(*group_cols).agg(*agg_cols)
-            if group_cols
-            else plan.agg(*agg_cols)
+            tuples.groupBy(*plain_names).agg(*agg_cols)
+            if plain_names
+            else tuples.agg(*agg_cols)
         )
     else:
-        out = plan.select(*group_cols).distinct()  # datalog returns a set
+        out = plan.select(*sel_cols).distinct()  # datalog returns a set
 
     out = out.select(*out_order)
     limit = query.get("limit")

@@ -231,7 +231,93 @@ def datalog_or_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("name")
 
 
+def _sparse_datoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-derived entities with a SPARSE attribute: positive_bal
+    exists only where the balance is positive (EAV null = absent datom,
+    eav.py:16-17) — the shape get-else / missing? exist for."""
+    from ..plans.eav import table_datoms
+
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    sparse = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).alias("positive_bal"),
+    )
+    return table_datoms(sparse, "cust", "id")
+
+
+def datalog_fn_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-binding clauses [(fn args) ?out]: chained arithmetic over
+    the numeric projection plus (str ...) concatenation."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name", "?s", "?tag"],
+        "where": [
+            ["?n", ":nation/n_nationkey", "?nk"],
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?n", ":nation/n_name", "?name"],
+            [("+", "?nk", "?rk"), "?sum0"],
+            [("*", "?sum0", 2), "?s"],
+            [("str", "?name", "-", "?rk"), "?tag"],
+        ],
+    }
+    return q(query, datoms).orderBy("name")
+
+
+def datalog_get_else(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(get-else ?e :attr default): optional-attribute access — present
+    values pass through, absent datoms coalesce to the default; the
+    trailing (* ?pb 1) projects the numeric form for a stable oracle."""
+    datoms = _sparse_datoms(spark, sf_dir)
+    query = {
+        "find": ["?id", "?pbn"],
+        "where": [
+            ["?e", ":cust/id", "?id"],
+            [("get-else", "?e", ":cust/positive_bal", -1), "?pb"],
+            [("*", "?pb", 1), "?pbn"],
+        ],
+    }
+    return q(query, datoms).orderBy("id")
+
+
+def datalog_missing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(missing? ?e :attr): entities LACKING an attribute — an anti-join
+    on the attr's datom set (Datomic's negative existence predicate)."""
+    datoms = _sparse_datoms(spark, sf_dir)
+    query = {
+        "find": ["?name"],
+        "where": [
+            ["?e", ":cust/name", "?name"],
+            [("missing?", "?e", ":cust/positive_bal")],
+        ],
+    }
+    return q(query, datoms).orderBy("name")
+
+
+def datalog_agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended :find aggregates (avg median stddev variance) under
+    Datomic set semantics with :with ?e keeping per-entity duplicate
+    balances in the bag — i.e., plain SQL aggregation over all rows."""
+    datoms = build_datoms({
+        "customer": (load(spark, sf_dir, "customer"), "c_custkey"),
+    })
+    query = {
+        "find": ["?seg", ("avg", "?bal"), ("median", "?bal"),
+                 ("stddev", "?bal"), ("variance", "?bal")],
+        "with": ["?e"],
+        "where": [
+            ["?e", ":customer/c_mktsegment", "?seg"],
+            ["?e", ":customer/c_acctbal", "?bal"],
+        ],
+    }
+    return q(query, datoms).orderBy("seg")
+
+
 QUERIES = {
+    "datalog_fn_binding": datalog_fn_binding,
+    "datalog_get_else": datalog_get_else,
+    "datalog_missing_check": datalog_missing_check,
+    "datalog_agg_extended": datalog_agg_extended,
     "datalog_not_clause": datalog_not_clause,
     "datalog_or_clause": datalog_or_clause,
     "pull_customer_profile": pull_customer_profile,
@@ -258,6 +344,31 @@ _ANC_CTE = """
 """
 
 ORACLES = {
+    "datalog_fn_binding": """
+        SELECT DISTINCT n_name AS name,
+               CAST((n_nationkey + n_regionkey) * 2 AS DOUBLE) AS s,
+               CONCAT(n_name, '-', CAST(n_regionkey AS VARCHAR)) AS tag
+        FROM nation ORDER BY name
+    """,
+    "datalog_get_else": """
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id,
+               COALESCE(CASE WHEN c_acctbal > 0 THEN c_acctbal END, -1.0) AS pbn
+        FROM customer WHERE c_custkey <= 300
+        ORDER BY id
+    """,
+    "datalog_missing_check": """
+        SELECT DISTINCT c_name AS name
+        FROM customer WHERE c_custkey <= 300 AND NOT (c_acctbal > 0)
+        ORDER BY name
+    """,
+    "datalog_agg_extended": """
+        SELECT c_mktsegment AS seg,
+               AVG(c_acctbal) AS avg_bal,
+               MEDIAN(c_acctbal) AS median_bal,
+               STDDEV_SAMP(c_acctbal) AS stddev_bal,
+               VAR_SAMP(c_acctbal) AS variance_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY seg
+    """,
     "datalog_not_clause": """
         SELECT DISTINCT n_name AS name
         FROM nation

@@ -71,12 +71,20 @@ def test_distinct_set_semantics(datoms):
 def test_numeric_aggregates(spark):
     df = spark.createDataFrame([("o1", 10), ("o2", 20), ("o3", 20)], "id string, qty int")
     datoms = table_datoms(df, "orders", "id")
+    # Datomic SET semantics: without :with, duplicate values collapse
     out = q(
         {"find": [("sum", "?v"), ("min", "?v"), ("max", "?v"), ("count-distinct", "?v")],
          "where": [["?e", ":orders/qty", "?v"]]},
         datoms,
     ).collect()[0]
-    assert (out["sum_v"], out["min_v"], out["max_v"], out["count_distinct_v"]) == (50.0, 10.0, 20.0, 2)
+    assert (out["sum_v"], out["min_v"], out["max_v"], out["count_distinct_v"]) == (30.0, 10.0, 20.0, 2)
+    # :with ?e keeps per-entity contributions (the SQL-style bag sum)
+    out = q(
+        {"find": [("sum", "?v")], "with": ["?e"],
+         "where": [["?e", ":orders/qty", "?v"]]},
+        datoms,
+    ).collect()[0]
+    assert out["sum_v"] == 50.0
 
 
 def test_in_params_and_limit(datoms):
@@ -420,3 +428,112 @@ def test_mbrainz_import_then_datalog(spark, tmp_path_factory):
     assert got[":artist.type/person"] == 2243
     assert got[":artist.type/group"] == 2014
     assert got[":artist.type/other"] == 5
+
+
+def test_fn_binding_arithmetic_and_str(spark):
+    df = spark.createDataFrame(
+        [("a", 3, 4), ("b", 10, 2)], "id string, x int, y int"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q({
+        "find": ["?id", "?s", "?tag"],
+        "where": [
+            ["?e", ":t/id", "?id"],
+            ["?e", ":t/x", "?x"],
+            ["?e", ":t/y", "?y"],
+            [("+", "?x", "?y"), "?xy"],
+            [("*", "?xy", 2), "?s"],
+            [("str", "?id", ":", "?x"), "?tag"],
+        ],
+    }, datoms)
+    got = {r["id"]: (r["s"], r["tag"]) for r in out.collect()}
+    assert got == {"a": (14.0, "a:3"), "b": (24.0, "b:10")}
+
+
+def test_fn_binding_quot_mod_abs_ground(spark):
+    df = spark.createDataFrame([("a", -7)], "id string, x int")
+    datoms = build_datoms({"t": (df, "id")})
+    out = q({
+        "find": ["?qt", "?md", "?ab", "?g"],
+        "where": [
+            ["?e", ":t/x", "?x"],
+            [("quot", "?x", 2), "?qt"],
+            [("mod", "?x", 3), "?md"],
+            [("abs", "?x"), "?ab"],
+            [("ground", 42), "?g"],
+        ],
+    }, datoms)
+    r = out.collect()[0]
+    # quot truncates toward zero (Clojure), Spark % keeps the dividend sign
+    assert (r["qt"], r["md"], r["ab"], r["g"]) == (-3.0, -1.0, 7.0, "42")
+    with pytest.raises(DatalogError, match="already bound"):
+        q({"find": ["?x"],
+           "where": [["?e", ":t/x", "?x"], [("abs", "?x"), "?x"]]}, datoms)
+    with pytest.raises(DatalogError, match="unsupported function"):
+        q({"find": ["?y"],
+           "where": [["?e", ":t/x", "?x"], [("frobnicate", "?x"), "?y"]]}, datoms)
+
+
+def test_get_else_and_missing(spark):
+    df = spark.createDataFrame(
+        [("a", "A", 10), ("b", "B", None), ("c", "C", 30)],
+        "id string, name string, score int",
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q({
+        "find": ["?id", "?sc"],
+        "where": [
+            ["?e", ":t/id", "?id"],
+            [("get-else", "?e", ":t/score", 0), "?s"],
+            [("*", "?s", 1), "?sc"],
+        ],
+    }, datoms)
+    got = {r["id"]: r["sc"] for r in out.collect()}
+    assert got == {"a": 10.0, "b": 0.0, "c": 30.0}
+    miss = q({
+        "find": ["?name"],
+        "where": [["?e", ":t/name", "?name"],
+                  [("missing?", "?e", ":t/score")]],
+    }, datoms)
+    assert [r["name"] for r in miss.collect()] == ["B"]
+    with pytest.raises(DatalogError, match="must be bound"):
+        q({"find": ["?id"],
+           "where": [["?e", ":t/id", "?id"],
+                     [("missing?", "?zz", ":t/score")]]}, datoms)
+
+
+def test_aggregate_set_semantics_and_with(spark):
+    # three entities, two sharing the same (grp, val) pair
+    df = spark.createDataFrame(
+        [("e1", "g", 10), ("e2", "g", 10), ("e3", "g", 20)],
+        "id string, grp string, val int",
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    base = {"where": [["?e", ":t/grp", "?g"], ["?e", ":t/val", "?v"]]}
+    # Datomic SET semantics: distinct (g, v) pairs -> 10 + 20
+    no_with = q({"find": ["?g", ("sum", "?v")], **base}, datoms)
+    assert no_with.collect()[0]["sum_v"] == 30.0
+    # :with ?e keeps per-entity duplicates -> 10 + 10 + 20
+    with_e = q({"find": ["?g", ("sum", "?v")], "with": ["?e"], **base}, datoms)
+    assert with_e.collect()[0]["sum_v"] == 40.0
+    with pytest.raises(DatalogError, match="unbound :with"):
+        q({"find": ["?g", ("sum", "?v")], "with": ["?zz"], **base}, datoms)
+
+
+def test_extended_aggregates(spark):
+    df = spark.createDataFrame(
+        [("e1", 1), ("e2", 2), ("e3", 3), ("e4", 4)], "id string, v int"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q({
+        "find": [("avg", "?v"), ("median", "?v"), ("stddev", "?v"),
+                 ("variance", "?v"), ("distinct", "?id")],
+        "with": ["?e"],
+        "where": [["?e", ":t/id", "?id"], ["?e", ":t/v", "?v"]],
+    }, datoms)
+    r = out.collect()[0]
+    assert r["avg_v"] == 2.5
+    assert r["median_v"] == 2.5
+    assert abs(r["variance_v"] - 5.0 / 3.0) < 1e-12
+    assert abs(r["stddev_v"] - (5.0 / 3.0) ** 0.5) < 1e-12
+    assert r["distinct_id"] == ["e1", "e2", "e3", "e4"]
