@@ -77,6 +77,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash16(docs, "doc_id", "text").orderBy("doc")
 
 
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dups resolved into duplicate CLUSTERS (connected
+    components via pointer jumping) with a canonical survivor per
+    cluster — the decision step of the dedup pipeline. Oracle: DuckDB
+    WITH RECURSIVE transitive closure over the same pair list."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return D.dedup_clusters(docs, pairs).orderBy("doc")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -226,6 +236,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
+    "dedup_duplicate_clusters": dedup_duplicate_clusters,
     "text_stats": text_stats,
     "text_fingerprint_num": text_fingerprint_num,
     "text_lang_quality_summary": text_lang_quality_summary,
@@ -395,6 +406,36 @@ ORACLES = {
           JOIN sizes sb ON doc_b = sb.doc
         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
         ORDER BY doc_a, doc_b
+    """,
+    "dedup_duplicate_clusters": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON doc_a = sa.doc
+              JOIN sizes sb ON doc_b = sb.doc
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        ),
+        comp AS (SELECT u AS doc, MIN(v) AS cluster FROM reach GROUP BY u)
+        SELECT d.doc_id AS doc,
+               COALESCE(c.cluster, d.doc_id) AS cluster,
+               COALESCE(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+        ORDER BY doc
     """,
     "text_winnowing_fingerprints": f"""
         WITH norm AS (

@@ -155,3 +155,29 @@ def test_frame_sample_stub(spark):
     assets = M.text_as_assets(docs, "doc_id", "text")
     frames = M.frame_sample_stub(assets, every_n_bytes=64).collect()
     assert [f["frame_no"] for f in frames] == [0, 1, 2, 3]  # ceil(200/64)
+
+
+def test_connected_components_pointer_jumping(spark):
+    from mbrainz_importer_spark.operators.dedup import connected_components, dedup_clusters
+    import pyspark.sql.functions as F
+
+    # a 12-node path (worst case for one-hop propagation), a triangle,
+    # and an isolated pair
+    path = [(i, i + 1) for i in range(1, 12)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    pair = [(30, 31)]
+    pairs = spark.createDataFrame(path + tri + pair, "doc_a long, doc_b long")
+    cc = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert all(cc[n] == 1 for n in range(1, 13))
+    assert all(cc[n] == 20 for n in (20, 21, 22))
+    assert cc[30] == 30 and cc[31] == 30
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 35)], "doc_id long")
+    out = dedup_clusters(docs, pairs)
+    rows = {r["doc"]: (r["cluster"], r["is_canonical"]) for r in out.collect()}
+    assert rows[5] == (1, False)
+    assert rows[1] == (1, True)
+    assert rows[33] == (33, True)  # singleton: own cluster, canonical
+    n_canonical = sum(1 for c, canon in rows.values() if canon)
+    # 34 docs, path collapses 12 -> 1, triangle 3 -> 1, pair 2 -> 1
+    assert n_canonical == 34 - 11 - 2 - 1
