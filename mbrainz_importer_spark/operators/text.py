@@ -250,3 +250,99 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "pred_lang": predict_lang(c),
         "fp": fingerprint(c),
     })
+
+
+# C4/Gopher-style document filter thresholds (the published heuristics:
+# C4's brace/lorem-ipsum drops, Gopher/MassiveText's word-count, word-length,
+# symbol-ratio, bullet/ellipsis-line and stopword rules).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_KINDS = 2
+
+
+def c4_gopher_filters(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """The standard C4 + Gopher document-quality filter battery as one
+    pass of built-in expressions (no UDF, fully codegen'd): word count
+    bounds, mean word length, symbol-to-word ratio (# and ellipses),
+    bullet-/ellipsis-line fractions, alphabetic-word fraction, distinct
+    stopword count, C4's curly-brace and lorem-ipsum drops. Emits the
+    per-signal measurements, each rule's boolean, and the final `keep`
+    conjunction — keeping the signals visible is what lets a pipeline
+    tune thresholds without recomputing the corpus pass."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    # mean word length = non-whitespace chars / words (identical integer
+    # inputs on both engines -> identical doubles -> identical flags)
+    nonws_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_wl = nonws_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = F.floor(
+        (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3
+    ) + (F.length(c) - F.length(F.regexp_replace(c, "…", "")))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))).cast(
+            "double"
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    stop_kinds = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    lower = F.lower(c)
+    has_brace = lower.contains("{")
+    has_lorem = lower.contains("lorem ipsum")
+
+    f_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_mean = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    f_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    f_bullet = bullet_frac <= GOPHER_MAX_BULLET_FRAC
+    f_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC
+    f_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    f_stop = stop_kinds >= GOPHER_MIN_STOPWORD_KINDS
+    f_c4 = ~has_brace & ~has_lorem
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_kinds.cast("bigint").alias("stopword_kinds"),
+        f_words.alias("ok_words"),
+        f_mean.alias("ok_mean_word_len"),
+        f_symbol.alias("ok_symbol"),
+        f_bullet.alias("ok_bullet"),
+        f_ellipsis.alias("ok_ellipsis"),
+        f_alpha.alias("ok_alpha"),
+        f_stop.alias("ok_stopwords"),
+        f_c4.alias("ok_c4"),
+        (
+            f_words & f_mean & f_symbol & f_bullet & f_ellipsis & f_alpha & f_stop & f_c4
+        ).alias("keep"),
+    )

@@ -98,6 +98,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_c4_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 + Gopher quality-filter battery: per-doc signals, per-rule
+    booleans, and the final keep conjunction — one codegen'd pass."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.c4_gopher_filters(docs, "doc_id", "text").orderBy("doc")
+
+
 def text_fingerprint_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -238,6 +245,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_duplicate_clusters": dedup_duplicate_clusters,
     "text_stats": text_stats,
+    "text_c4_gopher_filters": text_c4_gopher_filters,
     "text_fingerprint_num": text_fingerprint_num,
     "text_lang_quality_summary": text_lang_quality_summary,
     "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -406,6 +414,58 @@ ORACLES = {
           JOIN sizes sb ON doc_b = sb.doc
         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
         ORDER BY doc_a, doc_b
+    """,
+    "text_c4_gopher_filters": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                       / GREATEST(len(t), 1) AS mean_wl,
+                   CAST((length(text) - length(replace(text, '#', '')))
+                        + FLOOR((length(text) - length(replace(text, '...', ''))) / 3)
+                        + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+                       / GREATEST(len(t), 1) AS symbol_ratio,
+                   CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                       / GREATEST(len(lines), 1) AS bullet_frac,
+                   CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                       / GREATEST(len(lines), 1) AS ellipsis_frac,
+                   CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                       / GREATEST(len(t), 1) AS alpha_frac,
+                   len(list_intersect(list_distinct(t),
+                       ['the','a','and','of','to','in','is','it'])) AS stop_kinds,
+                   contains(lower(text), '{{') AS has_brace,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem
+            FROM (SELECT doc_id, text, {_SQL_TOKS} AS t,
+                         string_split(text, chr(10)) AS lines
+                  FROM documents)
+        )
+        SELECT doc_id AS doc,
+               CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mean_wl, 6) AS mean_word_len,
+               ROUND(symbol_ratio, 6) AS symbol_ratio,
+               ROUND(bullet_frac, 6) AS bullet_frac,
+               ROUND(ellipsis_frac, 6) AS ellipsis_frac,
+               ROUND(alpha_frac, 6) AS alpha_frac,
+               CAST(stop_kinds AS BIGINT) AS stopword_kinds,
+               n_words BETWEEN {TX.GOPHER_MIN_WORDS} AND {TX.GOPHER_MAX_WORDS} AS ok_words,
+               mean_wl >= {TX.GOPHER_MIN_MEAN_WORD_LEN}
+                   AND mean_wl <= {TX.GOPHER_MAX_MEAN_WORD_LEN} AS ok_mean_word_len,
+               symbol_ratio <= {TX.GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol,
+               bullet_frac <= {TX.GOPHER_MAX_BULLET_FRAC} AS ok_bullet,
+               ellipsis_frac <= {TX.GOPHER_MAX_ELLIPSIS_FRAC} AS ok_ellipsis,
+               alpha_frac >= {TX.GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+               stop_kinds >= {TX.GOPHER_MIN_STOPWORD_KINDS} AS ok_stopwords,
+               NOT has_brace AND NOT has_lorem AS ok_c4,
+               (n_words BETWEEN {TX.GOPHER_MIN_WORDS} AND {TX.GOPHER_MAX_WORDS})
+                   AND mean_wl >= {TX.GOPHER_MIN_MEAN_WORD_LEN}
+                   AND mean_wl <= {TX.GOPHER_MAX_MEAN_WORD_LEN}
+                   AND symbol_ratio <= {TX.GOPHER_MAX_SYMBOL_RATIO}
+                   AND bullet_frac <= {TX.GOPHER_MAX_BULLET_FRAC}
+                   AND ellipsis_frac <= {TX.GOPHER_MAX_ELLIPSIS_FRAC}
+                   AND alpha_frac >= {TX.GOPHER_MIN_ALPHA_FRAC}
+                   AND stop_kinds >= {TX.GOPHER_MIN_STOPWORD_KINDS}
+                   AND NOT has_brace AND NOT has_lorem AS keep
+        FROM m ORDER BY doc
     """,
     "dedup_duplicate_clusters": f"""
         WITH RECURSIVE {_SHINGLE_CTE},

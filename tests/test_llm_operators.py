@@ -181,3 +181,30 @@ def test_connected_components_pointer_jumping(spark):
     n_canonical = sum(1 for c, canon in rows.values() if canon)
     # 34 docs, path collapses 12 -> 1, triangle 3 -> 1, pair 2 -> 1
     assert n_canonical == 34 - 11 - 2 - 1
+
+
+def test_c4_gopher_filters(spark):
+    from mbrainz_importer_spark.operators.text import c4_gopher_filters
+
+    good = ("the quick brown fox jumps over a lazy dog and it is of to in "
+            * 5).strip()  # 75 words, stopword-rich, clean
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short doc"),                                   # too few words
+            (3, good + " {json: true}"),                        # C4 brace drop
+            (4, good + " lorem ipsum dolor"),                   # C4 lorem drop
+            (5, "- one\n- two\n- three"),                       # all bullet lines
+            (6, good.replace(" ", "... ")),                     # ellipsis soup
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in c4_gopher_filters(docs, "doc_id").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_words"] is False and out[2]["keep"] is False
+    assert out[3]["ok_c4"] is False and out[3]["keep"] is False
+    assert out[4]["ok_c4"] is False
+    assert out[5]["bullet_frac"] == 1.0 and out[5]["ok_bullet"] is False
+    assert out[6]["ok_symbol"] is False
+    # signals are emitted, not just booleans
+    assert out[1]["n_words"] == 75 and out[1]["stopword_kinds"] >= 2
