@@ -109,3 +109,87 @@ def pull_reverse(datoms: DataFrame, ref_attr: str) -> DataFrame:
         .groupBy(F.col("v").alias("ref_value"))
         .agg(F.array_sort(F.collect_set("e")).alias("referrers"))
     )
+
+
+def pull_wildcard(datoms: DataFrame) -> DataFrame:
+    """The `[*]` wildcard pull: every asserted attribute of every entity
+    as a map column. One groupBy(e) regardless of attribute count;
+    entries are sorted so the map is representation-stable. Assumes
+    cardinality-one attrs (duplicate map keys raise under Spark's
+    default EXCEPTION dedup policy — use pull_attr_many for many-valued
+    attrs)."""
+    return datoms.groupBy("e").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("a", "v")))
+        ).alias("attrs")
+    )
+
+
+def pull_wildcard_serialized(datoms: DataFrame) -> DataFrame:
+    """Wildcard pull with the attr map serialized as a sorted
+    'a=v,a=v' string — the hash-stable form the driver oracle compares
+    (map column ordering is engine-specific; this is not)."""
+    entries = F.array_sort(F.collect_list(F.struct("a", "v")))
+    return datoms.groupBy("e").agg(
+        F.array_join(
+            F.transform(entries, lambda s: F.concat_ws("=", s["a"], s["v"])), ","
+        ).alias("attrs")
+    )
+
+
+def pull_attr_many(datoms: DataFrame, attr: str, out_col: str = "values") -> DataFrame:
+    """Forward cardinality-many pull: per entity, the sorted value set
+    of one attribute (`:artist/aliases`-style). groupBy(e) + collect_set;
+    sorted for stable downstream hashing."""
+    return (
+        datoms.where(F.col("a") == attr)
+        .groupBy("e")
+        .agg(F.array_sort(F.collect_set("v")).alias(out_col))
+    )
+
+
+def pull_recursive_ref(
+    datoms: DataFrame,
+    id_attr: str,
+    ref_attr: str,
+    depth: int,
+) -> DataFrame:
+    """Depth-limited recursive ref navigation (the pull pattern
+    `{:ref-attr N}`): follow `ref_attr` from each entity's `id_attr`
+    value up to `depth` hops; returns (root, path array<string>) with
+    the LONGEST reachable chain per root (shorter where the chain ends).
+
+    Spark shape: `depth` self-joins of the (child, parent) edge
+    relation — each hop is one equi-join on the frontier's last element,
+    fan-out bounded by depth, never a per-entity driver walk. Datomic's
+    unbounded `...` recursion belongs to the datalog fixpoint
+    (plans/datalog.py rules), not pull."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    ids = datoms.where(F.col("a") == id_attr).select(
+        F.col("e").alias("__ne"), F.col("v").alias("__nid")
+    )
+    refs = datoms.where(F.col("a") == ref_attr).select(
+        F.col("e").alias("__re"), F.col("v").alias("__rv")
+    )
+    edges = ids.join(refs, F.col("__ne") == F.col("__re")).select(
+        F.col("__nid").alias("child"), F.col("__rv").alias("parent")
+    )
+    frontier = edges.select(
+        F.col("child").alias("root"), F.array("parent").alias("path")
+    )
+    out = frontier
+    for _ in range(depth - 1):
+        frontier = (
+            frontier.alias("f")
+            .join(
+                edges.alias("g"),
+                F.element_at(F.col("f.path"), -1) == F.col("g.child"),
+            )
+            .select(
+                F.col("f.root").alias("root"),
+                F.concat(F.col("f.path"), F.array(F.col("g.parent"))).alias("path"),
+            )
+        )
+        out = out.unionByName(frontier)
+    return out.groupBy("root").agg(F.max_by("path", F.size("path")).alias("path"))

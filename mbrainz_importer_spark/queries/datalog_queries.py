@@ -195,6 +195,27 @@ def pull_reverse_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ref_value")
 
 
+def pull_wildcard_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `[*]` wildcard pull: every asserted attribute per entity,
+    serialized sorted for a representation-stable oracle hash."""
+    from ..plans.pull import pull_wildcard_serialized
+
+    datoms = _datoms_small(spark, sf_dir)
+    return pull_wildcard_serialized(datoms).orderBy("e")
+
+
+def pull_recursive_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-limited recursive pull ({:node/parent 3}): the ancestor
+    chain of each node in the floor(k/2) tree, as one path string."""
+    from ..plans.pull import pull_recursive_ref
+
+    datoms = _tree_datoms(spark, sf_dir)
+    out = pull_recursive_ref(datoms, ":node/id", ":node/parent", depth=3)
+    return out.select(
+        "root", F.array_join("path", "/").alias("ancestors")
+    ).orderBy("root")
+
+
 def datalog_not_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(not ...) negation: nations NOT in the ASIA region — anti-join
     on the unified ?rk variable (the inner ?r is existential)."""
@@ -322,6 +343,8 @@ QUERIES = {
     "datalog_or_clause": datalog_or_clause,
     "pull_customer_profile": pull_customer_profile,
     "pull_reverse_refs": pull_reverse_refs,
+    "pull_wildcard_attrs": pull_wildcard_attrs,
+    "pull_recursive_parents": pull_recursive_parents,
     "datalog_recursive_ancestors": datalog_recursive_ancestors,
     "datalog_recursive_counts": datalog_recursive_counts,
     "datalog_attr_counts": datalog_attr_counts,
@@ -401,6 +424,40 @@ ORACLES = {
               FROM nation)
         GROUP BY n_regionkey
         ORDER BY ref_value
+    """,
+    "pull_wildcard_attrs": """
+        WITH eav AS (
+            SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)) AS e,
+                   ':nation/n_nationkey' AS a, CAST(n_nationkey AS VARCHAR) AS v
+            FROM nation
+            UNION ALL
+            SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)),
+                   ':nation/n_name', n_name FROM nation
+            UNION ALL
+            SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)),
+                   ':nation/n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT CONCAT('region:', CAST(r_regionkey AS VARCHAR)),
+                   ':region/r_regionkey', CAST(r_regionkey AS VARCHAR) FROM region
+            UNION ALL
+            SELECT CONCAT('region:', CAST(r_regionkey AS VARCHAR)),
+                   ':region/r_name', r_name FROM region
+        )
+        SELECT e, STRING_AGG(a || '=' || v, ',' ORDER BY a, v) AS attrs
+        FROM eav GROUP BY e ORDER BY e
+    """,
+    "pull_recursive_parents": """
+        WITH e AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS child,
+                   CAST(CAST(FLOOR(c_custkey / 2) AS BIGINT) AS VARCHAR) AS parent
+            FROM customer WHERE c_custkey BETWEEN 2 AND 400
+        )
+        SELECT e1.child AS root,
+               CONCAT_WS('/', e1.parent, e2.parent, e3.parent) AS ancestors
+        FROM e e1
+          LEFT JOIN e e2 ON e1.parent = e2.child
+          LEFT JOIN e e3 ON e2.parent = e3.child
+        ORDER BY root
     """,
     "datalog_recursive_ancestors": _ANC_CTE + """
         SELECT x, y FROM anc ORDER BY x, y

@@ -104,3 +104,46 @@ def test_pull_single_shuffle_plan(datoms):
     })
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_pull_wildcard_map_and_serialized(spark):
+    from mbrainz_importer_spark.plans.pull import pull_wildcard, pull_wildcard_serialized
+
+    df = spark.createDataFrame([("x", "N1", 7)], "id string, name string, sz int")
+    datoms = table_datoms(df, "t", "id")
+    m = {r["e"]: r["attrs"] for r in pull_wildcard(datoms).collect()}
+    assert m["t:x"] == {":t/id": "x", ":t/name": "N1", ":t/sz": "7"}
+    s = {r["e"]: r["attrs"] for r in pull_wildcard_serialized(datoms).collect()}
+    assert s["t:x"] == ":t/id=x,:t/name=N1,:t/sz=7"
+
+
+def test_pull_attr_many(spark):
+    from mbrainz_importer_spark.plans.pull import pull_attr_many
+    from pyspark.sql import Row
+
+    datoms = spark.createDataFrame(
+        [Row(e="a", a=":t/tag", v="z", v_num=None),
+         Row(e="a", a=":t/tag", v="b", v_num=None),
+         Row(e="a", a=":t/other", v="q", v_num=None),
+         Row(e="b", a=":t/tag", v="b", v_num=None)],
+        "e string, a string, v string, v_num double",
+    )
+    out = {r["e"]: r["values"] for r in pull_attr_many(datoms, ":t/tag").collect()}
+    assert out == {"a": ["b", "z"], "b": ["b"]}
+
+
+def test_pull_recursive_ref_depth_and_chain_end(spark):
+    from mbrainz_importer_spark.plans.pull import pull_recursive_ref
+
+    # chain 5 -> 4 -> 3 -> 2 -> 1 (1 has no parent)
+    df = spark.createDataFrame(
+        [(str(i), str(i - 1)) for i in range(2, 6)], "id string, parent string"
+    )
+    datoms = table_datoms(df, "node", "id")
+    out = pull_recursive_ref(datoms, ":node/id", ":node/parent", depth=3)
+    paths = {r["root"]: r["path"] for r in out.collect()}
+    assert paths["5"] == ["4", "3", "2"]   # full depth
+    assert paths["3"] == ["2", "1"]        # chain ends early -> longest available
+    assert paths["2"] == ["1"]
+    with pytest.raises(ValueError, match="depth"):
+        pull_recursive_ref(datoms, ":node/id", ":node/parent", depth=0)
