@@ -153,6 +153,34 @@ def retract_entity(
     return log.unionByName(retracts)
 
 
+def retract_attribute(
+    log: DataFrame,
+    entity: str,
+    attr: str,
+    tx: int,
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+) -> DataFrame:
+    """`[:db/retract e a]` with no value — retract EVERY currently
+    asserted value of one attribute of one entity (for cardinality-many
+    attrs that is each live value independently). Log-structured like
+    retract_entity: appends retraction ops at `tx`, returns the
+    extended log; other attributes are untouched."""
+    current = _state(
+        log.where(
+            (F.col("e") == entity) & (F.col("a") == attr) & (F.col("tx") < tx)
+        ),
+        many_attrs,
+        value_col,
+    )
+    retracts = current.select(
+        "e", "a", value_col,
+        F.lit(tx).cast("long").alias("tx"),
+        F.lit(False).alias("added"),
+    )
+    return log.unionByName(retracts)
+
+
 def entity_timeline(log: DataFrame, entity: str, value_col: str = "v_num") -> DataFrame:
     """All ops for one entity in tx order — the d/history-of-entity
     audit query."""

@@ -143,6 +143,18 @@ def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_near_pairs(emb, n_planes=8, threshold=0.3).orderBy("id_a", "id_b")
 
 
+def sim_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: LSH near pairs resolved into
+    duplicate clusters (pointer-jumping connected components) with a
+    canonical survivor per cluster — the embedding-space twin of
+    dedup_duplicate_clusters."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_pairs(emb, n_planes=8, threshold=0.3).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return D.dedup_clusters(emb, pairs, id_col="vec_id").orderBy("doc")
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -250,6 +262,7 @@ QUERIES = {
     "text_lang_quality_summary": text_lang_quality_summary,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_near_pairs": sim_lsh_near_pairs,
+    "sim_embedding_dedup_clusters": sim_embedding_dedup_clusters,
     "sim_ivf_topk": sim_ivf_topk,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,
@@ -641,6 +654,46 @@ def _lsh_oracle() -> str:
 
 
 ORACLES["sim_lsh_near_pairs"] = _lsh_oracle()
+
+
+def _lsh_cluster_oracle() -> str:
+    planes = S.hyperplanes(64, 8)
+    terms = []
+    for r, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) > 0 THEN {1 << r} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH RECURSIVE b AS (
+            SELECT vec_id AS id, embedding, CAST({bucket} AS INTEGER) AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT l.id AS id_a, r.id AS id_b
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+            WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.3
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        ),
+        comp AS (SELECT u AS doc, MIN(v) AS cluster FROM reach GROUP BY u)
+        SELECT m.vec_id AS doc,
+               COALESCE(c.cluster, m.vec_id) AS cluster,
+               COALESCE(c.cluster, m.vec_id) = m.vec_id AS is_canonical
+        FROM embeddings m LEFT JOIN comp c ON m.vec_id = c.doc
+        ORDER BY doc
+    """
+
+
+ORACLES["sim_embedding_dedup_clusters"] = _lsh_cluster_oracle()
 
 # --- sampling / repetition oracles (boundaries computed by the SAME
 # Python arithmetic the operators use, so the literals stay in lockstep)

@@ -119,3 +119,27 @@ def test_as_of_single_shuffle(log):
     """Cardinality-one as_of is one groupBy: exactly one Exchange."""
     plan = as_of(log, 5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_retract_attribute_single_attr_only(spark):
+    from mbrainz_importer_spark.plans.history import as_of, retract_attribute
+
+    log = spark.createDataFrame(
+        [
+            ("u1", ":user/name", 1.0, 10, True),
+            ("u1", ":user/score", 5.0, 10, True),
+            ("u1", ":user/tag", 7.0, 11, True),
+            ("u1", ":user/tag", 8.0, 12, True),   # many-attr: both live
+        ],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    out = retract_attribute(log, "u1", ":user/tag", tx=20, many_attrs={":user/tag"})
+    after = as_of(out, 25, many_attrs={":user/tag"})
+    attrs = {(r["a"], r["v_num"]) for r in after.collect()}
+    # both tag values retracted, other attrs untouched
+    assert attrs == {(":user/name", 1.0), (":user/score", 5.0)}
+    before = as_of(out, 15, many_attrs={":user/tag"})
+    assert {(r["a"], r["v_num"]) for r in before.collect()} == {
+        (":user/name", 1.0), (":user/score", 5.0),
+        (":user/tag", 7.0), (":user/tag", 8.0),
+    }
