@@ -52,7 +52,12 @@ Covers the query surface the reference actually exercises
     variables) BEFORE aggregating, so `[:find ?x (sum ?v)]` sums each
     distinct (x, v) pair once; add `"with": ["?e"]` to keep per-entity
     duplicates, exactly like Datomic's :with clause;
-  - :in scalar parameters;
+  - :in bindings in all four Datomic shapes — scalar `"?x"`,
+    collection `["?x", "..."]`, tuple `["?a", "?b"]`, and relation
+    `[["?a", "?b"]]`. Scalars substitute as constants (best pushdown);
+    the other three become small broadcast relations cross-seeded into
+    the plan, joined wherever their vars appear (Datomic input-relation
+    semantics; inputs are treated as sets);
   - :limit (the reference's `:limit -1` = no limit).
 
 Compilation: each pattern becomes an aliased, pre-filtered scan of the
@@ -571,6 +576,71 @@ def _apply_or(
     return plan
 
 
+def _parse_in(in_vars: list, params: tuple) -> tuple[dict, list]:
+    """Split :in specs into scalar constants and seed relations.
+    Returns (bound, seeds) where seeds is [(vars, rows)] — collection
+    ['?x', '...'] -> 1-col rows, tuple ['?a','?b'] -> one row, relation
+    [['?a','?b']] -> many rows."""
+    bound: dict = {}
+    seeds: list[tuple[list, list]] = []
+
+    def claim(v):
+        if not _is_var(v):
+            raise DatalogError(f"bad :in var {v!r}")
+        if v in bound or any(v in vs for vs, _ in seeds):
+            raise DatalogError(f"duplicate :in var {v}")
+
+    for spec, p in zip(in_vars, params):
+        if isinstance(spec, str):
+            claim(spec)
+            bound[spec] = p
+        elif isinstance(spec, list) and len(spec) == 2 and spec[1] == "...":
+            claim(spec[0])
+            seeds.append(([spec[0]], [(v,) for v in p]))
+        elif (
+            isinstance(spec, list)
+            and len(spec) == 1
+            and isinstance(spec[0], list)
+        ):
+            for v in spec[0]:
+                claim(v)
+            seeds.append((list(spec[0]), [tuple(r) for r in p]))
+        elif isinstance(spec, list) and spec and all(_is_var(x) for x in spec):
+            for v in spec:
+                claim(v)
+            seeds.append((list(spec), [tuple(p)]))
+        else:
+            raise DatalogError(f"unsupported :in spec {spec!r}")
+    return bound, seeds
+
+
+def _seed_plan(
+    seeds: list, datoms: DataFrame
+) -> tuple[DataFrame | None, dict, dict]:
+    """Materialize :in seed relations as small broadcast DataFrames,
+    cross-joined (Datomic product semantics), deduplicated (inputs are
+    sets). Empty inputs yield a typed empty relation -> empty result."""
+    plan: DataFrame | None = None
+    binding: dict = {}
+    num_binding: dict = {}
+    spark = datoms.sparkSession
+    for i, (vars_, rows) in enumerate(seeds):
+        cols = [f"c{j}" for j in range(len(vars_))]
+        if rows:
+            sdf = spark.createDataFrame(rows, cols)
+        else:
+            sdf = spark.createDataFrame(
+                [], ", ".join(f"{c} string" for c in cols)
+            )
+        rel = F.broadcast(sdf.distinct()).alias(f"in{i}")
+        for v, c in zip(vars_, cols):
+            col = F.col(f"in{i}.{c}")
+            binding[v] = col
+            num_binding[v] = col.cast("double")
+        plan = rel if plan is None else plan.crossJoin(rel)
+    return plan, binding, num_binding
+
+
 def _compile_where(
     where: list,
     datoms: DataFrame,
@@ -578,13 +648,16 @@ def _compile_where(
     rules: dict,
     stack: tuple[str, ...] = (),
     rec_impl: dict[str, DataFrame] | None = None,
+    init: tuple[DataFrame | None, dict, dict] | None = None,
 ) -> tuple[DataFrame | None, dict, dict]:
     """Compile a clause list (triple patterns, predicates, rule
     invocations) to (plan, binding, num_binding). Shared by the top-level
-    query and by rule bodies (which recurse here)."""
-    plan: DataFrame | None = None
-    binding: dict[str, F.Column] = {}
-    num_binding: dict[str, F.Column] = {}
+    query and by rule bodies (which recurse here). `init` seeds the plan
+    with :in input relations."""
+    plan: DataFrame | None
+    binding: dict[str, F.Column]
+    num_binding: dict[str, F.Column]
+    plan, binding, num_binding = init if init is not None else (None, {}, {})
 
     for i, pat in enumerate(where):
         if (
@@ -714,10 +787,13 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
         raise DatalogError("query needs :find and :where")
     if len(in_vars) != len(params):
         raise DatalogError(f":in arity {len(in_vars)} != {len(params)} params")
-    bound = {v: p for v, p in zip(in_vars, params)}
+    bound, seeds = _parse_in(in_vars, params)
     rules = _parse_rules(query.get("rules") or [])
 
-    plan, binding, num_binding = _compile_where(where, datoms, bound, rules)
+    init = _seed_plan(seeds, datoms) if seeds else None
+    plan, binding, num_binding = _compile_where(
+        where, datoms, bound, rules, init=init
+    )
 
     # :find projection — Datomic SET semantics: the bound relation is
     # deduplicated over (find vars + :with vars) BEFORE aggregation, so

@@ -79,6 +79,36 @@ def datalog_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("name")
 
 
+def datalog_in_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:in collection binding ['?rk' '...'] — the input list becomes a
+    broadcast seed relation (Datomic `[?rk ...]`)."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name"],
+        "in": [["?rk", "..."]],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?n", ":nation/n_name", "?name"],
+        ],
+    }
+    return q(query, datoms, ["0", "2"]).orderBy("name")
+
+
+def datalog_in_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:in relation binding [['?rk' '?zone']] — input rows join the
+    plan on ?rk and carry the fresh ?zone column into :find."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name", "?zone"],
+        "in": [[["?rk", "?zone"]]],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?n", ":nation/n_name", "?name"],
+        ],
+    }
+    return q(query, datoms, [("0", "west"), ("2", "east")]).orderBy("name")
+
+
 def datalog_rules_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named rules with union semantics (the :in % analog, Datomic rule
     surface): two definitions of extreme-nation OR together; the
@@ -350,6 +380,8 @@ QUERIES = {
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_param_in": datalog_param_in,
+    "datalog_in_collection": datalog_in_collection,
+    "datalog_in_relation": datalog_in_relation,
     "datalog_predicate_filter": datalog_predicate_filter,
     "datalog_rules_union": datalog_rules_union,
 }
@@ -486,6 +518,17 @@ ORACLES = {
     """,
     "datalog_param_in": """
         SELECT n_name AS name FROM nation WHERE n_regionkey = 2 ORDER BY name
+    """,
+    "datalog_in_collection": """
+        SELECT DISTINCT n_name AS name FROM nation
+        WHERE n_regionkey IN (0, 2) ORDER BY name
+    """,
+    "datalog_in_relation": """
+        SELECT DISTINCT n_name AS name, zone
+        FROM nation
+          JOIN (VALUES ('0', 'west'), ('2', 'east')) AS t(rk, zone)
+            ON CAST(n_regionkey AS VARCHAR) = rk
+        ORDER BY name
     """,
     "datalog_predicate_filter": """
         SELECT DISTINCT n_name AS name FROM nation

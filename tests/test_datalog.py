@@ -537,3 +537,30 @@ def test_extended_aggregates(spark):
     assert abs(r["variance_v"] - 5.0 / 3.0) < 1e-12
     assert abs(r["stddev_v"] - (5.0 / 3.0) ** 0.5) < 1e-12
     assert r["distinct_id"] == ["e1", "e2", "e3", "e4"]
+
+
+def test_in_collection_tuple_relation_bindings(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "x")],
+        "id string, grp int, tag string",
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    base = [["?e", ":t/grp", "?g"], ["?e", ":t/id", "?id"]]
+    # collection ["?g" "..."]
+    out = q({"find": ["?id"], "in": [["?g", "..."]], "where": base},
+            datoms, ["1", "3"])
+    assert {r["id"] for r in out.collect()} == {"a", "c"}
+    # tuple ["?g" "?t"]
+    out = q({"find": ["?id"], "in": [["?g", "?t"]],
+             "where": base + [["?e", ":t/tag", "?t"]]}, datoms, ("1", "x"))
+    assert {r["id"] for r in out.collect()} == {"a"}
+    # relation [["?g" "?lbl"]] — fresh ?lbl column flows to :find
+    out = q({"find": ["?id", "?lbl"], "in": [[["?g", "?lbl"]]], "where": base},
+            datoms, [("1", "one"), ("2", "two")])
+    assert {(r["id"], r["lbl"]) for r in out.collect()} == {("a", "one"), ("b", "two")}
+    # empty collection -> empty result, not an error
+    out = q({"find": ["?id"], "in": [["?g", "..."]], "where": base}, datoms, [])
+    assert out.count() == 0
+    with pytest.raises(DatalogError, match="duplicate :in"):
+        q({"find": ["?id"], "in": ["?g", ["?g", "..."]], "where": base},
+          datoms, "1", ["2"])

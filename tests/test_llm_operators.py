@@ -208,3 +208,15 @@ def test_c4_gopher_filters(spark):
     assert out[6]["ok_symbol"] is False
     # signals are emitted, not just booleans
     assert out[1]["n_words"] == 75 and out[1]["stopword_kinds"] >= 2
+
+
+def test_c4_gopher_filters_plan_is_mapside_only(spark):
+    """The filter battery is ONE codegen'd projection pass: zero
+    Exchanges (no shuffle), zero Python UDFs — the property that makes
+    it a per-partition map at 100 TB."""
+    from mbrainz_importer_spark.operators.text import c4_gopher_filters
+
+    docs = spark.createDataFrame([(1, "a doc")], "doc_id long, text string")
+    plan = c4_gopher_filters(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
