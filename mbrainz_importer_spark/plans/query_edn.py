@@ -1,0 +1,156 @@
+"""EDN query front door — run REAL Datomic query text against the
+engine (`q_edn`), so queries from the reference's examples
+(examples/explore_db.clj:13-45) paste in verbatim.
+
+Built on the repo's EDN reader (edn.py), which collapses vectors and
+lists into Python lists; clause shapes are therefore recovered by
+CONTEXT, exactly one ambiguity remains and is documented: a bare
+3-element list in :where is always read as a triple pattern, so rule
+invocations must use the (also valid Datomic) wrapped form
+`[(rule ?a ?b)]` rather than bare `(rule ?a ?b)`.
+
+Supported surface (delegating to plans/datalog.py):
+  - vector queries `[:find ... :in ... :with ... :where ...]` and map
+    queries `{:find [...] :where [...]}`;
+  - every :where clause family the compiler supports — patterns,
+    predicates, function bindings `[(+ ?a ?b) ?c]`, (not ...), (or ...)
+    with (and ...) legs, (missing? ...), rule invocations;
+  - :in scalars / collections / tuples / relations ($ and % markers are
+    accepted and skipped — the datoms view and rules arrive as Python
+    arguments);
+  - rules as EDN text via the `rules` keyword argument:
+    "[[(ancestor ?x ?y) [?e :node/id ?x] ...] ...]".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..edn import loads
+from .datalog import DatalogError, q
+
+_SECTIONS = {":find", ":in", ":with", ":where", ":limit"}
+
+
+def _conv_call(form: list):
+    """A call form (predicate / fn / rule / not / or / and) -> tuple."""
+    if not form:
+        raise DatalogError("empty call form in query")
+    head = form[0]
+    if head == "not":
+        return tuple(["not"] + [_conv_inner(c) for c in form[1:]])
+    if head == "or":
+        return tuple(["or"] + [_conv_leg(c) for c in form[1:]])
+    if head == "and":
+        return tuple(["and"] + [_conv_inner(c) for c in form[1:]])
+    return tuple(form)
+
+
+def _conv_entry(cl) -> list:
+    """One :where entry -> the dict-mirror entry shape."""
+    if not isinstance(cl, list) or not cl:
+        raise DatalogError(f"unrecognized :where clause {cl!r}")
+    if cl[0] in ("not", "or"):
+        # Datomic writes (not ...) / (or ...) directly in :where
+        return [_conv_call(cl)]
+    if len(cl) == 1 and isinstance(cl[0], list):
+        return [_conv_call(cl[0])]  # [(pred ...)] / [(rule ...)]
+    if len(cl) == 2 and isinstance(cl[0], list):
+        return [_conv_call(cl[0]), cl[1]]  # [(fn ...) ?out]
+    if len(cl) == 3 and not any(isinstance(x, list) for x in cl):
+        return list(cl)  # triple pattern
+    raise DatalogError(f"unrecognized :where clause {cl!r}")
+
+
+def _conv_inner(c):
+    """Inner clause of not/and: pattern stays a list, a call becomes a
+    bare tuple (the compiler re-wraps it)."""
+    e = _conv_entry(c)
+    if len(e) == 1 and isinstance(e[0], tuple):
+        return e[0]
+    return e
+
+
+def _conv_leg(c):
+    """(or ...) leg: an (and ...) group, a pattern, or a single call."""
+    if isinstance(c, list) and c and c[0] == "and":
+        return _conv_call(c)
+    return _conv_inner(c)
+
+
+def _conv_find(term):
+    return tuple(term) if isinstance(term, list) else term
+
+
+def _conv_in(spec):
+    if spec in ("$", "%"):
+        return None  # db / rules arrive as Python args
+    return spec  # scalar str or already-shaped list
+
+
+def edn_query(text: str) -> dict:
+    """Parse EDN query text (vector or map form) into the compiler's
+    dict mirror."""
+    form = loads(text)
+    sections: dict[str, list] = {}
+    if isinstance(form, dict):
+        for k, v in form.items():
+            sections[k] = v if isinstance(v, list) else [v]
+    elif isinstance(form, list):
+        key = None
+        for item in form:
+            if isinstance(item, str) and item in _SECTIONS:
+                key = item
+                sections[key] = []
+                continue
+            if isinstance(item, str) and item.startswith(":") and key != ":where":
+                raise DatalogError(f"unsupported query section {item}")
+            if key is None:
+                raise DatalogError(f"query must start with a section keyword: {item!r}")
+            sections[key].append(item)
+    else:
+        raise DatalogError(f"query must be a vector or map form: {form!r}")
+
+    if ":find" not in sections or ":where" not in sections:
+        raise DatalogError("query needs :find and :where")
+    out: dict = {
+        "find": [_conv_find(t) for t in sections[":find"]],
+        "where": [_conv_entry(c) for c in sections[":where"]],
+    }
+    if ":in" in sections:
+        out["in"] = [s for s in (_conv_in(x) for x in sections[":in"]) if s is not None]
+    if ":with" in sections:
+        out["with"] = list(sections[":with"])
+    if ":limit" in sections:
+        (lim,) = sections[":limit"]
+        out["limit"] = lim
+    return out
+
+
+def edn_rules(text: str) -> list:
+    """Parse an EDN rule set "[[(name ?a ?b) clause ...] ...]" into the
+    compiler's rules shape."""
+    form = loads(text)
+    if not isinstance(form, list):
+        raise DatalogError(f"rules must be a vector of definitions: {form!r}")
+    defs = []
+    for rd in form:
+        if not isinstance(rd, list) or not rd or not isinstance(rd[0], list):
+            raise DatalogError(f"rule needs a (name ?args...) head: {rd!r}")
+        defs.append([tuple(rd[0])] + [_conv_entry(c) for c in rd[1:]])
+    return defs
+
+
+def q_edn(
+    query: str,
+    datoms: DataFrame,
+    *params,
+    rules: str | None = None,
+) -> DataFrame:
+    """Run EDN query text against a datoms view. `params` bind :in
+    (scalars / collections / tuples / relations as Python values);
+    `rules` is EDN rule-set text (the :in % argument)."""
+    qd = edn_query(query)
+    if rules is not None:
+        qd["rules"] = edn_rules(rules)
+    return q(qd, datoms, *params)

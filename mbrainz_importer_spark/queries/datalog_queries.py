@@ -109,6 +109,24 @@ def datalog_in_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms, [("0", "west"), ("2", "east")]).orderBy("name")
 
 
+def datalog_edn_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Datomic query text through the EDN front door
+    (plans/query_edn.py): :in scalar, a predicate, and a (not ...)
+    clause, written exactly as a Datomic user would paste it."""
+    from ..plans.query_edn import q_edn
+
+    datoms = _datoms_small(spark, sf_dir)
+    text = """[:find ?name
+               :in $ ?excluded
+               :where [?n :nation/n_regionkey ?rk]
+                      [?n :nation/n_name ?name]
+                      [?n :nation/n_nationkey ?nk]
+                      [(< ?nk 20)]
+                      (not [?r :region/r_regionkey ?rk]
+                           [?r :region/r_name ?excluded])]"""
+    return q_edn(text, datoms, "ASIA").orderBy("name")
+
+
 def datalog_rules_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named rules with union semantics (the :in % analog, Datomic rule
     surface): two definitions of extreme-nation OR together; the
@@ -382,6 +400,7 @@ QUERIES = {
     "datalog_param_in": datalog_param_in,
     "datalog_in_collection": datalog_in_collection,
     "datalog_in_relation": datalog_in_relation,
+    "datalog_edn_text_query": datalog_edn_text_query,
     "datalog_predicate_filter": datalog_predicate_filter,
     "datalog_rules_union": datalog_rules_union,
 }
@@ -423,6 +442,15 @@ ORACLES = {
                STDDEV_SAMP(c_acctbal) AS stddev_bal,
                VAR_SAMP(c_acctbal) AS variance_bal
         FROM customer GROUP BY c_mktsegment ORDER BY seg
+    """,
+    "datalog_edn_text_query": """
+        SELECT DISTINCT n_name AS name
+        FROM nation
+        WHERE n_nationkey < 20
+          AND NOT EXISTS (
+            SELECT 1 FROM region
+            WHERE r_regionkey = n_regionkey AND r_name = 'ASIA')
+        ORDER BY name
     """,
     "datalog_not_clause": """
         SELECT DISTINCT n_name AS name

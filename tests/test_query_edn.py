@@ -1,0 +1,98 @@
+"""EDN query front door: real Datomic query text -> the datalog
+compiler (plans/query_edn.py). Mirrors examples/explore_db.clj usage."""
+
+from __future__ import annotations
+
+import pytest
+
+from mbrainz_importer_spark.plans.datalog import DatalogError
+from mbrainz_importer_spark.plans.eav import build_datoms, table_datoms
+from mbrainz_importer_spark.plans.query_edn import edn_query, q_edn
+
+
+@pytest.fixture(scope="module")
+def datoms(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x", 10), ("b", 2, "y", 20), ("c", 1, "y", 30)],
+        "id string, grp int, tag string, qty int",
+    )
+    return build_datoms({"t": (df, "id")})
+
+
+def test_vector_query_patterns_and_aggregate(datoms):
+    out = q_edn(
+        "[:find ?tag (count ?e) :where [?e :t/tag ?tag]]", datoms
+    )
+    got = {r["tag"]: r["count_e"] for r in out.collect()}
+    assert got == {"x": 1, "y": 2}
+
+
+def test_map_form_query(datoms):
+    out = q_edn("{:find [?id] :where [[?e :t/id ?id] [?e :t/grp 1]]}", datoms)
+    assert sorted(r["id"] for r in out.collect()) == ["a", "c"]
+
+
+def test_in_params_dollar_and_collection(datoms):
+    out = q_edn(
+        "[:find ?id :in $ ?g :where [?e :t/grp ?g] [?e :t/id ?id]]",
+        datoms, "2",
+    )
+    assert [r["id"] for r in out.collect()] == ["b"]
+    out = q_edn(
+        "[:find ?id :in $ [?g ...] :where [?e :t/grp ?g] [?e :t/id ?id]]",
+        datoms, ["1"],
+    )
+    assert sorted(r["id"] for r in out.collect()) == ["a", "c"]
+
+
+def test_predicates_fn_bindings_not_or(datoms):
+    out = q_edn(
+        """[:find ?id
+            :where [?e :t/qty ?q]
+                   [?e :t/id ?id]
+                   [(> ?q 15)]]""",
+        datoms,
+    )
+    assert sorted(r["id"] for r in out.collect()) == ["b", "c"]
+    out = q_edn(
+        """[:find ?id ?dbl
+            :where [?e :t/qty ?q]
+                   [(* ?q 2) ?dbl]
+                   [?e :t/id ?id]
+                   (not [?e :t/tag "y"])]""",
+        datoms,
+    )
+    assert [(r["id"], r["dbl"]) for r in out.collect()] == [("a", 20.0)]
+    out = q_edn(
+        """[:find ?id
+            :where (or [?e :t/grp 2]
+                       (and [?e :t/grp 1] [?e :t/tag "x"]))
+                   [?e :t/id ?id]]""",
+        datoms,
+    )
+    assert sorted(r["id"] for r in out.collect()) == ["a", "b"]
+
+
+def test_rules_edn_text(datoms):
+    out = q_edn(
+        "[:find ?id :in $ % :where [(small ?e)] [?e :t/id ?id]]",
+        datoms,
+        rules="[[(small ?e) [?e :t/qty ?q] [(< ?q 25)]]]",
+    )
+    assert sorted(r["id"] for r in out.collect()) == ["a", "b"]
+
+
+def test_with_and_limit_sections(datoms):
+    qd = edn_query(
+        "[:find ?g (sum ?q) :with ?e :where [?e :t/grp ?g] [?e :t/qty ?q] :limit 5]"
+    )
+    assert qd["with"] == ["?e"] and qd["limit"] == 5
+
+
+def test_errors(datoms):
+    with pytest.raises(DatalogError, match="needs :find"):
+        edn_query("[:where [?e :t/id ?id]]")
+    with pytest.raises(DatalogError, match="section keyword"):
+        edn_query("[?x :find ?y]")
+    with pytest.raises(DatalogError, match="unrecognized :where"):
+        edn_query("[:find ?x :where [?e :t/id ?x ?extra]]")
