@@ -81,7 +81,19 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dim_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-static broadcast enrichment + tumbling
+    agg (streaming/windows.py:dim_enriched_tumbling_counts); the
+    streaming side is proven equal in tests/test_streaming.py."""
+    from ..streaming.windows import dim_enriched_tumbling_counts
+
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer")
+    return dim_enriched_tumbling_counts(ev, dim).orderBy("window_start", "segment")
+
+
 QUERIES = {
+    "stream_dim_enriched_counts": stream_dim_enriched_counts,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_interval_join": stream_interval_join,
     "stream_tumbling_hourly": stream_tumbling_hourly,
@@ -91,6 +103,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_dim_enriched_counts": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "stream_dedup_keys": """
         SELECT DISTINCT user_id, event_type
         FROM events

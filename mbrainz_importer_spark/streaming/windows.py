@@ -107,3 +107,42 @@ def session_counts(
         )
     )
     return _restore_ntz(out, was_ntz, "session_start", "session_end")
+
+
+def dim_enriched_tumbling_counts(
+    df: DataFrame,
+    dim: DataFrame,
+    left_key: str = "user_id",
+    right_key: str = "c_custkey",
+    dim_col: str = "c_mktsegment",
+    out_dim: str = "segment",
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    with_watermark: bool = True,
+) -> DataFrame:
+    """Stream-STATIC enrichment + tumbling aggregation: the static dim
+    broadcasts to every executor (stream-static joins carry NO join
+    state — the streaming-side watermark only bounds the window agg),
+    then counts group by (window, enriched dim). Unmatched keys keep
+    the row with an UNKNOWN dim value — an enrichment miss must not
+    drop fact rows."""
+    was_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
+    d = _maybe_watermark(df, ts_col, with_watermark)
+    dimd = F.broadcast(
+        dim.select(F.col(right_key).alias("__dk"), F.col(dim_col).alias(out_dim))
+    )
+    joined = (
+        d.join(dimd, d[left_key] == dimd["__dk"], "left")
+        .withColumn(out_dim, F.coalesce(F.col(out_dim), F.lit("UNKNOWN")))
+    )
+    out = (
+        joined.groupBy(F.window(ts_col, width).alias("w"), F.col(out_dim))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), out_dim, "n_events", "sum_value")
+    )
+    return _restore_ntz(out, was_ntz, "window_start")

@@ -83,3 +83,16 @@ def test_exactly_once_sink_restart_and_replay(spark, events_dir, events_stream_s
     q3 = start_exactly_once(stream3, sink_path, ckpt2)
     q3.awaitTermination(120)
     assert spark.read.parquet(sink_path).count() == n1
+
+
+def test_streaming_dim_enriched_equals_batch(spark, events_dir, events_stream_schema):
+    from mbrainz_importer_spark.streaming.windows import dim_enriched_tumbling_counts
+
+    dim = load(spark, SF, "customer")
+    stream = spark.readStream.schema(events_stream_schema).parquet(events_dir)
+    out = _run_stream_to_memory(
+        spark, dim_enriched_tumbling_counts(stream, dim), "t_enrich"
+    )
+    batch = dim_enriched_tumbling_counts(load(spark, SF, "events"), dim)
+    cols = ["window_start", "segment", "n_events", "sum_value"]
+    assert canon(out, cols) == canon(batch, cols)
