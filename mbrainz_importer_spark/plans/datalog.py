@@ -807,14 +807,26 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
     out_order: list[str] = []
     for k, term in enumerate(find):
         if isinstance(term, (tuple, list)):
-            agg, var = term
-            if agg not in AGGS:
+            if len(term) == 3:
+                # n-ary (min n ?x) / (max n ?x): the n smallest/largest
+                # distinct values as a sorted collection (Datomic's
+                # bounded-collection aggregates)
+                agg, n_bound, var = term
+                if agg not in ("min", "max"):
+                    raise DatalogError(f"only (min n ?x)/(max n ?x) take a bound: {term}")
+                if not isinstance(n_bound, int) or n_bound < 1:
+                    raise DatalogError(f"aggregate bound must be a positive int: {term}")
+                agg = f"{agg}-{n_bound}"
+            else:
+                agg, var = term
+            base = agg.split("-")[0] if agg[-1].isdigit() else agg
+            if agg not in AGGS and base not in ("min", "max"):
                 raise DatalogError(f"unsupported aggregate {agg}")
             if var not in binding:
                 raise DatalogError(f"unbound aggregate var {var}")
             name = f"{agg.replace('-', '_')}_{_var_name(var)}"
             al = f"__agg{k}"
-            if agg in _NUM_AGGS:
+            if agg in _NUM_AGGS or base in ("min", "max"):
                 ncol = num_binding.get(var)
                 if ncol is None:
                     raise DatalogError(f"aggregate {agg} needs a value var: {var}")
@@ -845,6 +857,10 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
                 agg_cols.append(F.countDistinct(col).alias(name))
             elif agg == "distinct":
                 agg_cols.append(F.sort_array(F.collect_set(col)).alias(name))
+            elif "-" in agg and agg.split("-")[0] in ("min", "max"):
+                base, n_s = agg.rsplit("-", 1)
+                arr = F.sort_array(F.collect_set(col), asc=(base == "min"))
+                agg_cols.append(F.slice(arr, 1, int(n_s)).alias(name))
             else:  # sum min max avg median variance stddev (numeric)
                 agg_cols.append(getattr(F, agg)(col).alias(name))
         out = (

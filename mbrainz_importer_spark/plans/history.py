@@ -189,3 +189,32 @@ def entity_timeline(log: DataFrame, entity: str, value_col: str = "v_num") -> Da
         .select("e", "a", value_col, "tx", "added")
         .orderBy("tx", "a")
     )
+
+
+def with_tx(
+    log: DataFrame,
+    tx_data: DataFrame,
+    tx: int,
+    value_col: str = "v_num",
+) -> DataFrame:
+    """`d/with` — a SPECULATIVE database value: the log extended with
+    `tx_data` ops stamped at `tx`. DataFrames are immutable, so the
+    durable log is untouched; as_of/since/history over the returned
+    frame see the speculation, callers holding the original do not.
+    `tx_data` needs (e, a, value, added) columns."""
+    ops = tx_data.select(
+        "e", "a", F.col(value_col),
+        F.lit(tx).cast("long").alias("tx"),
+        F.col("added"),
+    )
+    return log.unionByName(ops)
+
+
+def tx_range(log: DataFrame, start: int, end: int | None = None) -> DataFrame:
+    """`d/tx-range` — the op stream for start <= tx < end (end=None =
+    unbounded), in tx order. On tx-partitioned storage the predicate is
+    a partition-pruned range scan."""
+    out = log.where(F.col("tx") >= start)
+    if end is not None:
+        out = out.where(F.col("tx") < end)
+    return out.orderBy("tx", "e", "a")

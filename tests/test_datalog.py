@@ -564,3 +564,20 @@ def test_in_collection_tuple_relation_bindings(spark):
     with pytest.raises(DatalogError, match="duplicate :in"):
         q({"find": ["?id"], "in": ["?g", ["?g", "..."]], "where": base},
           datoms, "1", ["2"])
+
+
+def test_bounded_min_max_aggregates(spark):
+    df = spark.createDataFrame(
+        [("e1", 5), ("e2", 1), ("e3", 9), ("e4", 3)], "id string, v int"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q({
+        "find": [("min", 2, "?v"), ("max", 3, "?v")],
+        "where": [["?e", ":t/v", "?v"]],
+    }, datoms).collect()[0]
+    assert out["min_2_v"] == [1.0, 3.0]
+    assert out["max_3_v"] == [9.0, 5.0, 3.0]
+    with pytest.raises(DatalogError, match="take a bound"):
+        q({"find": [("sum", 2, "?v")], "where": [["?e", ":t/v", "?v"]]}, datoms)
+    with pytest.raises(DatalogError, match="positive int"):
+        q({"find": [("min", 0, "?v")], "where": [["?e", ":t/v", "?v"]]}, datoms)

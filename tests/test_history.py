@@ -143,3 +143,27 @@ def test_retract_attribute_single_attr_only(spark):
         (":user/name", 1.0), (":user/score", 5.0),
         (":user/tag", 7.0), (":user/tag", 8.0),
     }
+
+
+def test_with_tx_speculative_and_tx_range(spark):
+    from mbrainz_importer_spark.plans.history import as_of, tx_range, with_tx
+
+    log = spark.createDataFrame(
+        [("u1", ":user/score", 5.0, 10, True),
+         ("u2", ":user/score", 7.0, 12, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    spec = spark.createDataFrame(
+        [("u1", ":user/score", 9.0, True)],
+        "e string, a string, v_num double, added boolean",
+    )
+    with_db = with_tx(log, spec, tx=20)
+    # speculation visible in the with-db...
+    got = {r["e"]: r["v_num"] for r in as_of(with_db, 25).collect()}
+    assert got == {"u1": 9.0, "u2": 7.0}
+    # ...and NOT in the original log
+    got0 = {r["e"]: r["v_num"] for r in as_of(log, 25).collect()}
+    assert got0 == {"u1": 5.0, "u2": 7.0}
+    # tx-range is a half-open window over the op stream
+    rng = tx_range(with_db, 12, 20)
+    assert [(r["e"], r["tx"]) for r in rng.collect()] == [("u2", 12)]
