@@ -48,9 +48,19 @@ def brute_force_topk(
     """Exact top-k neighbors per query (excluding self). Deterministic
     ranking: (rounded cosine desc, neighbor id asc). The corpus side is
     broadcast when it fits — a Q x N nested loop with no shuffle."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    sim = F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    # norms precomputed per side BEFORE the nested loop: norm(q) would
+    # otherwise be re-folded N times per query and norm(n) Q times per
+    # neighbor (no CSE across join rows) — only the dot product is
+    # genuinely per-pair work
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+    )
+    sim = F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6)
     pairs = (
         q.crossJoin(F.broadcast(c))
         .where(F.col("qid") != F.col("nid"))
@@ -91,12 +101,14 @@ def lsh_near_pairs(
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
     # threshold on the UNROUNDED cosine (matches the oracle's WHERE);
     # rounding is output-only, for representation-stable hashing.
-    raw = cosine(F.col("l.v"), F.col("r.v"))
+    # norms ride along from the pre-join projection (see brute_force_topk).
+    raw = dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .where(raw >= threshold)
