@@ -311,7 +311,7 @@ def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
         name, *args = rd[0]
         if not isinstance(name, str) or _is_var(name):
             raise DatalogError(f"bad rule name {name!r}")
-        if name in ("not", "or", "and", "missing?"):
+        if name in ("not", "or", "and", "not-join", "or-join", "missing?"):
             raise DatalogError(f"rule name {name!r} is a reserved word")
         if not args or not all(_is_var(a) for a in args):
             raise DatalogError(f"rule {name} head args must be vars: {args}")
@@ -477,13 +477,15 @@ def _apply_not(
     rules: dict,
     stack: tuple[str, ...],
     rec_impl: dict[str, DataFrame] | None,
+    join_vars: list | None = None,
 ) -> DataFrame:
     """(not clause+): remove bindings for which the inner clauses are
     satisfiable — a left-anti join on the variables shared with the
     outer plan (Datomic unification). Vars appearing ONLY inside the
     not are existential; at least one shared var is required (a not
     with no unification would be all-or-nothing, which Datomic also
-    rejects)."""
+    rejects). `join_vars` is the (not-join [vars] ...) form: unification
+    restricted to the listed vars, everything else local to the not."""
     if plan is None:
         raise DatalogError("(not ...) before any pattern has nothing to subtract")
     if not inner:
@@ -492,7 +494,15 @@ def _apply_not(
         [c if isinstance(c, list) else [c] for c in inner],
         datoms, bound, rules, stack, rec_impl,
     )
-    shared = [v for v in sub_binding if v in binding]
+    if join_vars is not None:
+        for v in join_vars:
+            if v not in binding:
+                raise DatalogError(f"(not-join ...) var {v} unbound in outer clauses")
+            if v not in sub_binding:
+                raise DatalogError(f"(not-join ...) var {v} unbound in inner clauses")
+        shared = list(join_vars)
+    else:
+        shared = [v for v in sub_binding if v in binding]
     if not shared:
         raise DatalogError(
             f"(not ...) shares no variables with the outer clauses: {inner}"
@@ -518,12 +528,15 @@ def _apply_or(
     stack: tuple[str, ...],
     idx: int,
     rec_impl: dict[str, DataFrame] | None,
+    join_vars: list | None = None,
 ) -> DataFrame:
     """(or leg+): each leg is one clause or an ("and", clause+) group;
     every leg must bind the SAME variable set (Datomic's rule for or).
     Compiles to an anonymous inline rule: legs union into one relation
     on the shared vars, which then joins the outer plan exactly like a
-    rule invocation (bound vars unify, fresh vars bind)."""
+    rule invocation (bound vars unify, fresh vars bind). `join_vars`
+    is the (or-join [vars] ...) form: legs may bind different sets,
+    only the listed vars unify and export."""
     if not legs:
         raise DatalogError("(or ...) needs at least one leg")
     leg_rels: list[tuple[DataFrame, dict, dict]] = []
@@ -536,12 +549,22 @@ def _apply_or(
         if sub is None:
             raise DatalogError(f"(or ...) leg is empty: {leg}")
         leg_rels.append((sub, sb, snb))
-    var_sets = [set(sb) for _, sb, _ in leg_rels]
-    if any(vs != var_sets[0] for vs in var_sets[1:]):
-        raise DatalogError(
-            f"(or ...) legs bind different variable sets: {sorted(map(sorted, var_sets))}"
-        )
-    vars_ = sorted(var_sets[0])
+    if join_vars is not None:
+        # (or-join [vars] leg+): legs unify/export ONLY the listed vars,
+        # any other leg vars are leg-local (existential)
+        for v in join_vars:
+            for _, sb, _ in leg_rels:
+                if v not in sb:
+                    raise DatalogError(f"(or-join ...) var {v} unbound in a leg")
+        vars_ = sorted(join_vars)
+    else:
+        var_sets = [set(sb) for _, sb, _ in leg_rels]
+        if any(vs != var_sets[0] for vs in var_sets[1:]):
+            raise DatalogError(
+                f"(or ...) legs bind different variable sets: "
+                f"{sorted(map(sorted, var_sets))}"
+            )
+        vars_ = sorted(var_sets[0])
     branches = []
     for sub, sb, snb in leg_rels:
         proj = []
@@ -690,10 +713,28 @@ def _compile_where(
                 plan = _apply_not(
                     plan, binding, clause[1:], datoms, bound, rules, stack, rec_impl
                 )
+            elif head == "not-join":
+                if len(clause) < 3 or not isinstance(clause[1], list):
+                    raise DatalogError(
+                        f"(not-join [vars] clause+) needs a var vector: {clause}"
+                    )
+                plan = _apply_not(
+                    plan, binding, clause[2:], datoms, bound, rules, stack,
+                    rec_impl, join_vars=clause[1],
+                )
             elif head == "or":
                 plan = _apply_or(
                     plan, binding, num_binding, clause[1:], datoms, bound,
                     rules, stack, i, rec_impl,
+                )
+            elif head == "or-join":
+                if len(clause) < 3 or not isinstance(clause[1], list):
+                    raise DatalogError(
+                        f"(or-join [vars] leg+) needs a var vector: {clause}"
+                    )
+                plan = _apply_or(
+                    plan, binding, num_binding, clause[2:], datoms, bound,
+                    rules, stack, i, rec_impl, join_vars=clause[1],
                 )
             elif head == "missing?":
                 a = clause[1:]

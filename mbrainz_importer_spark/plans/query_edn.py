@@ -39,8 +39,12 @@ def _conv_call(form: list):
     head = form[0]
     if head == "not":
         return tuple(["not"] + [_conv_inner(c) for c in form[1:]])
+    if head == "not-join":
+        return tuple(["not-join", list(form[1])] + [_conv_inner(c) for c in form[2:]])
     if head == "or":
         return tuple(["or"] + [_conv_leg(c) for c in form[1:]])
+    if head == "or-join":
+        return tuple(["or-join", list(form[1])] + [_conv_leg(c) for c in form[2:]])
     if head == "and":
         return tuple(["and"] + [_conv_inner(c) for c in form[1:]])
     return tuple(form)
@@ -50,7 +54,7 @@ def _conv_entry(cl) -> list:
     """One :where entry -> the dict-mirror entry shape."""
     if not isinstance(cl, list) or not cl:
         raise DatalogError(f"unrecognized :where clause {cl!r}")
-    if cl[0] in ("not", "or"):
+    if cl[0] in ("not", "or", "not-join", "or-join"):
         # Datomic writes (not ...) / (or ...) directly in :where
         return [_conv_call(cl)]
     if len(cl) == 1 and isinstance(cl[0], list):

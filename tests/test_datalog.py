@@ -581,3 +581,65 @@ def test_bounded_min_max_aggregates(spark):
         q({"find": [("sum", 2, "?v")], "where": [["?e", ":t/v", "?v"]]}, datoms)
     with pytest.raises(DatalogError, match="positive int"):
         q({"find": [("min", 0, "?v")], "where": [["?e", ":t/v", "?v"]]}, datoms)
+
+
+def test_not_join_and_or_join(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "x")],
+        "id string, grp int, tag string",
+    )
+    blocked = spark.createDataFrame([(1, "x"), (2, "zzz")], "code int, tag string")
+    datoms = build_datoms({"t": (df, "id"), "blk": (blocked, "code")})
+    # not-join restricts unification to ?g: b is blocked (code 2 exists)
+    # even though blk:2's tag would NOT match b's tag under full
+    # unification — the [?g] vector makes ?bt local to the not.
+    out = q({
+        "find": ["?id"],
+        "where": [
+            ["?e", ":t/grp", "?g"],
+            ["?e", ":t/tag", "?tag"],
+            ["?e", ":t/id", "?id"],
+            [("not-join", ["?g"],
+              ["?b", ":blk/code", "?g"],
+              ["?b", ":blk/tag", "?bt"])],
+        ],
+    }, datoms)
+    assert {r["id"] for r in out.collect()} == {"c"}
+    # or-join: legs bind DIFFERENT var sets; only ?e unifies/exports
+    out = q({
+        "find": ["?id"],
+        "where": [
+            [("or-join", ["?e"],
+              ("and", ["?e", ":t/grp", "?g2"], [(">", "?g2", 2)]),
+              ["?e", ":t/tag", "y"])],
+            ["?e", ":t/id", "?id"],
+        ],
+    }, datoms)
+    assert {r["id"] for r in out.collect()} == {"b", "c"}
+    with pytest.raises(DatalogError, match="unbound in a leg"):
+        q({"find": ["?id"],
+           "where": [[("or-join", ["?zz"], ["?e", ":t/tag", "y"])],
+                     ["?e", ":t/id", "?id"]]}, datoms)
+    with pytest.raises(DatalogError, match="unbound in outer"):
+        q({"find": ["?id"],
+           "where": [["?e", ":t/id", "?id"],
+                     [("not-join", ["?qq"], ["?b", ":blk/code", "?qq"])]]},
+          datoms)
+
+
+def test_edn_not_join_or_join(spark):
+    from mbrainz_importer_spark.plans.query_edn import q_edn
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "id string, grp int, tag string"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q_edn(
+        """[:find ?id
+            :where (or-join [?e]
+                     (and [?e :t/grp ?g] [(> ?g 1)])
+                     [?e :t/tag "zzz"])
+                   [?e :t/id ?id]]""",
+        datoms,
+    )
+    assert [r["id"] for r in out.collect()] == ["b"]
