@@ -105,6 +105,55 @@ def stable_row_number(
     )
 
 
+def stable_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of `value_col` in `order_cols` order, with the
+    same value-bucketed two-phase plan as stable_row_number: parallel
+    in-bucket window sums plus a driver-side exclusive prefix of <=256
+    bucket subtotals. No single-partition window at any scale."""
+    spark = df.sparkSession
+    k = num_buckets or spark.sparkContext.defaultParallelism
+    lead = order_cols[0]
+    numeric = isinstance(df.schema[lead].dataType, _NUMERIC)
+    bounds = _boundaries(df, lead, k)
+
+    bucketed = df.withColumn("__bkt", _bucket_expr(F.col(lead), bounds, numeric))
+    sums = {
+        r["__bkt"]: r["s"]
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b] or 0
+
+    if offsets:
+        offset_expr = F.element_at(
+            F.create_map(*[F.lit(x) for b in offsets for x in (b, offsets[b])]),
+            F.col("__bkt"),
+        )
+    else:
+        offset_expr = F.lit(0)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.withColumn(
+            out_col,
+            (F.sum(F.col(value_col).cast("long")).over(w) + offset_expr).cast("long"),
+        ).drop("__bkt")
+    )
+
+
 def assign_batch_ids(
     df: DataFrame,
     batch_size: int,

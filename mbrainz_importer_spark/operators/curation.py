@@ -1,0 +1,272 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+redaction, span-level (C4-style) dedup, concat-and-chunk sequence
+packing, benchmark decontamination, and deterministic global
+shuffle/sharding.
+
+Everything here is built-in pyspark.sql.functions (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere. Each operator has an exact ANSI-SQL
+twin in queries/curation_queries.py so the DuckDB oracle hash-checks it.
+
+Scale notes (100 TB):
+- `redact_pii` is a pure per-row projection: no shuffle, pipelined into
+  the scan, pushdown-friendly.
+- `dedup_spans` shuffles once on the span hash (groupBy) and once on the
+  doc id (reassembly) — both linear in corpus size; the span->first-owner
+  map is the only joined state and is bounded by the distinct-span count.
+- `pack_sequences` uses the value-bucketed two-phase cumulative sum
+  (operators/batching.stable_cumsum): parallel windows per bucket plus a
+  driver-side prefix of <=256 bucket subtotals — no single-partition
+  window at any size.
+- `ngram_contamination` broadcasts the benchmark shingle set (benchmarks
+  are small by definition) so the corpus side never shuffles.
+- `assign_shards` is a stateless md5 projection; the companion writer
+  repartitions by shard so each output file is one shard — the layout
+  a training loader wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .batching import stable_cumsum
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Pattern order matters: emails first (their local parts may contain
+# digit runs), then IPv4 (dotted digits would half-match the phone rule),
+# then SSN before the general phone shape. All patterns use only syntax
+# shared by Java regex (Spark) and RE2 (DuckDB): \b \d {m,n} [...].
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / SSNs / phone numbers with typed tags.
+    Chained regexp_replace — single codegen'd projection, no shuffle."""
+    out = col
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_flags(col: Column) -> dict[str, Column]:
+    """Per-category presence booleans, computed on the RAW text (before
+    redaction) so categories don't mask each other."""
+    return {name: col.rlike(pat) for name, pat, _ in PII_PATTERNS}
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    flags = pii_flags(c)
+    return df.select(
+        "*",
+        redact_pii(c).alias(f"{text_col}_redacted"),
+        *[v.alias(f"has_{k}") for k, v in flags.items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup (C4-style, token-window granularity)
+# ---------------------------------------------------------------------------
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-global span dedup: split each document into consecutive
+    non-overlapping windows of `span_tokens` tokens; each distinct span
+    survives only at its first occurrence (lowest id, then lowest
+    position — C4 dedups repeated 3-sentence spans the same way, cf.
+    Raffel et al. 2020 §2.2); reassemble the surviving spans in order.
+
+    Returns (id, text_deduped, spans_kept, spans_total); documents whose
+    every span already occurred elsewhere drop out (fully duplicate
+    content). First-owner resolution is min(struct(id, pos)) per span —
+    one hash groupBy, no window over the whole corpus.
+    """
+    k = span_tokens
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") > 0)
+    n_spans = F.ceil(F.size("__t") / F.lit(float(k))).cast("int")
+    spans = toks.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(F.col("__t"), i * k + 1, k), " "),
+            )
+        ).alias("pos", "span"),
+    )
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("__first")
+    )
+    kept = (
+        spans.join(firsts, "span")
+        .where((F.col("doc") == F.col("__first.doc")) & (F.col("pos") == F.col("__first.pos")))
+        .select("doc", "pos", "span")
+    )
+    totals = spans.groupBy("doc").agg(F.count(F.lit(1)).alias("spans_total"))
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("spans_kept"),
+        )
+        .join(totals, "doc")
+        .select(
+            F.col("doc").alias(id_col), "text_deduped", "spans_kept", "spans_total"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid out end-to-end in
+    `id_col` order and cut every `capacity` tokens — the packing used for
+    LLM pretraining batches (GPT-style document packing). Each document
+    gets its global token offset and the pack ids it lands in; documents
+    longer than the remaining room span multiple packs.
+
+    Distributed: the global running token count comes from the
+    value-bucketed two-phase cumulative sum, never a 1-partition window.
+    """
+    with_n = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    cum = stable_cumsum(with_n, [id_col], "n_tokens", out_col="__cum")
+    start = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        F.col(id_col),
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / capacity).cast("long").alias("first_pack"),
+        F.floor((F.col("__cum") - 1) / capacity).cast("long").alias("last_pack"),
+    ).withColumn("n_packs_spanned", F.col("last_pack") - F.col("first_pack") + 1)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, shingle) pairs, distinct per doc — same construction as
+    operators/dedup.py shingling (n consecutive tokens joined by space)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") >= n)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__t"), i + j) for j in range(n)]
+        ),
+    )
+    return toks.select("doc", F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Flag corpus documents sharing >=1 token n-gram with a benchmark
+    set (train/test decontamination, cf. GPT-3 appendix C: 13-gram
+    overlap; n is a parameter because the right n scales with doc size).
+
+    Returns (id, n_shingles, n_contaminated, contamination_frac) for
+    overlapping docs only. The benchmark shingle set is broadcast — the
+    corpus side is never shuffled by the join.
+    """
+    corpus_sh = _doc_shingles(corpus, id_col, text_col, n)
+    bench_sh = _doc_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    per_doc = corpus_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(per_doc, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + training shards
+# ---------------------------------------------------------------------------
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic shard + within-shard shuffle key per row: the
+    md5-derived 60-bit projection of (salt, id) gives a uniform,
+    engine-portable placement (same family as text.fingerprint_num);
+    ordering shards by `shuffle_key` is a reproducible global shuffle —
+    what a training run needs so every re-run reads examples in the same
+    pseudo-random order without a true (non-deterministic) shuffle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return df.select(
+        "*",
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("shuffle_key"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame, path: str, id_col: str = "doc_id", n_shards: int = 8
+) -> None:
+    """Materialize shard-partitioned parquet: one directory per shard,
+    rows clustered by shuffle_key inside each file so a sequential read
+    IS the shuffled order. repartition on the shard column co-locates
+    each shard into one task before the partitioned write."""
+    sharded = assign_shards(df, id_col, n_shards)
+    # sort key starts with the partition column so the partitioned writer's
+    # required ordering is already satisfied and it does NOT re-sort (a
+    # writer-side sort on `shard` alone would scramble shuffle_key order)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

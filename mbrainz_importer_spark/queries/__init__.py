@@ -21,7 +21,8 @@ _MODULES = [core]
 def _load_optional() -> None:
     global _MODULES
     names = ["mbrainz", "datalog_queries", "llm", "streaming_queries", "extra",
-             "fulltext_queries", "tpch_extra", "tpch_full", "history_queries"]
+             "fulltext_queries", "tpch_extra", "tpch_full", "history_queries",
+             "curation_queries"]
     for name in names:
         try:
             mod = __import__(f"{__name__}.{name}", fromlist=[name])

@@ -1,0 +1,195 @@
+"""Driver-gate queries for corpus-curation operators (operators/curation.py):
+PII redaction, span-level dedup, sequence packing, decontamination, and
+deterministic sharding. Every oracle reproduces the operator bit-for-bit
+in DuckDB (regexp_replace with 'g', list slicing, window sums, md5-hex
+numeric projection via try_cast('0x..')).
+
+The synthetic documents table has no natural PII, so the PII gate
+deterministically augments 2/3 of the docs with synthetic emails / IPs /
+SSNs / phone numbers ON BOTH ENGINES before redacting — the redaction
+regexes then have real work to do and the flags vary per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as C
+from ..tables import load
+
+_PII_SUFFIX_SQL = (
+    "' reach user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 tel 555-867-5309'"
+)
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 ssn 123-45-6789 tel 555-867-5309"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) != 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    return (
+        C.with_pii_redaction(aug)
+        .select(
+            "doc_id",
+            F.col("text_redacted").alias("clean_text"),
+            "has_email",
+            "has_ip",
+            "has_ssn",
+            "has_phone",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.dedup_spans(docs, "doc_id", "text", span_tokens=3).orderBy("doc_id")
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, "doc_id", "text", capacity=64).orderBy("doc_id")
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    return C.ngram_contamination(corpus, bench, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return C.assign_shards(docs, "doc_id", n_shards=8).orderBy("doc_id")
+
+
+QUERIES = {
+    "pii_redaction": pii_redaction,
+    "dedup_span_level": dedup_span_level,
+    "sequence_packing": sequence_packing,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "training_shards": training_shards,
+}
+
+ORACLES = {
+    "pii_redaction": f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 <> 0 THEN text || {_PII_SUFFIX_SQL}
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_EMAIL}', '<EMAIL>', 'g'),
+                   '{_IP}', '<IP>', 'g'),
+                   '{_SSN}', '<SSN>', 'g'),
+                   '{_PHONE}', '<PHONE>', 'g') AS clean_text,
+               regexp_matches(text, '{_EMAIL}') AS has_email,
+               regexp_matches(text, '{_IP}') AS has_ip,
+               regexp_matches(text, '{_SSN}') AS has_ssn,
+               regexp_matches(text, '{_PHONE}') AS has_phone
+        FROM aug
+        ORDER BY doc_id
+    """,
+    "dedup_span_level": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        spans AS (
+            SELECT doc_id AS doc, CAST(u.i AS INT) AS pos,
+                   array_to_string(t[(u.i*3+1):(u.i*3+3)], ' ') AS span
+            FROM toks, UNNEST(range(0, CAST(ceil(len(t)/3.0) AS BIGINT))) AS u(i)
+            WHERE len(t) > 0
+        ),
+        firsts AS (SELECT span, min(doc) AS d0 FROM spans GROUP BY span),
+        firsts2 AS (
+            SELECT s.span, f.d0, min(s.pos) AS p0
+            FROM spans s JOIN firsts f ON s.span = f.span AND s.doc = f.d0
+            GROUP BY s.span, f.d0
+        ),
+        kept AS (
+            SELECT s.doc, s.pos, s.span
+            FROM spans s
+            JOIN firsts2 f ON s.span = f.span AND s.doc = f.d0 AND s.pos = f.p0
+        ),
+        totals AS (SELECT doc, count(*) AS spans_total FROM spans GROUP BY doc)
+        SELECT k.doc AS doc_id,
+               string_agg(k.span, ' ' ORDER BY k.pos) AS text_deduped,
+               count(*) AS spans_kept,
+               any_value(t.spans_total) AS spans_total
+        FROM kept k JOIN totals t ON k.doc = t.doc
+        GROUP BY k.doc
+        ORDER BY doc_id
+    """,
+    "sequence_packing": f"""
+        WITH toks AS (SELECT doc_id, len({_SQL_TOKS}) AS n FROM documents),
+        cum AS (
+            SELECT doc_id, n,
+                   SUM(n) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(c - n AS BIGINT) AS start_offset,
+               CAST(floor((c - n) / 64.0) AS BIGINT) AS first_pack,
+               CAST(floor((c - 1) / 64.0) AS BIGINT) AS last_pack,
+               CAST(floor((c - 1) / 64.0) - floor((c - n) / 64.0) + 1 AS BIGINT)
+                   AS n_packs_spanned
+        FROM cum
+        ORDER BY doc_id
+    """,
+    "decontaminate_ngrams": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id AS doc, u.sh
+            FROM toks,
+                 UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(sh)
+            WHERE len(t) >= 3
+        ),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc % 17 = 0),
+        corp AS (SELECT * FROM sh WHERE doc % 17 <> 0),
+        per_doc AS (SELECT doc, count(*) AS n_shingles FROM corp GROUP BY doc),
+        hits AS (
+            SELECT c.doc, count(*) AS n_contaminated
+            FROM corp c JOIN bench b ON c.sh = b.sh
+            GROUP BY c.doc
+        )
+        SELECT h.doc AS doc_id, p.n_shingles, h.n_contaminated,
+               round(h.n_contaminated / p.n_shingles, 6) AS contamination_frac
+        FROM hits h JOIN per_doc p ON h.doc = p.doc
+        ORDER BY doc_id
+    """,
+    "training_shards": """
+        SELECT doc_id,
+               CAST(try_cast('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 8 AS INT) AS shard,
+               try_cast('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS shuffle_key
+        FROM documents
+        ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,134 @@
+"""Unit tests for operators/curation.py (PII redaction, span dedup,
+sequence packing, decontamination, sharding) and batching.stable_cumsum."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbrainz_importer_spark.operators import curation as C
+from mbrainz_importer_spark.operators.batching import stable_cumsum
+
+
+def test_redact_pii_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.1 up"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "call 555-867-5309 today"),
+            (5, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in C.with_pii_redaction(df).collect()}
+    assert out[1]["text_redacted"] == "mail <EMAIL> now"
+    assert out[2]["text_redacted"] == "server at <IP> up"
+    assert out[3]["text_redacted"] == "ssn <SSN> leaked"
+    assert out[4]["text_redacted"] == "call <PHONE> today"
+    assert out[5]["text_redacted"] == "nothing sensitive here"
+    assert out[1]["has_email"] and not out[1]["has_ip"]
+    assert out[3]["has_ssn"] and not out[3]["has_phone"]
+    assert not any(
+        out[5][f] for f in ("has_email", "has_ip", "has_ssn", "has_phone")
+    )
+
+
+def test_redact_pii_ssn_not_phone(spark):
+    # SSN shape must win over the phone shape (pattern order pinned)
+    df = spark.createDataFrame([(1, "id 123-45-6789 and 123-456-7890")], "id long, text string")
+    row = C.with_pii_redaction(df).collect()[0]
+    assert row["text_redacted"] == "id <SSN> and <PHONE>"
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    # span size 2; doc 1 and doc 2 share the span "a b"; doc 2 keeps only
+    # its non-duplicate tail, doc 3 is entirely a repeat and drops out.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.dedup_spans(df, span_tokens=2).collect()}
+    assert out[1]["text_deduped"] == "a b c d"
+    assert out[1]["spans_kept"] == 2 and out[1]["spans_total"] == 2
+    assert out[2]["text_deduped"] == "x y"
+    assert out[2]["spans_kept"] == 1 and out[2]["spans_total"] == 2
+    assert 3 not in out
+
+
+def test_dedup_spans_within_doc_repeat(spark):
+    # the same span repeated inside one doc keeps only the earliest position
+    df = spark.createDataFrame([(7, "p q p q")], "doc_id long, text string")
+    row = C.dedup_spans(df, span_tokens=2).collect()[0]
+    assert row["text_deduped"] == "p q"
+    assert row["spans_kept"] == 1 and row["spans_total"] == 2
+
+
+def test_stable_cumsum_matches_serial(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    got = {
+        r["k"]: r["c"]
+        for r in stable_cumsum(df, ["k"], "v", out_col="c").collect()
+    }
+    acc = 0
+    for k, v in rows:
+        acc += v
+        assert got[k] == acc
+
+
+def test_pack_sequences_chunking(spark):
+    # 3 docs of 5/3/4 tokens, capacity 6: offsets 0,5,8; doc 1 in pack 0,
+    # doc 2 spans packs 0-1 (tokens 5..7), doc 3 packs 1 (8..11).
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h"), (3, "i j k l")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.pack_sequences(df, capacity=6).collect()}
+    assert (out[1]["start_offset"], out[1]["first_pack"], out[1]["last_pack"]) == (0, 0, 0)
+    assert (out[2]["start_offset"], out[2]["first_pack"], out[2]["last_pack"]) == (5, 0, 1)
+    assert out[2]["n_packs_spanned"] == 2
+    assert (out[3]["start_offset"], out[3]["first_pack"], out[3]["last_pack"]) == (8, 1, 1)
+
+
+def test_ngram_contamination_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally novel words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox ran")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in C.ngram_contamination(corpus, bench, n=3).collect()}
+    # doc 1 shares the trigram "quick brown fox"; doc 2 shares nothing
+    assert out[1]["n_contaminated"] == 1
+    assert out[1]["n_shingles"] == 3
+    assert abs(out[1]["contamination_frac"] - 1 / 3) < 1e-5
+    assert 2 not in out
+
+
+def test_assign_shards_deterministic_and_balanced(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in C.assign_shards(df, n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in C.assign_shards(df, n_shards=8).collect()}
+    assert a == b
+    counts = {}
+    for shard, _ in a.values():
+        counts[shard] = counts.get(shard, 0) + 1
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 2 * min(counts.values())
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards")
+    C.write_training_shards(df, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert back.select("shard").distinct().count() == 4
+    # shard dirs exist on disk (partitioned layout a loader can glob)
+    one = spark.read.parquet(f"{path}/shard=0")
+    assert one.count() > 0
+    # within a shard file, rows are clustered by shuffle_key (read order IS
+    # the shuffled order)
+    keys = [r["shuffle_key"] for r in one.select("shuffle_key").collect()]
+    assert keys == sorted(keys)
