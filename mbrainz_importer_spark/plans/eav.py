@@ -91,6 +91,33 @@ def datoms_index(
     return out.orderBy(*_INDEX_ORDERS[index])
 
 
+def index_range(
+    datoms: DataFrame,
+    a: str,
+    start=None,
+    end=None,
+    numeric: bool = False,
+) -> DataFrame:
+    """`d/index-range` analog: the AVET index slice for attribute `a`
+    with v in [start, end) — half-open, exactly Datomic's contract
+    (start nil = from the beginning, end nil = to the end). `numeric`
+    selects the v_num projection so the range is a numeric comparison,
+    not a string one.
+
+    Scale: both the attribute equality and the range predicate are plain
+    comparisons that push into the parquet scan; on storage sorted by
+    (a, v) this is a contiguous index slice, never a full scan."""
+    vcol = F.col("v_num") if numeric else F.col("v")
+    out = datoms.where(F.col("a") == a)
+    if numeric:
+        out = out.where(F.col("v_num").isNotNull())
+    if start is not None:
+        out = out.where(vcol >= start)
+    if end is not None:
+        out = out.where(vcol < end)
+    return out.orderBy(*(["v_num", "e"] if numeric else ["v", "e"]))
+
+
 def build_datoms(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
     """Union the datom views of {table: (df, id_col)}."""
     out = None

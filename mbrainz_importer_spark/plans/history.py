@@ -181,6 +181,31 @@ def retract_attribute(
     return log.unionByName(retracts)
 
 
+def excise(
+    log: DataFrame,
+    entity: str,
+    tx: int,
+    value_col: str = "v_num",
+) -> DataFrame:
+    """`:db/excise` — permanent removal of every datom of `entity`,
+    INCLUDING history (unlike retract_entity, which only ends the
+    entity's present). Datomic excision erases the data but leaves an
+    audit datom recording that an excision happened at `tx`; after it,
+    as_of at ANY time shows nothing for the entity.
+
+    The returned log = (log minus the entity's datoms) + one audit op
+    (e=entity, a=':db/excise', tx=tx). The filter is a pushdown
+    predicate — at scale this is the one operation that rewrites
+    storage, exactly as in Datomic (excision is a segment rewrite
+    there too)."""
+    survivors = log.where(F.col("e") != entity)
+    audit = log.sparkSession.createDataFrame(
+        [(entity, ":db/excise", None, tx, True)],
+        f"e string, a string, {value_col} double, tx long, added boolean",
+    )
+    return survivors.unionByName(audit)
+
+
 def entity_timeline(log: DataFrame, entity: str, value_col: str = "v_num") -> DataFrame:
     """All ops for one entity in tx order — the d/history-of-entity
     audit query."""

@@ -1,0 +1,141 @@
+"""Tests for round-3 Datomic-parity surfaces: d/index-range, entity
+specs (:db/ensure), composite tuples (:db/tupleAttrs), :db/excise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbrainz_importer_spark.plans.eav import build_datoms, index_range
+from mbrainz_importer_spark.plans.history import as_of, excise, retract_entity
+from mbrainz_importer_spark.plans.specs import (
+    EntitySpec,
+    EntitySpecError,
+    ensure_entities,
+    spec_violations,
+)
+from mbrainz_importer_spark.plans.tuples import (
+    assert_tuple_unique,
+    tuple_duplicates,
+    upsert_by_tuple,
+    with_composite,
+)
+
+
+def _people(spark):
+    return spark.createDataFrame(
+        [(1, "ann", 10.0), (2, "bob", -5.0), (3, None, 3.0)],
+        "id long, name string, score double",
+    )
+
+
+# -- d/index-range ----------------------------------------------------------
+
+def test_index_range_half_open(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, score double"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    rows = index_range(datoms, ":t/score", start=3.0, end=7.0, numeric=True).collect()
+    assert [r["v_num"] for r in rows] == [3.0, 4.0, 5.0, 6.0]  # end exclusive
+
+
+def test_index_range_open_ends(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 9.0)], "id long, score double")
+    datoms = build_datoms({"t": (df, "id")})
+    assert index_range(datoms, ":t/score", numeric=True).count() == 2
+    assert index_range(datoms, ":t/score", start=6.0, numeric=True).count() == 1
+    assert index_range(datoms, ":t/score", end=6.0, numeric=True).count() == 1
+
+
+# -- entity specs -----------------------------------------------------------
+
+def _spec():
+    return EntitySpec(
+        name="person",
+        required=("name",),
+        preds=(("score-nonneg", F.col("score") >= 0),),
+    )
+
+
+def test_spec_violations_rows(spark):
+    out = {
+        (r["entity"], r["check"]): r["kind"]
+        for r in spec_violations(_people(spark), "id", _spec()).collect()
+    }
+    assert out == {(3, "name"): "required", (2, "score-nonneg"): "pred"}
+
+
+def test_ensure_entities_raises_and_passes(spark):
+    with pytest.raises(EntitySpecError, match="person"):
+        ensure_entities(_people(spark), "id", _spec())
+    clean = _people(spark).where(F.col("id") == 1)
+    assert ensure_entities(clean, "id", _spec()).count() == 1
+
+
+def test_spec_requires_checks(spark):
+    with pytest.raises(ValueError, match="no checks"):
+        spec_violations(_people(spark), "id", EntitySpec(name="empty"))
+
+
+# -- composite tuples -------------------------------------------------------
+
+def test_composite_null_distinct_from_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "")], "id long, x string, y string"
+    )
+    vals = {r["id"]: r["t"] for r in with_composite(df, "t", ["x", "y"]).collect()}
+    assert vals[1] != vals[2]
+
+
+def test_tuple_duplicates_and_assert(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1), (3, "a", 2)], "id long, x string, y int"
+    )
+    dups = tuple_duplicates(df, ["x", "y"]).collect()
+    assert len(dups) == 1 and dups[0]["n_rows"] == 2
+    with pytest.raises(ValueError, match="not unique"):
+        assert_tuple_unique(df, ["x", "y"])
+    assert_tuple_unique(df.where(F.col("id") != 2), ["x", "y"])
+
+
+def test_upsert_by_tuple_merges_on_composite(spark):
+    target = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0)], "x string, y int, score double"
+    )
+    updates = spark.createDataFrame(
+        [("a", 1, 99.0), ("c", 3, 30.0)], "x string, y int, score double"
+    )
+    out = {(r["x"], r["y"]): r["score"] for r in upsert_by_tuple(target, updates, ["x", "y"]).collect()}
+    assert out == {("a", 1): 99.0, ("b", 2): 20.0, ("c", 3): 30.0}
+
+
+# -- excision ---------------------------------------------------------------
+
+def _log(spark):
+    return spark.createDataFrame(
+        [
+            ("u:1", ":a", 1.0, 1, True),
+            ("u:1", ":b", 2.0, 2, True),
+            ("u:2", ":a", 9.0, 3, True),
+        ],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+
+
+def test_excise_erases_history_unlike_retract(spark):
+    log = _log(spark)
+    # retraction: entity visible as-of BEFORE the retraction tx
+    retracted = retract_entity(log, "u:1", tx=10)
+    assert as_of(retracted, 5).where(F.col("e") == "u:1").count() == 2
+    assert as_of(retracted, 10).where(F.col("e") == "u:1").count() == 0
+    # excision: gone at EVERY time, audit datom present in the raw log
+    excised = excise(log, "u:1", tx=10)
+    assert as_of(excised.where(F.col("a") != ":db/excise"), 5).where(
+        F.col("e") == "u:1"
+    ).count() == 0
+    audit = excised.where(F.col("a") == ":db/excise").collect()
+    assert len(audit) == 1 and audit[0]["e"] == "u:1" and audit[0]["tx"] == 10
+    # other entities untouched
+    assert as_of(excised, 2).where(F.col("e") == "u:2").count() == 0
+    assert as_of(excised, 3).where(F.col("e") == "u:2").count() == 1
