@@ -31,6 +31,9 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "multimodal_meta",
     "datalog_region_nations",
+    "sequence_packing",
+    "curation_pipeline",
+    "dedup_span_level",
 ]
 
 

@@ -225,6 +225,47 @@ def ngram_contamination(
 
 
 # ---------------------------------------------------------------------------
+# unigram LM scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log2 probability under the corpus's own
+    unigram model — the shape of CCNet's LM-perplexity quality filter
+    (Wenzek et al. 2020) with the KenLM model replaced by the corpus
+    unigram distribution (self-contained, no external model artifact).
+    Low score = stereotypical text, high = unusual token mix.
+
+    Two aggregates: global token counts (map-side combined), then a
+    broadcast join of the (small) vocabulary back onto the per-doc token
+    stream and one mean per doc. The vocabulary of a 100 TB corpus is
+    still broadcast-sized (counts, not text); if it ever were not,
+    the same plan works as a shuffle join on the token.
+
+    Returns (id, n_tokens, mean_neg_log2p) rounded to 6 decimals."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    totals = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    corpus_n = totals.agg(F.sum("tf").cast("double").alias("N"))
+    scored = (
+        toks.join(F.broadcast(totals), "tok")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "doc",
+            (-F.log2(F.col("tf").cast("double") / F.col("N"))).alias("__nlp"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__nlp"), 6).alias("mean_neg_log2p"),
+    ).select(F.col("doc").alias(id_col), "n_tokens", "mean_neg_log2p")
+
+
+# ---------------------------------------------------------------------------
 # deterministic global shuffle + training shards
 # ---------------------------------------------------------------------------
 

@@ -846,7 +846,27 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
     agg_specs: list[tuple[str, str, str]] = []  # (agg, operand_alias, out_name)
     sel_cols: list[F.Column] = []
     out_order: list[str] = []
+    pull_specs: list[tuple[str, dict]] = []  # (entity var name, spec)
     for k, term in enumerate(find):
+        if isinstance(term, (tuple, list)) and term and term[0] == "pull":
+            # (pull ?e {out_col: attr-spec, ...}) — Datomic's pull
+            # expression inside :find. Compiles to a LEFT join of the
+            # bound relation's distinct entities against the columnar
+            # pull projection (plans/pull.py): one groupBy(e) for K
+            # attrs, one equi-join — never a per-entity walk.
+            if len(term) != 3 or not isinstance(term[2], dict):
+                raise DatalogError(f"pull term needs (pull ?var spec-dict): {term}")
+            _, var, spec = term
+            if var not in binding:
+                raise DatalogError(f"unbound pull var {var}")
+            vn = _var_name(var)
+            if vn not in plain_names:
+                sel_cols.append(binding[var].alias(vn))
+                plain_names.append(vn)
+                out_order.append(vn)
+            pull_specs.append((vn, spec))
+            out_order.extend(spec.keys())
+            continue
         if isinstance(term, (tuple, list)):
             if len(term) == 3:
                 # n-ary (min n ?x) / (max n ?x): the n smallest/largest
@@ -911,6 +931,15 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
         )
     else:
         out = plan.select(*sel_cols).distinct()  # datalog returns a set
+
+    if pull_specs:
+        if agg_specs:
+            raise DatalogError("pull expressions cannot combine with aggregates")
+        from .pull import pull_entities
+
+        for vn, spec in pull_specs:
+            pulled = pull_entities(datoms, spec).withColumnRenamed("e", vn)
+            out = out.join(pulled, vn, "left")
 
     out = out.select(*out_order)
     limit = query.get("limit")

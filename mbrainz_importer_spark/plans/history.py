@@ -153,6 +153,49 @@ def retract_entity(
     return log.unionByName(retracts)
 
 
+def retract_entity_cascade(
+    log: DataFrame,
+    entity: str,
+    tx: int,
+    component_attrs: frozenset[str] | set[str],
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v",
+    max_depth: int = 5,
+) -> DataFrame:
+    """`:db.fn/retractEntity` with `:db/isComponent` semantics: retracting
+    an entity also retracts every entity it owns through a component
+    attribute, recursively (Datomic cascades component refs; plain refs
+    are left alone). The ref value of a component attr IS the child
+    entity id (string `value_col`).
+
+    Distributed shape: the frontier expansion is a bounded driver loop
+    (<= max_depth levels) of joins against the pre-tx state — each level
+    one equi-join + anti-join, no per-entity walk. Returns the log
+    extended with retraction ops at `tx` for the whole component tree."""
+    spark = log.sparkSession
+    state = _state(log.where(F.col("tx") < tx), many_attrs, value_col)
+    frontier = spark.createDataFrame([(entity,)], "e string")
+    seen = frontier
+    for _ in range(max_depth):
+        children = (
+            state.join(frontier, "e")
+            .where(F.col("a").isin(list(component_attrs)))
+            .select(F.col(value_col).alias("e"))
+            .distinct()
+        )
+        new = children.join(seen, "e", "left_anti")
+        if not new.take(1):
+            break
+        seen = seen.unionByName(new)
+        frontier = new
+    retracts = state.join(seen, "e").select(
+        "e", "a", value_col,
+        F.lit(tx).cast("long").alias("tx"),
+        F.lit(False).alias("added"),
+    )
+    return log.unionByName(retracts)
+
+
 def retract_attribute(
     log: DataFrame,
     entity: str,

@@ -81,6 +81,11 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.ngram_contamination(corpus, bench, "doc_id", "text", n=3).orderBy("doc_id")
 
 
+def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return C.unigram_logprob_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return C.assign_shards(docs, "doc_id", n_shards=8).orderBy("doc_id")
@@ -92,6 +97,7 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "decontaminate_ngrams": decontaminate_ngrams,
     "training_shards": training_shards,
+    "unigram_lm_scores": unigram_lm_scores,
 }
 
 ORACLES = {
@@ -181,6 +187,21 @@ ORACLES = {
         SELECT h.doc AS doc_id, p.n_shingles, h.n_contaminated,
                round(h.n_contaminated / p.n_shingles, 6) AS contamination_frac
         FROM hits h JOIN per_doc p ON h.doc = p.doc
+        ORDER BY doc_id
+    """,
+    "unigram_lm_scores": f"""
+        WITH toks AS (
+            SELECT doc_id AS doc, u.tok
+            FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+                 UNNEST(t) AS u(tok)
+        ),
+        totals AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        corpus AS (SELECT CAST(sum(tf) AS DOUBLE) AS N FROM totals)
+        SELECT t.doc AS doc_id,
+               count(*) AS n_tokens,
+               round(avg(-log2(CAST(tf AS DOUBLE) / N)), 6) AS mean_neg_log2p
+        FROM toks t JOIN totals USING (tok), corpus
+        GROUP BY t.doc
         ORDER BY doc_id
     """,
     "training_shards": """

@@ -46,6 +46,29 @@ def datalog_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("rname")
 
 
+def datalog_find_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull expression inside :find — [:find ?n (pull ?n [...]) :where
+    [?n :nation/n_regionkey ?rk] [?r :region/r_regionkey ?rk]
+    [?r :region/r_name "AMERICA"]]: the datalog relation picks the
+    entities, the pull projects their attribute map (columnar)."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": [
+            "?n",
+            ("pull", "?n", {
+                "nname": ":nation/n_name",
+                "regionkey": (":nation/n_regionkey", "num"),
+            }),
+        ],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?r", ":region/r_regionkey", "?rk"],
+            ["?r", ":region/r_name", "AMERICA"],
+        ],
+    }
+    return q(query, datoms).orderBy("n")
+
+
 def datalog_param_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:in scalar parameter (batch.clj:50-53 passes the attr as input)."""
     datoms = _datoms_small(spark, sf_dir)
@@ -398,6 +421,7 @@ QUERIES = {
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_param_in": datalog_param_in,
+    "datalog_find_pull": datalog_find_pull,
     "datalog_in_collection": datalog_in_collection,
     "datalog_in_relation": datalog_in_relation,
     "datalog_edn_text_query": datalog_edn_text_query,
@@ -418,6 +442,14 @@ _ANC_CTE = """
 """
 
 ORACLES = {
+    "datalog_find_pull": """
+        SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)) AS n,
+               n_name AS nname,
+               CAST(n_regionkey AS DOUBLE) AS regionkey
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+        ORDER BY n
+    """,
     "datalog_fn_binding": """
         SELECT DISTINCT n_name AS name,
                CAST((n_nationkey + n_regionkey) * 2 AS DOUBLE) AS s,

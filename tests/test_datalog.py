@@ -643,3 +643,38 @@ def test_edn_not_join_or_join(spark):
         datoms,
     )
     assert [r["id"] for r in out.collect()] == ["b"]
+
+
+def test_find_pull_expression(spark):
+    """(pull ?e spec) in :find: relation picks entities, pull projects
+    attrs; entities missing an attr get null (left join), and pull
+    cannot combine with aggregates."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, None), ("c", 9, "z")],
+        "id string, grp int, tag string",
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q(
+        {
+            "find": ["?id", ("pull", "?e", {"tag": ":t/tag", "grp": (":t/grp", "num")})],
+            "where": [["?e", ":t/grp", "?g"], [("<", "?g", 5)], ["?e", ":t/id", "?id"]],
+        },
+        datoms,
+    )
+    # NOTE: the pull var is ?e (entity), output includes its column
+    rows = {r["id"]: (r["tag"], r["grp"]) for r in out.collect()}
+    assert rows == {"a": ("x", 1.0), "b": (None, 2.0)}
+    with pytest.raises(DatalogError, match="cannot combine"):
+        q(
+            {
+                "find": [("count", "?e"), ("pull", "?e", {"tag": ":t/tag"})],
+                "where": [["?e", ":t/grp", "?g"]],
+            },
+            datoms,
+        )
+    with pytest.raises(DatalogError, match="unbound pull var"):
+        q({"find": [("pull", "?zz", {"t": ":t/tag"})],
+           "where": [["?e", ":t/grp", "?g"]]}, datoms)
+    with pytest.raises(DatalogError, match="spec-dict"):
+        q({"find": [("pull", "?e")],
+           "where": [["?e", ":t/grp", "?g"]]}, datoms)

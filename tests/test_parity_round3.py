@@ -139,3 +139,49 @@ def test_excise_erases_history_unlike_retract(spark):
     # other entities untouched
     assert as_of(excised, 2).where(F.col("e") == "u:2").count() == 0
     assert as_of(excised, 3).where(F.col("e") == "u:2").count() == 1
+
+
+# -- component cascade retraction ------------------------------------------
+
+def test_retract_entity_cascade_components(spark):
+    from mbrainz_importer_spark.plans.history import retract_entity_cascade
+
+    log = spark.createDataFrame(
+        [
+            # release owns medium (component); medium owns track (component);
+            # release also REFERENCES artist (plain ref, must survive)
+            ("rel:1", ":release/name", "X", 1, True),
+            ("rel:1", ":release/media", "med:1", 1, True),
+            ("rel:1", ":release/artist", "art:1", 1, True),
+            ("med:1", ":medium/format", "CD", 1, True),
+            ("med:1", ":medium/tracks", "trk:1", 1, True),
+            ("trk:1", ":track/name", "t", 1, True),
+            ("art:1", ":artist/name", "A", 1, True),
+        ],
+        "e string, a string, v string, tx long, added boolean",
+    )
+    comp = {":release/media", ":medium/tracks"}
+    out = retract_entity_cascade(log, "rel:1", tx=9, component_attrs=comp, value_col="v")
+    state = as_of(out, 9, value_col="v")
+    gone = {"rel:1", "med:1", "trk:1"}
+    assert state.where(F.col("e").isin(list(gone))).count() == 0
+    # the referenced (non-component) artist survives
+    assert state.where(F.col("e") == "art:1").count() == 1
+    # pre-cascade history is intact
+    assert as_of(out, 1, value_col="v").where(F.col("e") == "trk:1").count() == 1
+
+
+def test_unigram_lm_scores_basic(spark):
+    from mbrainz_importer_spark.operators.curation import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a a b")], "doc_id long, text string"
+    )
+    # corpus: a x7, b x1, N=8 -> p(a)=7/8, p(b)=1/8
+    import math
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    exp_a = -math.log2(7 / 8)
+    exp_doc2 = (3 * exp_a + (-math.log2(1 / 8))) / 4
+    assert abs(out[1]["mean_neg_log2p"] - round(exp_a, 6)) < 1e-6
+    assert abs(out[2]["mean_neg_log2p"] - round(exp_doc2, 6)) < 1e-6
+    assert out[2]["n_tokens"] == 4
