@@ -145,6 +145,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     capacity: int = 512,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: documents are laid out end-to-end in
     `id_col` order and cut every `capacity` tokens — the packing used for
@@ -154,10 +155,17 @@ def pack_sequences(
 
     Distributed: the global running token count comes from the
     value-bucketed two-phase cumulative sum, never a 1-partition window.
+    Pass `n_tokens_col` when the caller already counted tokens (e.g. for
+    a length filter) so the text is not re-tokenized.
     """
-    with_n = df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
-    )
+    if n_tokens_col is not None:
+        with_n = df.select(
+            F.col(id_col), F.col(n_tokens_col).cast("long").alias("n_tokens")
+        )
+    else:
+        with_n = df.select(
+            F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+        )
     cum = stable_cumsum(with_n, [id_col], "n_tokens", out_col="__cum")
     start = F.col("__cum") - F.col("n_tokens")
     return cum.select(
@@ -222,6 +230,77 @@ def ngram_contamination(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data-mixture sampling + vocabulary building
+# ---------------------------------------------------------------------------
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Deterministic per-source sampling rates — the data-mixture step of
+    a pretraining pipeline (e.g. upweight wiki, downweight crawl): keep a
+    row iff its md5-derived uniform in [0,1) is below its source's
+    weight. Sources absent from `weights` are dropped (weight 0).
+
+    Same md5-bucket membership family as operators/sampling.py, so the
+    sample is reproducible run-to-run and composes with split
+    assignment; a pure projection + filter, no shuffle, scan-pushdown
+    of the source filter."""
+    for s, w in weights.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {s!r} must be in [0,1]: {w}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w_map = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    rate = F.coalesce(
+        w_map.getItem(F.col(group_col)), F.lit(0.0)
+    )
+    return df.where(u < rate)
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with deterministic contiguous ids: tokens
+    counted corpus-wide (map-side combined), filtered by `min_count`,
+    ranked by (count DESC, token ASC) — the tie-break makes the id
+    assignment reproducible — and truncated to `max_size`.
+
+    The ranking is a global row_number, which is exactly the
+    operators/batching two-phase problem; vocabularies are count-bounded
+    (10^5..10^6 rows), so here a single window over the count key is the
+    honest choice at ANY corpus size — the aggregate, not the corpus,
+    bounds the window input. Returns (token, token_id, count)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    ranked = counts.withColumn("token_id", F.row_number().over(w).cast("long") - 1)
+    if max_size is not None:
+        ranked = ranked.where(F.col("token_id") < max_size)
+    return ranked.select("token", "token_id", "count")
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,22 @@ def datoms_index(
     return out.orderBy(*_INDEX_ORDERS[index])
 
 
+def materialize_datoms(datoms: DataFrame, path: str) -> None:
+    """Write the datom view as attribute-partitioned parquet — the
+    100 TB deployment shape the module docstring promises: one directory
+    per attribute, so a triple pattern with a known attribute is a
+    PARTITION-PRUNED scan (reads one attr's files, not the store).
+    Attribute names (':table/col') are hive-escaped by the writer and
+    restored on read."""
+    datoms.write.mode("overwrite").partitionBy("a").parquet(path)
+
+
+def read_datoms(spark, path: str) -> DataFrame:
+    """Read a materialized datom store; `.where(a == ...)` prunes to the
+    attribute's partition directory (PartitionFilters in the scan)."""
+    return spark.read.parquet(path).select("e", "a", "v", "v_num")
+
+
 def index_range(
     datoms: DataFrame,
     a: str,

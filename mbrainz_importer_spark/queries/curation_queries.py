@@ -91,6 +91,27 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.assign_shards(docs, "doc_id", n_shards=8).orderBy("doc_id")
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: keep all of src0, half of src1, a quarter
+    of src2, none of src3 or any unlisted source — md5-deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.weighted_mixture_sample(docs, _MIX_WEIGHTS)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus token counts ranked (count DESC,
+    token ASC) into contiguous deterministic ids, truncated to 50."""
+    docs = load(spark, sf_dir, "documents")
+    return C.build_vocab(docs, "text", min_count=2, max_size=50).orderBy("token_id")
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "dedup_span_level": dedup_span_level,
@@ -98,6 +119,8 @@ QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "training_shards": training_shards,
     "unigram_lm_scores": unigram_lm_scores,
+    "mixture_sample": mixture_sample,
+    "vocab_top_tokens": vocab_top_tokens,
 }
 
 ORACLES = {
@@ -188,6 +211,30 @@ ORACLES = {
                round(h.n_contaminated / p.n_shingles, 6) AS contamination_frac
         FROM hits h JOIN per_doc p ON h.doc = p.doc
         ORDER BY doc_id
+    """,
+    "mixture_sample": """
+        SELECT doc_id, source
+        FROM documents
+        WHERE CAST(try_cast('0x' || substr(md5('mixture-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+              < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 0.25 ELSE 0.0 END
+        ORDER BY doc_id
+    """,
+    "vocab_top_tokens": f"""
+        WITH counts AS (
+            SELECT u.token, count(*) AS count
+            FROM (SELECT {_SQL_TOKS} AS t FROM documents), UNNEST(t) AS u(token)
+            GROUP BY u.token
+            HAVING count(*) >= 2
+        )
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY count DESC, token) - 1 AS BIGINT)
+                   AS token_id,
+               count
+        FROM counts
+        QUALIFY token_id < 50
+        ORDER BY token_id
     """,
     "unigram_lm_scores": f"""
         WITH toks AS (

@@ -37,16 +37,25 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, n_tokens, start_offset, first_pack, shard) — what a
     training job needs to locate every surviving document's tokens."""
     docs = load(spark, sf_dir, "documents")
-    filtered = docs.where(token_count(F.col("text")) >= _MIN_TOKENS)
+    # tokenize ONCE: the filter's count is reused by the packing stage
+    counted = docs.select(
+        "doc_id", "text", token_count(F.col("text")).alias("__n")
+    ).where(F.col("__n") >= _MIN_TOKENS)
     h = F.md5(normalize_for_fingerprint(F.col("text")))
-    hashed = filtered.select("doc_id", "text", h.alias("__h"))
+    hashed = counted.select("doc_id", "__n", h.alias("__h"))
     canon = hashed.groupBy("__h").agg(F.min("doc_id").alias("__canon"))
     survivors = (
         hashed.join(canon, "__h")
         .where(F.col("doc_id") == F.col("__canon"))
-        .select("doc_id", "text")
+        .select("doc_id", "__n")
+        # materialize once: stable_cumsum makes two bounded driver passes
+        # (bucket boundaries + prefix sums) plus the final job — without
+        # this the whole filter+dedup subplan would run three times
+        .localCheckpoint()
     )
-    packed = C.pack_sequences(survivors, "doc_id", "text", capacity=_PACK_CAPACITY)
+    packed = C.pack_sequences(
+        survivors, "doc_id", "text", capacity=_PACK_CAPACITY, n_tokens_col="__n"
+    )
     sharded = C.assign_shards(packed, "doc_id", n_shards=_N_SHARDS)
     return sharded.select(
         "doc_id", "n_tokens", "start_offset", "first_pack", "shard"

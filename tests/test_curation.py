@@ -132,3 +132,36 @@ def test_write_training_shards_layout(spark, tmp_path):
     # the shuffled order)
     keys = [r["shuffle_key"] for r in one.select("shuffle_key").collect()]
     assert keys == sorted(keys)
+
+
+def test_weighted_mixture_sample_rates(spark):
+    rows = [(i, "s_half" if i % 2 == 0 else "s_all") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = C.weighted_mixture_sample(df, {"s_all": 1.0, "s_half": 0.5}).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["s_all"] == 2000           # weight 1.0 keeps everything
+    assert 800 <= by_src["s_half"] <= 1200   # ~50% of 2000, md5-uniform
+    # deterministic: identical second run
+    again = C.weighted_mixture_sample(df, {"s_all": 1.0, "s_half": 0.5}).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # unlisted source -> dropped entirely
+    assert C.weighted_mixture_sample(df, {"s_all": 1.0}).where(
+        F.col("source") == "s_half"
+    ).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must be in"):
+        C.weighted_mixture_sample(df, {"s_all": 1.5})
+
+
+def test_build_vocab_deterministic_ids(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c c")], "doc_id long, text string"
+    )
+    # counts: a=3, b=3, c=3 -> tie-break by token asc: a=0, b=1, c=2
+    out = {r["token"]: (r["token_id"], r["count"]) for r in C.build_vocab(df).collect()}
+    assert out == {"a": (0, 3), "b": (1, 3), "c": (2, 3)}
+    top2 = C.build_vocab(df, max_size=2).collect()
+    assert sorted(r["token"] for r in top2) == ["a", "b"]
+    assert C.build_vocab(df, min_count=4).count() == 0

@@ -185,3 +185,29 @@ def test_unigram_lm_scores_basic(spark):
     assert abs(out[1]["mean_neg_log2p"] - round(exp_a, 6)) < 1e-6
     assert abs(out[2]["mean_neg_log2p"] - round(exp_doc2, 6)) < 1e-6
     assert out[2]["n_tokens"] == 4
+
+
+# -- attribute-partitioned datom store --------------------------------------
+
+def test_materialized_datoms_partition_pruning(spark, tmp_path):
+    """The 100 TB storage shape: datoms partitioned by attribute; an
+    attribute-constrained scan is partition-pruned (PartitionFilters on
+    `a`), and values round-trip exactly — including ':' and '/' in the
+    hive-escaped directory names."""
+    from mbrainz_importer_spark.plans.eav import materialize_datoms, read_datoms
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", 7.0)], "id long, name string, score double"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    path = str(tmp_path / "datom_store")
+    materialize_datoms(datoms, path)
+
+    back = read_datoms(spark, path)
+    assert back.count() == datoms.count()
+
+    one_attr = back.where(F.col("a") == ":t/score")
+    rows = {(r["e"], r["v_num"]) for r in one_attr.collect()}
+    assert rows == {("t:1", 2.5), ("t:2", 7.0)}
+    plan = one_attr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and ":t/score" in plan

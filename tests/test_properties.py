@@ -125,3 +125,58 @@ def test_pipeline_invariants_on_generated_entities(spark, tmp_path, seed):
     # order preservation: gids in file order across batch boundaries
     gids = [e[":artist/gid"] for e in flat]
     assert gids == [e[":gid"] for e in ents]
+
+
+# -- round-3 curation invariants -----------------------------------------
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=128),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_invariants(spark, token_counts, capacity):
+    """For any doc lengths + capacity: offsets tile [0, total) exactly,
+    pack spans are consistent, and every pack index up to the last is
+    realizable."""
+    from mbrainz_importer_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(df, capacity=capacity).collect(), key=lambda r: r["doc_id"]
+    )
+    expect_offset = 0
+    for r in out:
+        assert r["start_offset"] == expect_offset
+        assert r["first_pack"] == r["start_offset"] // capacity
+        assert r["last_pack"] == (r["start_offset"] + r["n_tokens"] - 1) // capacity
+        assert r["n_packs_spanned"] == r["last_pack"] - r["first_pack"] + 1
+        expect_offset += r["n_tokens"]
+    assert expect_offset == sum(token_counts)
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=30), min_size=1, max_size=25))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_spans_conservation(spark, texts):
+    """Span dedup never invents content: kept spans <= total spans per
+    doc, and the global count of kept spans equals the number of DISTINCT
+    spans in the corpus."""
+    from mbrainz_importer_spark.operators import curation as C
+    from mbrainz_importer_spark.operators.text import tokens as _tokens
+
+    rows = [(i, t) for i, t in enumerate(texts) if t.split()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.dedup_spans(df, span_tokens=2).collect()
+    kept_total = sum(r["spans_kept"] for r in out)
+    # distinct spans across the corpus, computed independently
+    import itertools
+    distinct = set()
+    for _, t in rows:
+        toks = t.lower().split()
+        for i in range(0, len(toks), 2):
+            distinct.add(" ".join(toks[i:i + 2]))
+    assert kept_total == len(distinct)
+    for r in out:
+        assert 1 <= r["spans_kept"] <= r["spans_total"]
