@@ -303,6 +303,42 @@ def build_vocab(
     return ranked.select("token", "token_id", "count")
 
 
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """The core BPE-training step (Sennrich et al. 2016): count adjacent
+    symbol pairs across the corpus — here the first iteration, where
+    symbols are characters, so a pair is a 2-char substring of a word —
+    and rank merge candidates by frequency with a deterministic
+    (count DESC, pair ASC) tie-break.
+
+    One explode + one groupBy (map-side combined); the rank window's
+    input is the aggregated pair vocabulary (alphabet², bounded), never
+    the corpus. Returns (pair, count, rank) for the top_k candidates."""
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("count"))
+    w = Window.orderBy(F.col("count").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("pair", "count", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # unigram LM scoring (CCNet-style quality signal)
 # ---------------------------------------------------------------------------

@@ -254,6 +254,126 @@ def synth_ppm_assets(
     )
 
 
+# ---------------------------------------------------------------------------
+# WAV / PCM16 audio — a REAL audio wire format, parsed with the stdlib +
+# numpy alone (RIFF chunks; like netpbm for images, no codec needed)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("n_channels", T.IntegerType(), False),
+    T.StructField("n_samples", T.LongType(), False),
+    T.StructField("duration_s", T.DoubleType(), False),
+    T.StructField("peak", T.IntegerType(), False),
+    T.StructField("rms", T.DoubleType(), False),
+])
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Serialize mono int16 samples as a canonical RIFF/WAVE PCM file."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError(f"expected 1-D int16, got {samples.shape} {samples.dtype}")
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse RIFF/WAVE PCM16: walks chunks (so extra LIST/INFO chunks are
+    tolerated), returns (rate, n_channels, samples int16)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, sz = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", data, pos)
+        elif cid == b"data":
+            raw = data[pos:pos + sz]
+        pos += sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported: format={audio_format} bits={bits}")
+    samples = np.frombuffer(raw, dtype="<i2")
+    return rate, n_ch, samples
+
+
+def synth_wav_assets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_samples: int = 800,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL audio corpus: the text's md5 digest read as 8
+    little-endian int16 samples, cycled to `n_samples`, wrapped in a
+    genuine WAV container. n_samples is a multiple of 8, so per-file
+    stats over all samples equal stats over the 8 digest values — which
+    is what lets the DuckDB oracle recompute them from md5(text) alone."""
+    if n_samples % 8 != 0:
+        raise ValueError("n_samples must be a multiple of 8 (digest cycle)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for text in pdf[text_col]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                base = np.frombuffer(digest, dtype="<i2")
+                samples = np.tile(base, n_samples // 8)
+                contents.append(encode_wav(samples, rate))
+            yield pd.DataFrame({
+                "asset_id": pdf[id_col].astype("int64"),
+                "content": contents,
+                "mime": "audio/wav",
+            })
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=ASSET_SCHEMA
+    )
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode + feature extraction: duration, peak
+    (max |sample|), RMS — the audio analog of decode_image_pixels, with
+    the same production plumbing (mapInPandas over the binary column).
+    Integer sums stay exact in float64, so rms is engine-reproducible."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                rate, n_ch, s = decode_wav(bytes(content))
+                x = s.astype(np.float64)
+                rows.append((
+                    int(asset_id), int(rate), int(n_ch), len(s),
+                    len(s) / rate / n_ch,
+                    int(np.max(np.abs(x))) if len(s) else 0,
+                    round(float(np.sqrt(np.mean(x * x))), 6) if len(s) else 0.0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "peak", "rms",
+                ],
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def frame_sample_stub(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' over binary content: deterministic byte-stride
     sampling standing in for video frame extraction; demonstrates the

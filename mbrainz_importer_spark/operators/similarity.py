@@ -38,6 +38,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in LONG form — (label, dim, centroid_val) —
+    the building block for class prototypes / SemDeDup-style cluster
+    representatives. posexplode + one (label, dim) groupBy: map-side
+    combined, no array re-assembly (long form joins/compares directly
+    and avoids engine-specific array equality)."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("__v").cast("double")), 6).alias("centroid_val")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -134,6 +134,38 @@ def index_range(
     return out.orderBy(*(["v_num", "e"] if numeric else ["v", "e"]))
 
 
+def seek_datoms(
+    datoms: DataFrame,
+    index: str = "eavt",
+    start: tuple = (),
+) -> DataFrame:
+    """`d/seek-datoms`: the index scan starting AT (not filtered to) a
+    component boundary — all datoms >= `start` in the chosen index's
+    lexicographic order, e.g. seek_datoms(d, 'avet', (':t/score',))
+    starts at that attribute and continues through every later one.
+    Compiled to a pushdown-able OR-chain of comparisons (no UDF)."""
+    if index not in _INDEX_ORDERS:
+        raise ValueError(f"index must be one of {sorted(_INDEX_ORDERS)}: {index}")
+    order = _INDEX_ORDERS[index]
+    if len(start) > len(order):
+        raise ValueError(f"start tuple longer than index components {order}")
+    cond = None
+    # lexicographic >=: (c0 > s0) OR (c0 = s0 AND c1 > s1) OR ... OR (all =)
+    for i in range(len(start)):
+        leg = F.col(order[i]) > F.lit(start[i])
+        for j in range(i):
+            leg = (F.col(order[j]) == F.lit(start[j])) & leg
+        cond = leg if cond is None else (cond | leg)
+    if start:
+        eq = None
+        for j in range(len(start)):
+            e = F.col(order[j]) == F.lit(start[j])
+            eq = e if eq is None else (eq & e)
+        cond = cond | eq
+    out = datoms.where(cond) if cond is not None else datoms
+    return out.orderBy(*order)
+
+
 def build_datoms(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
     """Union the datom views of {table: (df, id_col)}."""
     out = None

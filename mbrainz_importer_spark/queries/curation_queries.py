@@ -112,6 +112,32 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.build_vocab(docs, "text", min_count=2, max_size=50).orderBy("token_id")
 
 
+def bpe_merge_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration: adjacent character-pair counts
+    across all corpus words, top-50 merge candidates, deterministic
+    (count DESC, pair ASC) ranking."""
+    docs = load(spark, sf_dir, "documents")
+    return C.bpe_merge_candidates(docs, "text", top_k=50).orderBy("rank")
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, value)."""
+    from ..operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding").orderBy("label", "dim")
+
+
+def seek_datoms_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/seek-datoms: AVET scan starting at (':nation/n_name', 'E') —
+    continues through later values of that attribute AND every later
+    attribute (lexicographic resume point, not a filter)."""
+    from ..plans.eav import build_datoms, seek_datoms
+
+    datoms = build_datoms({"nation": (load(spark, sf_dir, "nation"), "n_nationkey")})
+    return seek_datoms(datoms, "avet", (":nation/n_name", "E"))
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "dedup_span_level": dedup_span_level,
@@ -121,6 +147,9 @@ QUERIES = {
     "unigram_lm_scores": unigram_lm_scores,
     "mixture_sample": mixture_sample,
     "vocab_top_tokens": vocab_top_tokens,
+    "bpe_merge_candidates": bpe_merge_candidates_q,
+    "embedding_label_centroids": embedding_label_centroids,
+    "seek_datoms_scan": seek_datoms_scan,
 }
 
 ORACLES = {
@@ -235,6 +264,63 @@ ORACLES = {
         FROM counts
         QUALIFY token_id < 50
         ORDER BY token_id
+    """,
+    "bpe_merge_candidates": f"""
+        WITH words AS (
+            SELECT w FROM (
+                SELECT u.w AS w
+                FROM (SELECT {_SQL_TOKS} AS t FROM documents), UNNEST(t) AS u(w)
+            ) WHERE length(w) >= 2
+        ),
+        pairs AS (
+            SELECT u.pair FROM (
+                SELECT list_transform(range(1, length(w)),
+                                      i -> substr(w, CAST(i AS INT), 2)) AS ps
+                FROM words
+            ), UNNEST(ps) AS u(pair)
+        ),
+        counts AS (SELECT pair, count(*) AS count FROM pairs GROUP BY pair)
+        SELECT pair, count,
+               CAST(row_number() OVER (ORDER BY count DESC, pair) AS BIGINT) AS rank
+        FROM counts
+        QUALIFY rank <= 50
+        ORDER BY rank
+    """,
+    "embedding_label_centroids": """
+        SELECT label,
+               CAST(u.s.i - 1 AS INT) AS dim,
+               round(avg(CAST(u.s.v AS DOUBLE)), 6) AS centroid_val
+        FROM (
+            SELECT label,
+                   list_transform(range(1, len(embedding) + 1),
+                                  i -> {'i': i, 'v': embedding[i]}) AS ps
+            FROM embeddings
+        ), UNNEST(ps) AS u(s)
+        GROUP BY label, dim
+        ORDER BY label, dim
+    """,
+    "seek_datoms_scan": r"""
+        WITH datoms AS (
+            SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)) AS e,
+                   ':nation/n_nationkey' AS a,
+                   CAST(n_nationkey AS VARCHAR) AS v,
+                   CAST(n_nationkey AS DOUBLE) AS v_num
+            FROM nation
+            UNION ALL
+            SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)),
+                   ':nation/n_name', n_name, NULL
+            FROM nation
+            UNION ALL
+            SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)),
+                   ':nation/n_regionkey',
+                   CAST(n_regionkey AS VARCHAR),
+                   CAST(n_regionkey AS DOUBLE)
+            FROM nation
+        )
+        SELECT e, a, v, v_num
+        FROM datoms
+        WHERE a > ':nation/n_name' OR (a = ':nation/n_name' AND v >= 'E')
+        ORDER BY a, v, e
     """,
     "unigram_lm_scores": f"""
         WITH toks AS (

@@ -184,6 +184,17 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_meta(assets).orderBy("asset_id")
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize genuine WAV/PCM16 files
+    (samples = md5(text) digest as 8 LE int16s, cycled to 800), decode
+    them with the stdlib RIFF parser, emit duration/peak/RMS. The oracle
+    recomputes the stats straight from md5(text) — a one-byte encoder or
+    decoder error diverges the hash (same trick as the PPM gate)."""
+    docs = load(spark, sf_dir, "documents")
+    assets = M.synth_wav_assets(docs, "doc_id", "text", n_samples=800, rate=8000)
+    return M.audio_features(assets).orderBy("asset_id")
+
+
 def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize genuine binary PPM files
     (pixel bytes = md5(text) cycled), decode them with the numpy netpbm
@@ -267,6 +278,7 @@ QUERIES = {
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,
     "multimodal_pixel_decode": multimodal_pixel_decode,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 
@@ -599,6 +611,28 @@ ORACLES = {
             WHERE q.vec_id < 50
         ) WHERE rank <= 3
         ORDER BY qid, rank
+    """,
+    "multimodal_audio_features": """
+        WITH d AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents),
+        s AS (
+            SELECT asset_id,
+                   list_transform(
+                       list_transform(range(0, 8), i ->
+                           try_cast('0x' || substr(h, 4*i + 3, 2) AS INTEGER) * 256
+                           + try_cast('0x' || substr(h, 4*i + 1, 2) AS INTEGER)),
+                       u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS vals
+            FROM d
+        )
+        SELECT asset_id,
+               8000 AS sample_rate,
+               1 AS n_channels,
+               CAST(800 AS BIGINT) AS n_samples,
+               CAST(0.1 AS DOUBLE) AS duration_s,
+               CAST(list_aggregate(list_transform(vals, v -> abs(v)), 'max') AS INTEGER)
+                   AS peak,
+               round(sqrt(list_aggregate(
+                   list_transform(vals, v -> CAST(v AS DOUBLE) * v), 'avg')), 6) AS rms
+        FROM s ORDER BY asset_id
     """,
     "multimodal_pixel_decode": """
         WITH d AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents),

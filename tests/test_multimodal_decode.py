@@ -91,3 +91,57 @@ def test_non_decodable_mime_raises(spark):
     )
     with pytest.raises(Exception, match="no decoder for mime|PythonException"):
         decode_image_pixels(assets).collect()
+
+
+# -- WAV / PCM16 audio ------------------------------------------------------
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+    from mbrainz_importer_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
+    rate, n_ch, back = decode_wav(encode_wav(samples, rate=16000))
+    assert rate == 16000 and n_ch == 1
+    assert np.array_equal(back, samples)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, rate=16000)), "audio/wav")],
+        "asset_id long, content binary, mime string",
+    )
+    row = audio_features(df).collect()[0]
+    assert row["sample_rate"] == 16000
+    assert row["n_samples"] == 6
+    assert row["peak"] == 32768
+    assert abs(row["duration_s"] - 6 / 16000) < 1e-12
+    expect_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert abs(row["rms"] - round(expect_rms, 6)) < 1e-9
+
+
+def test_wav_decode_rejects_garbage():
+    import numpy as np
+    import pytest
+    from mbrainz_importer_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    with pytest.raises(ValueError, match="expected 1-D int16"):
+        encode_wav(np.zeros((2, 2), dtype=np.int16))
+
+
+def test_wav_tolerates_extra_chunks():
+    import numpy as np
+    import struct
+    from mbrainz_importer_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = np.arange(4, dtype=np.int16)
+    wav = encode_wav(samples, rate=8000)
+    # splice a LIST chunk between fmt and data (odd size -> word padding)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    rate, n_ch, back = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(back, samples)

@@ -211,3 +211,47 @@ def test_materialized_datoms_partition_pruning(spark, tmp_path):
     assert rows == {("t:1", 2.5), ("t:2", 7.0)}
     plan = one_attr._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and ":t/score" in plan
+
+
+# -- seek-datoms / bpe / centroids ------------------------------------------
+
+def test_seek_datoms_resumes_not_filters(spark):
+    from mbrainz_importer_spark.plans.eav import seek_datoms
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 5.0), (2, "echo", 6.0)], "id long, name string, score double"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    # start mid-way through :t/name: picks up 'echo' (>= 'c') AND every
+    # later attribute (:t/score), but NOT earlier ones (:t/id, 'alpha')
+    rows = seek_datoms(datoms, "avet", (":t/name", "c")).collect()
+    seen = [(r["a"], r["v"]) for r in rows]
+    assert (":t/name", "echo") in seen
+    assert (":t/name", "alpha") not in seen
+    assert (":t/id", "1") not in seen
+    assert (":t/score", "5") in seen and (":t/score", "6") in seen
+    with pytest.raises(ValueError, match="longer than index"):
+        seek_datoms(datoms, "avet", ("a", "b", "c", "d"))
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from mbrainz_importer_spark.operators.curation import bpe_merge_candidates
+
+    df = spark.createDataFrame([(1, "abab ab cd")], "doc_id long, text string")
+    # words: abab -> pairs ab, ba, ab ; ab -> ab ; cd -> cd
+    out = {r["pair"]: (r["count"], r["rank"]) for r in bpe_merge_candidates(df).collect()}
+    assert out["ab"] == (3, 1)
+    assert out["ba"][0] == 1 and out["cd"][0] == 1
+    # deterministic tie-break: ba before cd alphabetically
+    assert out["ba"][1] == 2 and out["cd"][1] == 3
+
+
+def test_label_centroids_long_form(spark):
+    from mbrainz_importer_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0], 7), (2, [3.0, 5.0], 7), (3, [10.0, 0.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["dim"]): r["centroid_val"] for r in label_centroids(df).collect()}
+    assert out == {(7, 0): 2.0, (7, 1): 4.0, (8, 0): 10.0, (8, 1): 0.0}
