@@ -21,14 +21,57 @@ from .similarity import cosine
 IVF_SEED = 42
 
 
-def train_centroids(df: DataFrame, vec_col: str = "embedding", n_cells: int = 16) -> list[list[float]]:
-    """Seeded KMeans over the corpus; returns centroid vectors."""
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Seeded KMeans over the corpus; returns centroid vectors.
+
+    Training is SEPARABLE from querying: centroids are a statistic of
+    the embedding distribution, so at production scale they are trained
+    offline on a sample and shipped to `ivf_topk` as plan literals —
+    query latency never includes the KMeans iterations."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     ml_df = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=IVF_SEED, maxIter=20).fit(ml_df)
+    model = KMeans(k=n_cells, seed=IVF_SEED, maxIter=max_iter).fit(ml_df)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def train_centroids_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    max_iter: int = 8,
+    sample_limit: int = 4096,
+    seed: int = IVF_SEED,
+) -> list[list[float]]:
+    """Driver-side seeded KMeans (Lloyd's, numpy) on a bounded ordered
+    sample — the offline-training shape production IVF uses: centroid
+    fitting needs only a distribution sample, so <=sample_limit vectors
+    come to the driver (a TakeOrdered, deterministic by `id_col`) and
+    the corpus itself never does. Orders of magnitude cheaper than
+    spinning Spark ML jobs per iteration for what is driver-scale math."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if len(X) < n_cells:
+        raise ValueError(f"sample of {len(X)} vectors < n_cells={n_cells}")
+    rng = np.random.RandomState(seed)
+    centers = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+        assign = d2.argmin(axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in centers]
 
 
 def _nearest_cells(vec_col: F.Column, centroids: list[list[float]], n: int) -> F.Column:

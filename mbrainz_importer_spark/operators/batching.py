@@ -30,31 +30,38 @@ from pyspark.sql import types as T
 
 _MAX_BUCKETS = 256
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+# Largest bucket may hold this multiple of the ideal share before the
+# interpolated boundaries are declared skewed and recomputed from quantiles.
+_SKEW_FACTOR = 4.0
 
 
-def _boundaries(df: DataFrame, col: str, k: int) -> list:
-    """Driver-side ordered boundary values for the leading sort key.
-    Approximate is fine: boundaries only balance buckets, never affect
-    correctness."""
-    k = min(k, _MAX_BUCKETS)
-    if k <= 1:
+def _interp_boundaries(df: DataFrame, col: str, k: int) -> list:
+    """Numeric fast path: one cheap min/max aggregate + fixed-width
+    interpolation instead of an approxQuantile pass (measured ~2s faster
+    on the sf0.1 bench). Balanced only when the key is roughly uniform —
+    callers re-bucket via `_quantile_boundaries` when the observed bucket
+    counts come back skewed (heavy tail / outlier max)."""
+    row = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None or lo == hi:
         return []
-    dt = df.schema[col].dataType
-    if isinstance(dt, _NUMERIC):
-        # one cheap min/max aggregate + fixed-width interpolation instead
-        # of an approxQuantile pass (measured ~2s faster on the sf0.1
-        # bench). Boundaries only balance buckets — a skewed key skews
-        # bucket sizes but never correctness; the window inside each
-        # bucket stays parallel either way.
-        row = df.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
-        ).collect()[0]
-        lo, hi = row["lo"], row["hi"]
-        if lo is None or hi is None or lo == hi:
-            return []
-        step = (hi - lo) / k
-        return sorted({lo + i * step for i in range(1, k)})
+    step = (hi - lo) / k
+    return sorted({lo + i * step for i in range(1, k)})
+
+
+def _quantile_boundaries(df: DataFrame, col: str, k: int, numeric: bool) -> list:
+    """Distribution-aware boundaries: approxQuantile for numeric keys
+    (one Greenwald-Khanna pass — robust to any shape), a bounded sorted
+    sample otherwise. Used as the skew fallback and as the direct path
+    for non-numeric keys."""
+    if numeric:
+        probs = [i / k for i in range(1, k)]
+        vals = df.stat.approxQuantile(col, probs, 0.001)
+        return sorted({v for v in vals if v is not None})
     sample = (
         df.select(col).na.drop().sample(fraction=0.01, seed=42).limit(k * 64).collect()
     )
@@ -63,6 +70,31 @@ def _boundaries(df: DataFrame, col: str, k: int) -> list:
         return vals
     step = len(vals) / k
     return [vals[int(i * step)] for i in range(1, k)]
+
+
+def _boundaries(df: DataFrame, col: str, k: int, strategy: str = "interpolate") -> list:
+    """Driver-side ordered boundary values for the leading sort key.
+    Approximate is fine: boundaries only balance buckets, never affect
+    correctness."""
+    k = min(k, _MAX_BUCKETS)
+    if k <= 1:
+        return []
+    numeric = isinstance(df.schema[col].dataType, _NUMERIC)
+    if numeric and strategy != "quantile":
+        return _interp_boundaries(df, col, k)
+    return _quantile_boundaries(df, col, k, numeric)
+
+
+def _skewed(counts: dict, k: int) -> bool:
+    """True when the largest observed bucket dwarfs the ideal share —
+    the signal that interpolated boundaries landed on a heavy-tailed key
+    (e.g. one outlier max stretching the [min,max] range) and the
+    in-bucket window would degenerate toward a single partition."""
+    total = sum(counts.values())
+    if total == 0 or min(k, _MAX_BUCKETS) <= 1:
+        return False
+    ideal = total / min(k, _MAX_BUCKETS)
+    return max(counts.values()) > _SKEW_FACTOR * max(ideal, 1.0)
 
 
 def _bucket_expr(col: Column, bounds: list, numeric: bool) -> Column:
@@ -74,28 +106,58 @@ def _bucket_expr(col: Column, bounds: list, numeric: bool) -> Column:
     return F.when(col.isNull(), F.lit(-1)).otherwise(expr)
 
 
+def _bucketed_with_stats(
+    df: DataFrame,
+    lead: str,
+    k: int,
+    numeric: bool,
+    strategy: str,
+    value_expr: Column | None,
+):
+    """Bucket rows by boundary literals on `lead` and collect the <=257
+    per-bucket stat rows (count, and sum of `value_expr` when given).
+    With strategy='auto' the cheap interpolated boundaries are tried
+    first; if the observed counts come back skewed (heavy-tailed key),
+    boundaries are recomputed from approxQuantile and the rows are
+    re-bucketed — one extra bounded pass paid only in the skewed case."""
+    first = "interpolate" if strategy == "auto" else strategy
+    bounds = _boundaries(df, lead, k, first)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_expr is not None:
+        aggs = aggs + [F.sum(value_expr).alias("s")]
+
+    bucketed = df.withColumn("__bkt", _bucket_expr(F.col(lead), bounds, numeric))
+    rows = bucketed.groupBy("__bkt").agg(*aggs).collect()
+
+    if strategy == "auto" and numeric and _skewed({r["__bkt"]: r["cnt"] for r in rows}, k):
+        qbounds = _boundaries(df, lead, k, "quantile")
+        if qbounds and qbounds != bounds:
+            bucketed = df.withColumn("__bkt", _bucket_expr(F.col(lead), qbounds, numeric))
+            rows = bucketed.groupBy("__bkt").agg(*aggs).collect()
+    return bucketed, rows
+
+
 def stable_row_number(
     df: DataFrame,
     order_cols: list[str],
     out_col: str = "rn",
     num_buckets: int | None = None,
+    boundary_strategy: str = "auto",
 ) -> DataFrame:
     """Global 1-based row numbers by `order_cols`, no single-partition
     window. Ties order by the remaining `order_cols`; rows identical on all
     of them get an arbitrary-but-deterministic relative order within a
-    bucket."""
+    bucket.
+
+    `boundary_strategy`: 'auto' (default) tries min/max interpolation and
+    falls back to approxQuantile when the buckets come back skewed;
+    'interpolate' / 'quantile' force one path."""
     spark = df.sparkSession
     k = num_buckets or spark.sparkContext.defaultParallelism
     lead = order_cols[0]
     numeric = isinstance(df.schema[lead].dataType, _NUMERIC)
-    bounds = _boundaries(df, lead, k)
-
-    bucketed = df.withColumn("__bkt", _bucket_expr(F.col(lead), bounds, numeric))
-
-    counts = {
-        r["__bkt"]: r["cnt"]
-        for r in bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    bucketed, rows = _bucketed_with_stats(df, lead, k, numeric, boundary_strategy, None)
+    counts = {r["__bkt"]: r["cnt"] for r in rows}
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
@@ -121,36 +183,46 @@ def stable_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     num_buckets: int | None = None,
+    boundary_strategy: str = "auto",
 ) -> DataFrame:
     """Inclusive running sum of `value_col` in `order_cols` order, with the
     same value-bucketed two-phase plan as stable_row_number: parallel
     in-bucket window sums plus a driver-side exclusive prefix of <=256
-    bucket subtotals. No single-partition window at any scale."""
+    bucket subtotals. No single-partition window at any scale.
+
+    The sum is typed by the input: integral `value_col` accumulates as
+    long, anything else (float/double/decimal) as double — fractional
+    values are never silently truncated."""
     spark = df.sparkSession
     k = num_buckets or spark.sparkContext.defaultParallelism
     lead = order_cols[0]
     numeric = isinstance(df.schema[lead].dataType, _NUMERIC)
-    bounds = _boundaries(df, lead, k)
+    integral = isinstance(df.schema[value_col].dataType, _INTEGRAL)
+    sum_type = "long" if integral else "double"
+    value_expr = F.col(value_col).cast(sum_type)
 
-    bucketed = df.withColumn("__bkt", _bucket_expr(F.col(lead), bounds, numeric))
-    sums = {
-        r["__bkt"]: r["s"]
-        for r in bucketed.groupBy("__bkt")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
+    bucketed, rows = _bucketed_with_stats(
+        df, lead, k, numeric, boundary_strategy, value_expr
+    )
+    sums = {r["__bkt"]: r["s"] for r in rows}
+    offsets, acc = {}, 0 if integral else 0.0
     for b in sorted(sums):
         offsets[b] = acc
         acc += sums[b] or 0
 
     if offsets:
         offset_expr = F.element_at(
-            F.create_map(*[F.lit(x) for b in offsets for x in (b, offsets[b])]),
+            F.create_map(
+                *[
+                    x
+                    for b in offsets
+                    for x in (F.lit(b), F.lit(offsets[b]).cast(sum_type))
+                ]
+            ),
             F.col("__bkt"),
         )
     else:
-        offset_expr = F.lit(0)
+        offset_expr = F.lit(0).cast(sum_type)
     w = (
         Window.partitionBy("__bkt")
         .orderBy(*[F.col(c) for c in order_cols])
@@ -159,7 +231,7 @@ def stable_cumsum(
     return (
         bucketed.withColumn(
             out_col,
-            (F.sum(F.col(value_col).cast("long")).over(w) + offset_expr).cast("long"),
+            (F.sum(value_expr).over(w) + offset_expr).cast(sum_type),
         ).drop("__bkt")
     )
 

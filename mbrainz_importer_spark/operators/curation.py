@@ -157,6 +157,11 @@ def pack_sequences(
     value-bucketed two-phase cumulative sum, never a 1-partition window.
     Pass `n_tokens_col` when the caller already counted tokens (e.g. for
     a length filter) so the text is not re-tokenized.
+
+    Zero-token documents occupy no pack: their pack ids are null and
+    n_packs_spanned is 0 (a naive floor((cum-1)/capacity) would hand
+    them last_pack = first_pack - 1, a nonsense id downstream loaders
+    would trip over).
     """
     if n_tokens_col is not None:
         with_n = df.select(
@@ -168,13 +173,26 @@ def pack_sequences(
         )
     cum = stable_cumsum(with_n, [id_col], "n_tokens", out_col="__cum")
     start = F.col("__cum") - F.col("n_tokens")
+    empty = F.col("n_tokens") <= 0
+    null_id = F.lit(None).cast("long")
     return cum.select(
         F.col(id_col),
         "n_tokens",
         start.alias("start_offset"),
-        F.floor(start / capacity).cast("long").alias("first_pack"),
-        F.floor((F.col("__cum") - 1) / capacity).cast("long").alias("last_pack"),
-    ).withColumn("n_packs_spanned", F.col("last_pack") - F.col("first_pack") + 1)
+        F.when(empty, null_id)
+        .otherwise(F.floor(start / capacity))
+        .cast("long")
+        .alias("first_pack"),
+        F.when(empty, null_id)
+        .otherwise(F.floor((F.col("__cum") - 1) / capacity))
+        .cast("long")
+        .alias("last_pack"),
+    ).withColumn(
+        "n_packs_spanned",
+        F.when(F.col("first_pack").isNull(), F.lit(0))
+        .otherwise(F.col("last_pack") - F.col("first_pack") + 1)
+        .cast("long"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -266,9 +284,7 @@ def weighted_mixture_sample(
         / F.lit(float(1 << 60))
     )
     w_map = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
-    rate = F.coalesce(
-        w_map.getItem(F.col(group_col)), F.lit(0.0)
-    )
+    rate = F.coalesce(F.element_at(w_map, F.col(group_col)), F.lit(0.0))
     return df.where(u < rate)
 
 

@@ -236,14 +236,18 @@ def excise(
     audit datom recording that an excision happened at `tx`; after it,
     as_of at ANY time shows nothing for the entity.
 
-    The returned log = (log minus the entity's datoms) + one audit op
-    (e=entity, a=':db/excise', tx=tx). The filter is a pushdown
+    The returned log = (log minus the entity's datoms) + one audit op.
+    As in Datomic, the audit lives on a FRESH excision entity (here
+    'db.excise:{entity}:{tx}', carrying the target in its id the way
+    Datomic's excision entity carries it in :db/excise) — asserting it
+    under the excised id would make as_of(t >= tx) show a datom for an
+    entity whose every trace was just erased. The filter is a pushdown
     predicate — at scale this is the one operation that rewrites
     storage, exactly as in Datomic (excision is a segment rewrite
     there too)."""
     survivors = log.where(F.col("e") != entity)
     audit = log.sparkSession.createDataFrame(
-        [(entity, ":db/excise", None, tx, True)],
+        [(f"db.excise:{entity}:{tx}", ":db/excise", None, tx, True)],
         f"e string, a string, {value_col} double, tx long, added boolean",
     )
     return survivors.unionByName(audit)

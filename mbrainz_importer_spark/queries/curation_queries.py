@@ -212,10 +212,13 @@ ORACLES = {
         SELECT doc_id,
                CAST(n AS BIGINT) AS n_tokens,
                CAST(c - n AS BIGINT) AS start_offset,
-               CAST(floor((c - n) / 64.0) AS BIGINT) AS first_pack,
-               CAST(floor((c - 1) / 64.0) AS BIGINT) AS last_pack,
-               CAST(floor((c - 1) / 64.0) - floor((c - n) / 64.0) + 1 AS BIGINT)
-                   AS n_packs_spanned
+               CASE WHEN n <= 0 THEN NULL
+                    ELSE CAST(floor((c - n) / 64.0) AS BIGINT) END AS first_pack,
+               CASE WHEN n <= 0 THEN NULL
+                    ELSE CAST(floor((c - 1) / 64.0) AS BIGINT) END AS last_pack,
+               CASE WHEN n <= 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((c - 1) / 64.0) - floor((c - n) / 64.0) + 1 AS BIGINT)
+                    END AS n_packs_spanned
         FROM cum
         ORDER BY doc_id
     """,

@@ -53,11 +53,31 @@ def watch_entities_of(reports: DataFrame, entity_prefix: str) -> DataFrame:
 def tx_summaries(reports: DataFrame) -> DataFrame:
     """Per-transaction report envelope: tx -> datom count, asserts,
     retracts — the {:tx-data ...} summary a reporting listener computes.
-    Complete per micro-batch in append terms only if a tx never spans
-    files; the idempotent sink's committer guarantees exactly that
-    (one batch = one atomic file set)."""
+
+    On a BATCH DataFrame this is a plain aggregation. On the streaming
+    face a bare groupBy is a global stateful aggregation that cannot run
+    in append output mode — use `watch_summaries` (foreachBatch) for the
+    per-micro-batch envelope, or run this under update/complete mode
+    accepting stateful reaggregation. The per-batch envelope is complete
+    only if a tx never spans files; the idempotent sink's committer
+    guarantees exactly that (one batch = one atomic file set)."""
     return reports.groupBy("tx").agg(
         F.count(F.lit(1)).alias("n_datoms"),
         F.sum(F.when(F.col("added"), 1).otherwise(0)).cast("long").alias("n_asserts"),
         F.sum(F.when(~F.col("added"), 1).otherwise(0)).cast("long").alias("n_retracts"),
     )
+
+
+def watch_summaries(reports: DataFrame, emit):
+    """Streaming tx-report listener: a foreachBatch writer that computes
+    `tx_summaries` over each micro-batch (a bounded, batch-mode
+    DataFrame — no stateful aggregation, any output mode) and hands the
+    envelope to `emit(envelope_df, batch_id)`. Returns the
+    DataStreamWriter; callers add trigger/checkpoint options and
+    .start(). This is the Datomic `(take! tx-report-queue)` loop shape:
+    one delivered report per committed batch, exactly-once via the
+    checkpointed cursor."""
+    def _deliver(batch_df: DataFrame, batch_id: int) -> None:
+        emit(tx_summaries(batch_df), batch_id)
+
+    return reports.writeStream.foreachBatch(_deliver)

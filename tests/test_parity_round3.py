@@ -129,13 +129,13 @@ def test_excise_erases_history_unlike_retract(spark):
     retracted = retract_entity(log, "u:1", tx=10)
     assert as_of(retracted, 5).where(F.col("e") == "u:1").count() == 2
     assert as_of(retracted, 10).where(F.col("e") == "u:1").count() == 0
-    # excision: gone at EVERY time, audit datom present in the raw log
+    # excision: gone at EVERY time (no filter needed — the audit datom
+    # lives on a fresh excision entity, never the excised id)
     excised = excise(log, "u:1", tx=10)
-    assert as_of(excised.where(F.col("a") != ":db/excise"), 5).where(
-        F.col("e") == "u:1"
-    ).count() == 0
+    assert as_of(excised, 5).where(F.col("e") == "u:1").count() == 0
+    assert as_of(excised, 10).where(F.col("e") == "u:1").count() == 0
     audit = excised.where(F.col("a") == ":db/excise").collect()
-    assert len(audit) == 1 and audit[0]["e"] == "u:1" and audit[0]["tx"] == 10
+    assert len(audit) == 1 and audit[0]["e"] == "db.excise:u:1:10" and audit[0]["tx"] == 10
     # other entities untouched
     assert as_of(excised, 2).where(F.col("e") == "u:2").count() == 0
     assert as_of(excised, 3).where(F.col("e") == "u:2").count() == 1
