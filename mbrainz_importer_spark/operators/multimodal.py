@@ -7,11 +7,14 @@ signatures, batch shapes. Pixel decode is REAL for the netpbm family
 pure-numpy wire format, no codec library required): `decode_netpbm`
 parses the header (incl. comments) and `decode_image_pixels` runs it
 Arrow-batched over the binary column, with nearest-neighbor resize and
-histogram feature extraction as numpy post-stages. Formats that DO need
-an external codec (JPEG/PNG/ffmpeg audio+video) remain gated behind the
-PIL import probe: absent in this container, `decode_image_pixels` raises
+histogram feature extraction as numpy post-stages. Audio decode is REAL
+for RIFF/WAVE PCM16 (`decode_wav`), and video decode is REAL for
+concatenated-PNM streams (`decode_pnm_video` — multi-image netpbm, the
+layout `pnmsplit` reads). Formats that DO need an external codec
+(JPEG/PNG/ffmpeg-compressed audio+video) remain gated behind the PIL
+import probe: absent in this container, `decode_image_pixels` raises
 for them with a clear message rather than faking pixels — swapping in
-the codec changes only `_decode_one`, never the distributed plumbing.
+the codec changes only the decode body, never the distributed plumbing.
 """
 
 from __future__ import annotations
@@ -102,16 +105,18 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
-def decode_netpbm(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Parse a binary netpbm image (P4/P5/P6, comments allowed) into
-    (width, height, channels, pixels[h, w, c] uint8). Raises ValueError
-    on malformed input — never fabricates pixels."""
-    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"456":
-        raise ValueError(f"not a binary netpbm image: {data[:8]!r}")
-    magic = data[:2].decode()
+def _decode_netpbm_at(data: bytes, base: int) -> tuple[int, int, int, np.ndarray, int]:
+    """Parse one binary netpbm image starting at byte offset `base`;
+    returns (width, height, channels, pixels, end_offset). The explicit
+    end offset is what lets a concatenated-PNM stream (the multi-image
+    format `pnmsplit` reads — our raw-video container) be walked
+    image-by-image. Raises ValueError on malformed input."""
+    if len(data) - base < 2 or data[base:base + 1] != b"P" or data[base + 1:base + 2] not in b"456":
+        raise ValueError(f"not a binary netpbm image at offset {base}: {data[base:base + 8]!r}")
+    magic = data[base:base + 2].decode()
 
     # header tokenizer: whitespace-separated ints, '#' comments to EOL
-    pos = 2
+    pos = base + 2
     tokens: list[int] = []
     need = 2 if magic == "P4" else 3  # P4 has no maxval
     while len(tokens) < need:
@@ -141,16 +146,27 @@ def decode_netpbm(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
     if magic == "P4":  # 1 bit/pixel, rows padded to whole bytes
         row_bytes = (w + 7) // 8
-        raw = np.frombuffer(data, np.uint8, count=h * row_bytes, offset=pos)
+        n = h * row_bytes
+        if len(data) - pos < n:
+            raise ValueError(f"truncated pixel data: want {n}, have {len(data) - pos}")
+        raw = np.frombuffer(data, np.uint8, count=n, offset=pos)
         bits = np.unpackbits(raw.reshape(h, row_bytes), axis=1)[:, :w]
         # PBM: 1 = black; normalize to intensity (0/255, white=255)
-        return w, h, 1, ((1 - bits) * 255).astype(np.uint8)[..., None]
+        return w, h, 1, ((1 - bits) * 255).astype(np.uint8)[..., None], pos + n
     channels = 1 if magic == "P5" else 3
     n = w * h * channels
     if len(data) - pos < n:
         raise ValueError(f"truncated pixel data: want {n}, have {len(data) - pos}")
     px = np.frombuffer(data, np.uint8, count=n, offset=pos)
-    return w, h, channels, px.reshape(h, w, channels)
+    return w, h, channels, px.reshape(h, w, channels), pos + n
+
+
+def decode_netpbm(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary netpbm image (P4/P5/P6, comments allowed) into
+    (width, height, channels, pixels[h, w, c] uint8). Raises ValueError
+    on malformed input — never fabricates pixels."""
+    w, h, c, px, _ = _decode_netpbm_at(data, 0)
+    return w, h, c, px
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -374,20 +390,117 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
-def frame_sample_stub(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """'Frame sampling' over binary content: deterministic byte-stride
-    sampling standing in for video frame extraction; demonstrates the
-    explode-to-frames schema (one row per sampled frame)."""
-    return (
-        decode_image_meta(assets)
-        .select(
-            "asset_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.floor((F.col("byte_len") - 1) / every_n_bytes).cast("long"),
-                )
-            ).alias("frame_no"),
-        )
-        .withColumn("frame_no", F.col("frame_no").cast("int"))
+# ---------------------------------------------------------------------------
+# raw video — a concatenated-PNM stream (the multi-image netpbm format:
+# frames back-to-back, each self-describing; `pnmsplit` reads the same
+# layout). REAL decode: frame offsets come from walking the headers.
+# ---------------------------------------------------------------------------
+
+VIDEO_MIME = "video/x-portable-anymap-stream"
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("channels", T.IntegerType(), False),
+    T.StructField("mean_intensity", T.DoubleType(), False),
+    T.StructField("min_px", T.IntegerType(), False),
+    T.StructField("max_px", T.IntegerType(), False),
+])
+
+
+def encode_pnm_video(frames: list[np.ndarray]) -> bytes:
+    """Serialize (h, w, 3) uint8 frames as a concatenated-PNM stream."""
+    if not frames:
+        raise ValueError("a video needs at least one frame")
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_pnm_video(data: bytes) -> list[tuple[int, int, int, np.ndarray]]:
+    """Walk a concatenated-PNM stream into its frames
+    [(width, height, channels, pixels), ...]. Every byte must belong to
+    a well-formed frame — truncation or trailing garbage raises
+    ValueError rather than yielding a partial read."""
+    if not data:
+        raise ValueError("empty video stream")
+    frames, pos = [], 0
+    while pos < len(data):
+        w, h, c, px, pos = _decode_netpbm_at(data, pos)
+        frames.append((w, h, c, px))
+    return frames
+
+
+def synth_pnm_video_assets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_frames: int = 6,
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic REAL video corpus: frame k's pixel bytes are the
+    md5 digest of '{text}:{k}' cycled to w*h*3, each frame a genuine P6
+    image, the stream their concatenation. Reproducible from the text
+    alone, so the DuckDB oracle recomputes per-frame stats from
+    md5(text || ':' || k) independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height * 3
+        for pdf in batches:
+            contents = []
+            for text in pdf[text_col]:
+                frames = []
+                for k in range(n_frames):
+                    digest = hashlib.md5(f"{text}:{k}".encode("utf-8")).digest()
+                    reps = -(-n // len(digest))  # ceil
+                    px = np.frombuffer((digest * reps)[:n], np.uint8)
+                    frames.append(px.reshape(height, width, 3).copy())
+                contents.append(encode_pnm_video(frames))
+            yield pd.DataFrame({
+                "asset_id": pdf[id_col].astype("int64"),
+                "content": contents,
+                "mime": VIDEO_MIME,
+            })
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=ASSET_SCHEMA
     )
+
+
+def video_frame_features(assets: DataFrame, sample_every: int = 2) -> DataFrame:
+    """REAL video frame sampling + per-frame feature extraction,
+    Arrow-batched: decode the concatenated-PNM stream, keep frames
+    0, sample_every, 2*sample_every, ... (the stride sampling a
+    training pipeline uses to bound frames per clip), and emit one row
+    per sampled frame with decoded pixel stats. PNM headers are
+    self-describing, so finding offsets is the sequential header walk —
+    linear in container bytes, the same asymptotics as any demuxer's
+    packet scan; the parallelism axis is assets, which is what
+    mapInPandas partitions."""
+    if sample_every < 1:
+        raise ValueError(f"sample_every must be >= 1: {sample_every}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                frames = decode_pnm_video(bytes(content))
+                for k in range(0, len(frames), sample_every):
+                    w, h, c, px = frames[k]
+                    flat = px.astype(np.int64).ravel()
+                    rows.append((
+                        int(asset_id), k, len(frames), w, h, c,
+                        round(float(flat.mean()), 6),
+                        int(flat.min()), int(flat.max()),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_no", "n_frames", "width", "height",
+                    "channels", "mean_intensity", "min_px", "max_px",
+                ],
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -211,6 +211,20 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(assets).orderBy("asset_id")
 
 
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: synthesize genuine concatenated-PNM
+    streams (6 P6 frames per doc, frame k's pixels = md5('{text}:{k}')
+    cycled), walk the stream with the offset-aware netpbm parser, sample
+    every 2nd frame, emit per-frame pixel stats. The oracle recomputes
+    the stats straight from md5(text || ':' || k) — one mangled byte in
+    the muxer OR demuxer diverges the hash (same trick as PPM/WAV)."""
+    docs = load(spark, sf_dir, "documents")
+    assets = M.synth_pnm_video_assets(docs, "doc_id", "text", n_frames=6)
+    return M.video_frame_features(assets, sample_every=2).orderBy(
+        "asset_id", "frame_no"
+    )
+
+
 def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize genuine binary PPM files
     (pixel bytes = md5(text) cycled), decode them with the numpy netpbm
@@ -295,6 +309,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_frame_features": multimodal_frame_features,
 }
 
 
@@ -669,6 +684,27 @@ ORACLES = {
                    k -> 3 * len(list_filter(bytes, x -> x // 32 = k))), ','
                ) AS hist_str
         FROM b ORDER BY asset_id
+    """,
+    "multimodal_frame_features": """
+        WITH f AS (
+            SELECT doc_id AS asset_id, text, CAST(u.k AS INTEGER) AS frame_no
+            FROM documents, UNNEST([0, 2, 4]) AS u(k)
+        ),
+        b AS (
+            SELECT asset_id, frame_no,
+                   list_transform(range(0, 16), i ->
+                       try_cast('0x' || substr(
+                           md5(text || ':' || CAST(frame_no AS VARCHAR)),
+                           2*i + 1, 2) AS INTEGER)
+                   ) AS bytes
+            FROM f
+        )
+        SELECT asset_id, frame_no,
+               6 AS n_frames, 4 AS width, 4 AS height, 3 AS channels,
+               ROUND(list_aggregate(bytes, 'avg'), 6) AS mean_intensity,
+               list_aggregate(bytes, 'min') AS min_px,
+               list_aggregate(bytes, 'max') AS max_px
+        FROM b ORDER BY asset_id, frame_no
     """,
     "multimodal_meta": """
         SELECT doc_id AS asset_id,

@@ -150,11 +150,49 @@ def test_multimodal_pixel_decode_gated(spark):
         M.decode_image_pixels(assets).collect()
 
 
-def test_frame_sample_stub(spark):
-    docs = spark.createDataFrame([(1, "a" * 200)], "doc_id long, text string")
-    assets = M.text_as_assets(docs, "doc_id", "text")
-    frames = M.frame_sample_stub(assets, every_n_bytes=64).collect()
-    assert [f["frame_no"] for f in frames] == [0, 1, 2, 3]  # ceil(200/64)
+def test_pnm_video_roundtrip():
+    import numpy as np
+
+    frames = [
+        np.full((2, 3, 3), v, np.uint8) for v in (0, 128, 255)
+    ]
+    stream = M.encode_pnm_video(frames)
+    decoded = M.decode_pnm_video(stream)
+    assert len(decoded) == 3
+    for (w, h, c, px), orig in zip(decoded, frames):
+        assert (w, h, c) == (3, 2, 3)
+        assert (px == orig).all()
+
+
+def test_pnm_video_malformed_raises():
+    import numpy as np
+
+    stream = M.encode_pnm_video([np.zeros((2, 2, 3), np.uint8)])
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_pnm_video(stream[:-4])
+    with pytest.raises(ValueError, match="not a binary netpbm"):
+        M.decode_pnm_video(stream + b"garbage")
+    with pytest.raises(ValueError, match="empty"):
+        M.decode_pnm_video(b"")
+
+
+def test_video_frame_features_sampling(spark):
+    """6 frames sampled every 2nd -> rows 0/2/4 per asset, with stats
+    matching an independent decode of the same synthesized stream."""
+    import hashlib
+
+    import numpy as np
+
+    docs = spark.createDataFrame([(7, "clip text")], "doc_id long, text string")
+    assets = M.synth_pnm_video_assets(docs, "doc_id", "text", n_frames=6)
+    rows = {r["frame_no"]: r for r in M.video_frame_features(assets, sample_every=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for k, r in rows.items():
+        digest = hashlib.md5(f"clip text:{k}".encode()).digest()
+        vals = np.frombuffer(digest, np.uint8)
+        assert (r["n_frames"], r["width"], r["height"], r["channels"]) == (6, 4, 4, 3)
+        assert r["min_px"] == int(vals.min()) and r["max_px"] == int(vals.max())
+        assert abs(r["mean_intensity"] - round(float(vals.mean()), 6)) < 1e-9
 
 
 def test_connected_components_pointer_jumping(spark):
