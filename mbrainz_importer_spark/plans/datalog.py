@@ -766,9 +766,14 @@ def _compile_where(
                     f"(ops: {sorted(_PRED_OPS)}; rules: {sorted(rules)})"
                 )
             continue
-        if len(pat) != 3:
-            raise DatalogError(f"pattern must be [e a v]: {pat}")
-        e, a, v = pat
+        if len(pat) == 2:
+            # [e a] — attribute-presence pattern (explore_db.clj:16
+            # [?e :db/unique]); value position is an implicit wildcard
+            e, a, v = pat[0], pat[1], "_"
+        elif len(pat) != 3:
+            raise DatalogError(f"pattern must be [e a v] or [e a]: {pat}")
+        else:
+            e, a, v = pat
         alias = f"p{i}_{len(stack)}"
         scan = datoms.alias(alias)
         cols = {"e": F.col(f"{alias}.e"), "a": F.col(f"{alias}.a"),

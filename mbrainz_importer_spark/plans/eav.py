@@ -175,3 +175,53 @@ def build_datoms(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
     if out is None:
         raise ValueError("no tables")
     return out
+
+
+_DB_TYPE_OF_SPARK = [
+    ((T.ByteType, T.ShortType, T.IntegerType, T.LongType), ":db.type/long"),
+    ((T.FloatType, T.DoubleType, T.DecimalType), ":db.type/double"),
+    ((T.TimestampType, T.TimestampNTZType, T.DateType), ":db.type/instant"),
+    ((T.BooleanType,), ":db.type/boolean"),
+]
+
+
+def schema_datoms(
+    spark,
+    tables: dict[str, tuple[DataFrame, str]],
+    components: set[str] | frozenset[str] = frozenset(),
+) -> DataFrame:
+    """Schema-as-data: the schema itself as queryable datoms, exactly
+    how Datomic exposes it (subsets/entities/schema.edn:1-298 is a list
+    of attribute entities carrying :db/ident, :db/valueType,
+    :db/cardinality, :db/unique, :db/isComponent, :db/doc — and
+    examples/explore_db.clj:13-18 queries them with the SAME datalog as
+    the data). One schema entity 'db.attr:{table}/{col}' per attribute;
+    :db/unique (:db.unique/identity) is asserted on id columns,
+    :db/isComponent on attrs named in `components` — Datomic-style,
+    absent means false, EAV has no nulls.
+
+    Metadata only: built driver-side from the StructTypes, O(#attrs)
+    rows, no data scan — union it with build_datoms() for a db whose
+    schema and data answer the same queries."""
+    rows = []
+    for table, (df, id_col) in tables.items():
+        for fld in df.schema.fields:
+            e = f"db.attr:{table}/{fld.name}"
+            ident = f":{table}/{fld.name}"
+            vtype = ":db.type/string"
+            for classes, t_name in _DB_TYPE_OF_SPARK:
+                if isinstance(fld.dataType, classes):
+                    vtype = t_name
+                    break
+            rows.append((e, ":db/ident", ident))
+            rows.append((e, ":db/valueType", vtype))
+            rows.append((e, ":db/cardinality", ":db.cardinality/one"))
+            if fld.name == id_col:
+                rows.append((e, ":db/unique", ":db.unique/identity"))
+            if ident in components:
+                rows.append((e, ":db/isComponent", "true"))
+            rows.append((e, ":db/doc", f"Attribute {fld.name} of table {table}"))
+    return spark.createDataFrame(
+        [(e, a, v, None) for e, a, v in rows],
+        "e string, a string, v string, v_num double",
+    )

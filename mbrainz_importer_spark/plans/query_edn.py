@@ -61,6 +61,8 @@ def _conv_entry(cl) -> list:
         return [_conv_call(cl[0])]  # [(pred ...)] / [(rule ...)]
     if len(cl) == 2 and isinstance(cl[0], list):
         return [_conv_call(cl[0]), cl[1]]  # [(fn ...) ?out]
+    if len(cl) == 2 and not any(isinstance(x, list) for x in cl):
+        return list(cl)  # [e a] attribute-presence pattern
     if len(cl) == 3 and not any(isinstance(x, list) for x in cl):
         return list(cl)  # triple pattern
     raise DatalogError(f"unrecognized :where clause {cl!r}")

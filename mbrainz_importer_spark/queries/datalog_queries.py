@@ -405,6 +405,52 @@ def datalog_agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("seg")
 
 
+def datalog_schema_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema introspection with the VERBATIM examples/explore_db.clj:13-18
+    query text: which attributes are unique? The db is data datoms +
+    schema-as-datoms (plans/eav.schema_datoms), so the schema answers the
+    same datalog as the data — Datomic's schema-is-data property."""
+    from ..plans.eav import schema_datoms
+    from ..plans.query_edn import q_edn
+
+    tables = {
+        "nation": (load(spark, sf_dir, "nation"), "n_nationkey"),
+        "region": (load(spark, sf_dir, "region"), "r_regionkey"),
+    }
+    db = build_datoms(tables).unionByName(schema_datoms(spark, tables))
+    return q_edn(
+        """[:find ?attr
+            :where
+            [?e :db/unique]
+            [?e :db/ident ?attr]]""",
+        db,
+    ).orderBy("attr")
+
+
+def datalog_schema_attr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full explore_db.clj:13-31 flow fused into one query: find the
+    unique attributes FROM THE SCHEMA DATOMS, then count entities per
+    attribute FROM THE DATA DATOMS — the attribute flows from a schema
+    value binding into the attribute position of a data pattern (schema
+    and data joined in a single datalog plan)."""
+    from ..plans.eav import schema_datoms
+    from ..plans.query_edn import q_edn
+
+    tables = {
+        "nation": (load(spark, sf_dir, "nation"), "n_nationkey"),
+        "region": (load(spark, sf_dir, "region"), "r_regionkey"),
+    }
+    db = build_datoms(tables).unionByName(schema_datoms(spark, tables))
+    return q_edn(
+        """[:find ?attr (count ?e2)
+            :where
+            [?se :db/unique]
+            [?se :db/ident ?attr]
+            [?e2 ?attr ?v]]""",
+        db,
+    ).orderBy("attr")
+
+
 QUERIES = {
     "datalog_fn_binding": datalog_fn_binding,
     "datalog_get_else": datalog_get_else,
@@ -427,6 +473,8 @@ QUERIES = {
     "datalog_edn_text_query": datalog_edn_text_query,
     "datalog_predicate_filter": datalog_predicate_filter,
     "datalog_rules_union": datalog_rules_union,
+    "datalog_schema_attrs": datalog_schema_attrs,
+    "datalog_schema_attr_counts": datalog_schema_attr_counts,
 }
 
 _ANC_CTE = """
@@ -557,6 +605,20 @@ ORACLES = {
     "datalog_recursive_counts": _ANC_CTE + """
         SELECT y, CAST(COUNT(x) AS BIGINT) AS count_x
         FROM anc GROUP BY y ORDER BY y
+    """,
+    "datalog_schema_attrs": """
+        SELECT ':nation/n_nationkey' AS attr
+        UNION ALL
+        SELECT ':region/r_regionkey'
+        ORDER BY attr
+    """,
+    "datalog_schema_attr_counts": """
+        SELECT attr, count_e2 FROM (
+            SELECT ':nation/n_nationkey' AS attr, COUNT(n_nationkey) AS count_e2
+            FROM nation
+            UNION ALL
+            SELECT ':region/r_regionkey', COUNT(r_regionkey) FROM region
+        ) ORDER BY attr
     """,
     "datalog_attr_counts": """
         SELECT a, count_e FROM (

@@ -96,3 +96,41 @@ def test_errors(datoms):
         edn_query("[?x :find ?y]")
     with pytest.raises(DatalogError, match="unrecognized :where"):
         edn_query("[:find ?x :where [?e :t/id ?x ?extra]]")
+
+
+def test_schema_datoms_verbatim_unique_attrs(spark):
+    """The REAL schema view answers the verbatim explore_db.clj:13-18
+    text: [?e :db/unique] is a 2-element attribute-presence pattern."""
+    from mbrainz_importer_spark.plans.eav import schema_datoms
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.5, True)], "id string, n long, x double, f boolean"
+    )
+    tables = {"t": (df, "id")}
+    db = build_datoms(tables).unionByName(schema_datoms(spark, tables))
+    out = q_edn(
+        "[:find ?attr :where [?e :db/unique] [?e :db/ident ?attr]]", db
+    )
+    assert [r["attr"] for r in out.collect()] == [":t/id"]
+
+
+def test_schema_datoms_types_and_components(spark):
+    from mbrainz_importer_spark.plans.eav import schema_datoms
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.5, True)], "id string, n long, x double, f boolean"
+    )
+    sd = schema_datoms(spark, {"t": (df, "id")}, components={":t/n"})
+    vt = {
+        r["e"]: r["v"]
+        for r in sd.where("a = ':db/valueType'").collect()
+    }
+    assert vt["db.attr:t/id"] == ":db.type/string"
+    assert vt["db.attr:t/n"] == ":db.type/long"
+    assert vt["db.attr:t/x"] == ":db.type/double"
+    assert vt["db.attr:t/f"] == ":db.type/boolean"
+    comp = sd.where("a = ':db/isComponent'").collect()
+    assert [(r["e"], r["v"]) for r in comp] == [("db.attr:t/n", "true")]
+    # Datomic-style absence: no :db/unique datom for non-id attrs
+    uniq = sd.where("a = ':db/unique'").collect()
+    assert [(r["e"], r["v"]) for r in uniq] == [("db.attr:t/id", ":db.unique/identity")]
