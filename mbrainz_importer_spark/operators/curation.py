@@ -355,6 +355,58 @@ def bpe_merge_candidates(
     )
 
 
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merge candidates to segment corpus words into
+    subword pieces — the inference side of `bpe_merge_candidates`,
+    completing the tokenizer loop (train merges -> segment -> score).
+
+    Semantics: the merge-set CLOSURE in one parallel pass. A boundary
+    falls between adjacent characters whose pair is NOT in the merge
+    set; maximal runs of mergeable pairs become one piece. (Iterated
+    BPE differs only in the order ties between overlapping merges
+    resolve; the closure is order-free, which is what makes it
+    expressible without a sequential loop.)
+
+    Scale: the merge list is bounded by construction (top-k of the
+    alphabet-pair vocabulary), so it travels as an array literal in the
+    plan — broadcast semantics without a join — and the segmentation is
+    entirely built-in higher-order functions (filter/transform/zip_with
+    over char positions): JVM-side, no Python, no shuffle beyond the
+    explode itself.
+
+    Returns (id, word_pos, piece_pos, piece), positions 0-based."""
+    merge_arr = F.array(*[F.lit(m) for m in merges])
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("word_pos", "w"),
+    ).where(F.length("w") >= 1)
+    # boundary after char i when pair (i, i+1) is unmergeable; guard the
+    # 1-char case explicitly (F.sequence DESCENDS when end < start)
+    bounds = F.when(
+        F.length("w") >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: ~F.array_contains(merge_arr, F.col("w").substr(i, F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    words = words.withColumn("__b", bounds)
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(F.col("__b"), lambda x: x + 1)
+    )
+    ends = F.concat(F.col("__b"), F.array(F.length("w")))
+    pieces = F.zip_with(starts, ends, lambda s, e: F.col("w").substr(s, e - s + 1))
+    return words.withColumn("__p", pieces).select(
+        F.col(id_col),
+        "word_pos",
+        F.posexplode("__p").alias("piece_pos", "piece"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # unigram LM scoring (CCNet-style quality signal)
 # ---------------------------------------------------------------------------

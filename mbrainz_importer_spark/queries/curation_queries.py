@@ -120,6 +120,22 @@ def bpe_merge_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bpe_merge_candidates(docs, "text", top_k=50).orderBy("rank")
 
 
+def bpe_segment_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply: merges learned corpus-wide (top-50 adjacent char
+    pairs, the bpe_merge_candidates output) segment the words of a doc
+    subset into subword pieces via the merge-set closure. The 50-pair
+    merge table is the one bounded driver collect (it IS the trained
+    artifact, like IVF centroids)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        r["pair"] for r in C.bpe_merge_candidates(docs, "text", top_k=50).collect()
+    ]
+    subset = docs.where(F.col("doc_id") < 300)
+    return C.apply_bpe_merges(subset, merges).orderBy(
+        "doc_id", "word_pos", "piece_pos"
+    )
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long form (label, dim, value)."""
     from ..operators.similarity import label_centroids
@@ -148,6 +164,7 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "vocab_top_tokens": vocab_top_tokens,
     "bpe_merge_candidates": bpe_merge_candidates_q,
+    "bpe_segment_texts": bpe_segment_texts,
     "embedding_label_centroids": embedding_label_centroids,
     "seek_datoms_scan": seek_datoms_scan,
 }
@@ -288,6 +305,54 @@ ORACLES = {
         FROM counts
         QUALIFY rank <= 50
         ORDER BY rank
+    """,
+    "bpe_segment_texts": f"""
+        WITH allwords AS (
+            SELECT w FROM (
+                SELECT u.w AS w
+                FROM (SELECT {_SQL_TOKS} AS t FROM documents), UNNEST(t) AS u(w)
+            ) WHERE length(w) >= 2
+        ),
+        prs AS (
+            SELECT u.pair FROM (
+                SELECT list_transform(range(1, length(w)),
+                                      i -> substr(w, CAST(i AS INT), 2)) AS ps
+                FROM allwords
+            ), UNNEST(ps) AS u(pair)
+        ),
+        cnt AS (SELECT pair, count(*) AS c FROM prs GROUP BY pair),
+        merges AS (
+            SELECT pair, row_number() OVER (ORDER BY c DESC, pair) AS rank FROM cnt
+            QUALIFY rank <= 50
+        ),
+        mlist AS (SELECT list(pair) AS ms FROM merges),
+        toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE doc_id < 300),
+        words AS (
+            SELECT doc_id, CAST(u.i - 1 AS INT) AS word_pos, t[u.i] AS w
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+            WHERE length(t[u.i]) >= 1
+        ),
+        seg AS (
+            SELECT doc_id, word_pos, w,
+                   list_filter(range(1, length(w)),
+                       i -> NOT list_contains(ms, substr(w, CAST(i AS INT), 2))
+                   ) AS b
+            FROM words, mlist
+        ),
+        pieces AS (
+            SELECT doc_id, word_pos,
+                   list_transform(range(1, len(b) + 2), j -> substr(w,
+                       CAST(CASE WHEN j = 1 THEN 1 ELSE b[j - 1] + 1 END AS INT),
+                       CAST(CASE WHEN j = len(b) + 1 THEN length(w)
+                                 ELSE b[j] END
+                            - CASE WHEN j = 1 THEN 1 ELSE b[j - 1] + 1 END
+                            + 1 AS INT))
+                   ) AS ps
+            FROM seg
+        )
+        SELECT doc_id, word_pos, CAST(u.i - 1 AS INT) AS piece_pos, ps[u.i] AS piece
+        FROM pieces, UNNEST(range(1, len(ps) + 1)) AS u(i)
+        ORDER BY doc_id, word_pos, piece_pos
     """,
     "embedding_label_centroids": """
         SELECT label,

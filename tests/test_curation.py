@@ -165,3 +165,54 @@ def test_build_vocab_deterministic_ids(spark):
     top2 = C.build_vocab(df, max_size=2).collect()
     assert sorted(r["token"] for r in top2) == ["a", "b"]
     assert C.build_vocab(df, min_count=4).count() == 0
+
+
+def test_apply_bpe_merges_closure(spark):
+    # merges {ab, bc}: "abcd" -> runs: ab,bc mergeable, cd not => "abc","d";
+    # "xaby" -> xa? no; ab yes; by no => "x","ab","y"; 1-char word intact
+    df = spark.createDataFrame([(1, "abcd xaby z")], "doc_id long, text string")
+    out = C.apply_bpe_merges(df, ["ab", "bc"]).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["word_pos"], []).append((r["piece_pos"], r["piece"]))
+    assert [p for _, p in sorted(got[0])] == ["abcd"[:3], "d"]
+    assert [p for _, p in sorted(got[1])] == ["x", "ab", "y"]
+    assert [p for _, p in sorted(got[2])] == ["z"]
+
+
+def test_apply_bpe_merges_roundtrip_and_lm(spark):
+    """Pieces reassemble to the exact words (no char lost/duplicated),
+    and the subword stream feeds unigram LM scoring — the tokenizer
+    loop the training-data brief implies."""
+    df = spark.createDataFrame(
+        [(1, "the theme there"), (2, "other anthem")], "doc_id long, text string"
+    )
+    merges = [r["pair"] for r in C.bpe_merge_candidates(df, top_k=10).collect()]
+    seg = C.apply_bpe_merges(df, merges)
+    rebuilt = (
+        seg.groupBy("doc_id", "word_pos")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("piece_pos", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("w")
+        )
+    )
+    words = {(r["doc_id"], r["word_pos"]): r["w"] for r in rebuilt.collect()}
+    expect = {}
+    for doc_id, text in [(1, "the theme there"), (2, "other anthem")]:
+        for i, w in enumerate(text.split()):
+            expect[(doc_id, i)] = w
+    assert words == expect
+
+    subword_docs = (
+        seg.groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("piece")).alias("text"))
+    )
+    scores = C.unigram_logprob_scores(subword_docs, "doc_id", "text").collect()
+    assert len(scores) == 2 and all(r["mean_neg_log2p"] > 0 for r in scores)
