@@ -946,7 +946,22 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
             pulled = pull_entities(datoms, spec).withColumnRenamed("e", vn)
             out = out.join(pulled, vn, "left")
 
-    out = out.select(*out_order)
+    keys = query.get("keys")
+    if keys is not None:
+        # :keys / :syms / :strs — positional result-map names for the
+        # find terms (Datomic returns maps keyed by them; columnar
+        # results make them column renames)
+        if pull_specs:
+            raise DatalogError(":keys cannot combine with pull expressions")
+        if len(keys) != len(out_order):
+            raise DatalogError(
+                f":keys arity {len(keys)} != :find arity {len(out_order)}"
+            )
+        out = out.select(
+            *[F.col(c).alias(str(k)) for c, k in zip(out_order, keys)]
+        )
+    else:
+        out = out.select(*out_order)
     limit = query.get("limit")
     if limit is not None and limit >= 0:
         out = out.limit(limit)

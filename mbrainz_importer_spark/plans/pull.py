@@ -71,6 +71,33 @@ def pull_entities(datoms: DataFrame, spec: dict) -> DataFrame:
     return scan.groupBy("e").agg(*aggs)
 
 
+def pull_many(
+    datoms: DataFrame,
+    spec: dict,
+    entities,
+    broadcast: bool = True,
+) -> DataFrame:
+    """`d/pull-many` — batch pull over an explicit entity collection.
+    `entities` is a Python list of entity ids (bounded — it becomes a
+    literal seed relation, like a datalog :in collection) or a
+    single-column DataFrame for unbounded collections. EVERY requested
+    entity yields a row — missing entities keep null attrs — matching
+    Datomic's pull-many, which returns a result per input eid.
+
+    Shape: a semi-join restricts the datom scan to the requested
+    entities (broadcast by default — pull-many calls are id-list sized),
+    then pull_entities' single groupBy(e) runs on the survivors, and a
+    left join from the id relation preserves the per-eid contract."""
+    spark = datoms.sparkSession
+    if isinstance(entities, DataFrame):
+        ents = entities.toDF("e")
+    else:
+        ents = spark.createDataFrame([(str(x),) for x in entities], "e string")
+    seed = F.broadcast(ents) if broadcast else ents
+    pulled = pull_entities(datoms.join(seed, "e", "left_semi"), spec)
+    return ents.join(pulled, "e", "left")
+
+
 def pull_ref(
     parent: DataFrame,
     datoms: DataFrame,

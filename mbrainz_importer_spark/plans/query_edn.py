@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from ..edn import loads
 from .datalog import DatalogError, q
 
-_SECTIONS = {":find", ":in", ":with", ":where", ":limit"}
+_SECTIONS = {":find", ":in", ":with", ":where", ":limit", ":keys", ":syms", ":strs"}
 
 
 def _conv_call(form: list):
@@ -130,6 +130,12 @@ def edn_query(text: str) -> dict:
     if ":limit" in sections:
         (lim,) = sections[":limit"]
         out["limit"] = lim
+    for sec in (":keys", ":syms", ":strs"):
+        if sec in sections:
+            # result-map names: symbols / keywords / strings all become
+            # the output column names
+            out["keys"] = [str(k).lstrip(":") for k in sections[sec]]
+            break
     return out
 
 

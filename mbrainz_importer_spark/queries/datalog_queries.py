@@ -451,6 +451,41 @@ def datalog_schema_attr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("attr")
 
 
+def datalog_keys_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:keys result maps — the verbatim EDN text names the find terms
+    (region, nations) and the result columns carry those names instead
+    of the var-derived defaults."""
+    from ..plans.query_edn import q_edn
+
+    datoms = _datoms_small(spark, sf_dir)
+    return q_edn(
+        """[:find ?rname (count ?n)
+            :keys region nations
+            :where
+            [?n :nation/n_regionkey ?rk]
+            [?r :region/r_regionkey ?rk]
+            [?r :region/r_name ?rname]]""",
+        datoms,
+    ).orderBy("region")
+
+
+def pull_many_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/pull-many over an explicit eid collection: 8 present customers
+    plus one absent id — every requested eid yields a row, the absent
+    one with null attrs (the per-eid pull-many contract)."""
+    from ..plans.pull import pull_many
+
+    datoms = build_datoms({
+        "customer": (load(spark, sf_dir, "customer"), "c_custkey"),
+    })
+    eids = [f"customer:{k}" for k in range(1, 9)] + ["customer:99999999"]
+    spec = {
+        "name": ":customer/c_name",
+        "bal": (":customer/c_acctbal", "num"),
+    }
+    return pull_many(datoms, spec, eids).orderBy("e")
+
+
 QUERIES = {
     "datalog_fn_binding": datalog_fn_binding,
     "datalog_get_else": datalog_get_else,
@@ -475,6 +510,8 @@ QUERIES = {
     "datalog_rules_union": datalog_rules_union,
     "datalog_schema_attrs": datalog_schema_attrs,
     "datalog_schema_attr_counts": datalog_schema_attr_counts,
+    "datalog_keys_results": datalog_keys_results,
+    "pull_many_customers": pull_many_customers,
 }
 
 _ANC_CTE = """
@@ -637,6 +674,22 @@ ORACLES = {
         SELECT r_name AS rname, COUNT(*) AS count_n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY rname
+    """,
+    "datalog_keys_results": """
+        SELECT r_name AS region, COUNT(*) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY region
+    """,
+    "pull_many_customers": """
+        WITH ids(e) AS (
+            SELECT 'customer:' || CAST(u.k AS VARCHAR)
+            FROM UNNEST([1, 2, 3, 4, 5, 6, 7, 8]) AS u(k)
+            UNION ALL SELECT 'customer:99999999'
+        )
+        SELECT ids.e, c.c_name AS name, CAST(c.c_acctbal AS DOUBLE) AS bal
+        FROM ids LEFT JOIN customer c
+          ON ids.e = 'customer:' || CAST(c.c_custkey AS VARCHAR)
+        ORDER BY e
     """,
     "datalog_param_in": """
         SELECT n_name AS name FROM nation WHERE n_regionkey = 2 ORDER BY name

@@ -147,3 +147,24 @@ def test_pull_recursive_ref_depth_and_chain_end(spark):
     assert paths["2"] == ["1"]
     with pytest.raises(ValueError, match="depth"):
         pull_recursive_ref(datoms, ":node/id", ":node/parent", depth=0)
+
+
+def test_pull_many_per_eid_contract(spark):
+    from mbrainz_importer_spark.plans.eav import build_datoms
+    from mbrainz_importer_spark.plans.pull import pull_many
+
+    df = spark.createDataFrame(
+        [("a", "Ann", 10.0), ("b", "Bob", 20.0)],
+        "id string, name string, bal double",
+    )
+    datoms = build_datoms({"u": (df, "id")})
+    out = {
+        r["e"]: (r["name"], r["bal"])
+        for r in pull_many(
+            datoms,
+            {"name": ":u/name", "bal": (":u/bal", "num")},
+            ["u:a", "u:zzz"],
+        ).collect()
+    }
+    assert out["u:a"] == ("Ann", 10.0)
+    assert out["u:zzz"] == (None, None)  # absent eid still yields a row

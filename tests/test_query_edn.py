@@ -134,3 +134,20 @@ def test_schema_datoms_types_and_components(spark):
     # Datomic-style absence: no :db/unique datom for non-id attrs
     uniq = sd.where("a = ':db/unique'").collect()
     assert [(r["e"], r["v"]) for r in uniq] == [("db.attr:t/id", ":db.unique/identity")]
+
+
+def test_keys_section_renames_columns(datoms):
+    out = q_edn(
+        "[:find ?g (sum ?q) :keys grp total :where [?e :t/grp ?g] [?e :t/qty ?q] [?e :t/id _]]",
+        datoms,
+    )
+    assert out.columns == ["grp", "total"]
+    got = {r["grp"]: r["total"] for r in out.collect()}
+    assert got == {"1": 40.0, "2": 20.0}
+
+
+def test_strs_section_and_arity_error(datoms):
+    out = q_edn("[:find ?id :strs ident :where [?e :t/id ?id]]", datoms)
+    assert out.columns == ["ident"]
+    with pytest.raises(DatalogError, match=":keys arity"):
+        q_edn("[:find ?id :keys a b :where [?e :t/id ?id]]", datoms).collect()
