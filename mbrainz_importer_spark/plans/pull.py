@@ -36,39 +36,116 @@ from pyspark.sql import functions as F
 _KINDS = {"str", "num"}
 
 
-def _norm_spec(spec: dict) -> list[tuple[str, str, str, object]]:
-    """Normalize {out_col: attr | (attr, kind[, default])} to
-    (out_col, attr, kind, default) tuples."""
+def _norm_spec(spec: dict) -> list[dict]:
+    """Normalize spec entries to option dicts. Accepted entry shapes:
+
+        "attr"                          plain string attr
+        (attr, kind[, default])         typed, optional default
+        {"attr": a, "kind": k, "default": d,     full options form —
+         "many": bool, "limit": n}               the :limit/:default
+                                                 grammar options; the
+                                                 out_col key IS :as
+    """
     out = []
     for col, s in spec.items():
         if isinstance(s, str):
-            attr, kind, default = s, "str", None
+            entry = {"attr": s, "kind": "str", "default": None,
+                     "many": False, "limit": None}
+        elif isinstance(s, dict):
+            entry = {"attr": s["attr"], "kind": s.get("kind", "str"),
+                     "default": s.get("default"),
+                     "many": bool(s.get("many")), "limit": s.get("limit")}
         else:
-            attr, kind = s[0], s[1]
-            default = s[2] if len(s) > 2 else None
-        if kind not in _KINDS:
-            raise ValueError(f"pull kind must be one of {sorted(_KINDS)}: {kind}")
-        out.append((col, attr, kind, default))
+            entry = {"attr": s[0], "kind": s[1],
+                     "default": s[2] if len(s) > 2 else None,
+                     "many": False, "limit": None}
+        if entry["kind"] not in _KINDS:
+            raise ValueError(
+                f"pull kind must be one of {sorted(_KINDS)}: {entry['kind']}"
+            )
+        if entry["limit"] is not None and not entry["many"]:
+            raise ValueError(f":limit applies to cardinality-many attrs: {col}")
+        if entry["many"] and entry["default"] is not None:
+            raise ValueError(f":default on a many attr is unsupported: {col}")
+        entry["col"] = col
+        out.append(entry)
     return out
 
 
 def pull_entities(datoms: DataFrame, spec: dict) -> DataFrame:
     """Pull a typed attribute projection per entity: `e` plus one column
-    per spec entry. One filtered scan + one groupBy(e); every attr is a
-    conditional max aggregate (max over the single asserted value ==
-    the value; max keeps it deterministic if a store ever held
-    duplicate assertions)."""
+    per spec entry. One filtered scan + one groupBy(e); a scalar attr is
+    a conditional max aggregate (max over the single asserted value ==
+    the value; max keeps it deterministic if a store ever held duplicate
+    assertions), a many attr is a sorted collect_set, capped by its
+    :limit — Datomic's `(:attr :limit n)` — as a slice of the sorted
+    array (deterministic, unlike 'first n seen')."""
     entries = _norm_spec(spec)
-    wanted = [a for _, a, _, _ in entries]
+    wanted = [en["attr"] for en in entries]
     scan = datoms.where(F.col("a").isin(wanted))
     aggs = []
-    for col, attr, kind, default in entries:
-        src = F.col("v_num") if kind == "num" else F.col("v")
-        agg = F.max(F.when(F.col("a") == attr, src))
-        if default is not None:
-            agg = F.coalesce(agg, F.lit(default))
-        aggs.append(agg.alias(col))
+    for en in entries:
+        src = F.col("v_num") if en["kind"] == "num" else F.col("v")
+        cond = F.when(F.col("a") == en["attr"], src)
+        if en["many"]:
+            agg = F.array_sort(F.collect_set(cond))
+            if en["limit"] is not None:
+                agg = F.slice(agg, 1, int(en["limit"]))
+        else:
+            agg = F.max(cond)
+            if en["default"] is not None:
+                agg = F.coalesce(agg, F.lit(en["default"]))
+        aggs.append(agg.alias(en["col"]))
     return scan.groupBy("e").agg(*aggs)
+
+
+def parse_pull_pattern(text: str, numeric=frozenset()) -> dict:
+    """Parse VERBATIM Datomic pull-pattern text into the spec dict
+    `pull_entities` consumes — the attribute-with-options grammar:
+
+        [:customer/c_name
+         (:customer/c_acctbal :as bal)
+         (:customer/vip :default "no")
+         (:customer/order :many true :limit 2)]
+
+    `:as` names the output column (default: the attr name after '/');
+    `:default` fills absent scalar attrs; `:limit` caps a many attr
+    (`:many true` marks it — the EAV view has no schema to infer
+    cardinality from unless you query schema_datoms first). Attrs in
+    `numeric` project v_num. Wildcard and nested ref maps stay with
+    pull_wildcard / pull_ref."""
+    from ..edn import loads
+
+    form = loads(text)
+    if not isinstance(form, list):
+        raise ValueError(f"pull pattern must be a vector: {text!r}")
+    spec: dict = {}
+    for item in form:
+        opts: dict = {}
+        if isinstance(item, str):
+            attr = item
+        elif isinstance(item, list) and item and isinstance(item[0], str):
+            attr = item[0]
+            rest = item[1:]
+            if len(rest) % 2:
+                raise ValueError(f"pull options must be key-value pairs: {item}")
+            for k, v in zip(rest[::2], rest[1::2]):
+                if k not in (":as", ":default", ":limit", ":many"):
+                    raise ValueError(f"unsupported pull option {k!r} in {item}")
+                opts[k] = v
+        else:
+            raise ValueError(f"unsupported pull pattern item: {item!r}")
+        if not attr.startswith(":"):
+            raise ValueError(f"pull attr must be a keyword: {attr!r}")
+        col = str(opts.get(":as") or attr.rsplit("/", 1)[-1]).lstrip(":")
+        spec[col] = {
+            "attr": attr,
+            "kind": "num" if attr in numeric else "str",
+            "default": opts.get(":default"),
+            "many": bool(opts.get(":many")),
+            "limit": opts.get(":limit"),
+        }
+    return spec
 
 
 def pull_many(

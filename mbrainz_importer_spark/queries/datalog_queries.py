@@ -486,6 +486,49 @@ def pull_many_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pull_many(datoms, spec, eids).orderBy("e")
 
 
+def pull_options_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull grammar options over a VERBATIM pattern text: :as renames,
+    :default fills the absent :customer/vip attr (asserted only for
+    acctbal > 9000 — EAV absence, not null), :limit 2 caps the
+    cardinality-many :customer/order attr (customers without orders get
+    an empty list)."""
+    from ..plans.pull import parse_pull_pattern, pull_entities
+
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    orders = load(spark, sf_dir, "orders")
+    base = build_datoms({"customer": (cust, "c_custkey")})
+    order_datoms = orders.join(
+        cust.select("c_custkey"), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("e"),
+        F.lit(":customer/order").alias("a"),
+        F.col("o_orderkey").cast("string").alias("v"),
+        F.col("o_orderkey").cast("double").alias("v_num"),
+    )
+    vip_datoms = cust.where(F.col("c_acctbal") > 9000).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("e"),
+        F.lit(":customer/vip").alias("a"),
+        F.lit("yes").alias("v"),
+        F.lit(None).cast("double").alias("v_num"),
+    )
+    datoms = base.unionByName(order_datoms).unionByName(vip_datoms)
+    spec = parse_pull_pattern(
+        """[:customer/c_name
+            (:customer/c_acctbal :as bal)
+            (:customer/vip :default "no")
+            (:customer/order :as first_orders :many true :limit 2)]""",
+        numeric={":customer/c_acctbal"},
+    )
+    return (
+        pull_entities(datoms, spec)
+        .select(
+            "e", "c_name", "bal", "vip",
+            F.array_join(F.col("first_orders"), ",").alias("first_orders"),
+        )
+        .orderBy("e")
+    )
+
+
 QUERIES = {
     "datalog_fn_binding": datalog_fn_binding,
     "datalog_get_else": datalog_get_else,
@@ -512,6 +555,7 @@ QUERIES = {
     "datalog_schema_attr_counts": datalog_schema_attr_counts,
     "datalog_keys_results": datalog_keys_results,
     "pull_many_customers": pull_many_customers,
+    "pull_options_customers": pull_options_customers,
 }
 
 _ANC_CTE = """
@@ -689,6 +733,25 @@ ORACLES = {
         SELECT ids.e, c.c_name AS name, CAST(c.c_acctbal AS DOUBLE) AS bal
         FROM ids LEFT JOIN customer c
           ON ids.e = 'customer:' || CAST(c.c_custkey AS VARCHAR)
+        ORDER BY e
+    """,
+    "pull_options_customers": """
+        WITH c AS (SELECT * FROM customer WHERE c_custkey <= 200),
+        ord2 AS (
+            SELECT o_custkey,
+                   array_to_string(
+                       (list(CAST(o_orderkey AS VARCHAR)
+                             ORDER BY CAST(o_orderkey AS VARCHAR)))[1:2], ','
+                   ) AS first_orders
+            FROM orders JOIN c ON o_custkey = c_custkey
+            GROUP BY o_custkey
+        )
+        SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS e,
+               c_name,
+               CAST(c_acctbal AS DOUBLE) AS bal,
+               CASE WHEN c_acctbal > 9000 THEN 'yes' ELSE 'no' END AS vip,
+               COALESCE(first_orders, '') AS first_orders
+        FROM c LEFT JOIN ord2 ON c_custkey = o_custkey
         ORDER BY e
     """,
     "datalog_param_in": """

@@ -168,3 +168,48 @@ def test_pull_many_per_eid_contract(spark):
     }
     assert out["u:a"] == ("Ann", 10.0)
     assert out["u:zzz"] == (None, None)  # absent eid still yields a row
+
+
+def test_parse_pull_pattern_options():
+    from mbrainz_importer_spark.plans.pull import parse_pull_pattern
+
+    spec = parse_pull_pattern(
+        '[:u/name (:u/bal :as money) (:u/tag :default "none") '
+        "(:u/kid :many true :limit 2)]",
+        numeric={":u/bal"},
+    )
+    assert spec["name"]["attr"] == ":u/name" and spec["name"]["kind"] == "str"
+    assert spec["money"] == {"attr": ":u/bal", "kind": "num", "default": None,
+                             "many": False, "limit": None}
+    assert spec["tag"]["default"] == "none"
+    assert spec["kid"]["many"] is True and spec["kid"]["limit"] == 2
+    with pytest.raises(ValueError, match="unsupported pull option"):
+        parse_pull_pattern("[(:u/x :frobnicate 1)]")
+
+
+def test_pull_entities_many_limit_and_default(spark):
+    from mbrainz_importer_spark.plans.pull import pull_entities
+
+    rows = [
+        ("u:1", ":u/name", "Ann", None),
+        ("u:1", ":u/kid", "k3", None),
+        ("u:1", ":u/kid", "k1", None),
+        ("u:1", ":u/kid", "k2", None),
+        ("u:2", ":u/name", "Bob", None),
+        ("u:2", ":u/tag", "vip", None),
+    ]
+    datoms = spark.createDataFrame(rows, "e string, a string, v string, v_num double")
+    out = {
+        r["e"]: r
+        for r in pull_entities(datoms, {
+            "name": ":u/name",
+            "tag": (":u/tag", "str", "none"),
+            "kids": {"attr": ":u/kid", "many": True, "limit": 2},
+        }).collect()
+    }
+    assert out["u:1"]["kids"] == ["k1", "k2"]  # sorted, capped at 2
+    assert out["u:1"]["tag"] == "none"  # :default fills the absent attr
+    assert out["u:2"]["kids"] == []
+    assert out["u:2"]["tag"] == "vip"
+    with pytest.raises(ValueError, match=":limit applies"):
+        pull_entities(datoms, {"x": {"attr": ":u/kid", "limit": 2}})
