@@ -92,7 +92,32 @@ def stream_dim_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_enriched_tumbling_counts(ev, dim).orderBy("window_start", "segment")
 
 
+def stream_backpressure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run inside the gate: the events table is laid out
+    as 8 parquet files and drained through Trigger.AvailableNow with
+    maxFilesPerTrigger=2 — at least 3 data-carrying micro-batches (the
+    backpressure bound observably slices the backlog; the operator
+    raises otherwise) — and the complete-mode counts equal the batch
+    aggregation, which is what the DuckDB oracle checks."""
+    import tempfile
+
+    from ..streaming.backpressure import replay_counts_available_now
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    src = tempfile.mkdtemp(prefix="bp-src-")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    return replay_counts_available_now(
+        spark,
+        src,
+        schema="event_id long, event_type string, user_id long",
+        group_col="event_type",
+        max_files_per_trigger=2,
+        min_triggers=3,
+    ).orderBy("event_type")
+
+
 QUERIES = {
+    "stream_backpressure_replay": stream_backpressure_replay,
     "stream_dim_enriched_counts": stream_dim_enriched_counts,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_interval_join": stream_interval_join,
@@ -103,6 +128,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_backpressure_replay": """
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "stream_dim_enriched_counts": """
         SELECT date_trunc('hour', ts) AS window_start,
                COALESCE(c_mktsegment, 'UNKNOWN') AS segment,

@@ -96,3 +96,32 @@ def test_streaming_dim_enriched_equals_batch(spark, events_dir, events_stream_sc
     batch = dim_enriched_tumbling_counts(load(spark, SF, "events"), dim)
     cols = ["window_start", "segment", "n_events", "sum_value"]
     assert canon(out, cols) == canon(batch, cols)
+
+
+def test_backpressure_available_now_slices_and_matches_batch(spark, tmp_path):
+    from mbrainz_importer_spark.streaming.backpressure import (
+        replay_counts_available_now,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "t" + str(i % 3)) for i in range(60)], "id long, kind string"
+    )
+    src = str(tmp_path / "bp-src")
+    df.repartition(6).write.parquet(src)
+
+    out = replay_counts_available_now(
+        spark, src, schema="id long, kind string", group_col="kind",
+        max_files_per_trigger=2, min_triggers=3,
+    )
+    got = {r["kind"]: r["n_events"] for r in out.collect()}
+    assert got == {"t0": 20, "t1": 20, "t2": 20}
+
+    # a bound admitting the whole backlog in one trigger trips the
+    # multi-trigger assertion
+    import pytest
+
+    with pytest.raises(RuntimeError, match="micro-batches"):
+        replay_counts_available_now(
+            spark, src, schema="id long, kind string", group_col="kind",
+            max_files_per_trigger=100, min_triggers=3,
+        )
