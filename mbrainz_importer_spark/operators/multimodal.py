@@ -390,6 +390,61 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
+SPECTRAL_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("window_no", T.IntegerType(), False),
+    T.StructField("rms", T.DoubleType(), False),
+    T.StructField("zero_crossings", T.IntegerType(), False),
+    T.StructField("e_dc", T.LongType(), False),
+    T.StructField("e_quarter", T.LongType(), False),
+    T.StructField("e_nyquist", T.LongType(), False),
+])
+
+
+def audio_spectral_features(assets: DataFrame, window: int = 100) -> DataFrame:
+    """Windowed spectral analysis over decoded WAV samples — real
+    per-window array math in the Arrow path: for each `window`-sample
+    frame, RMS, zero-crossing count, and the DFT-bin energies at
+    m = 0 (DC), W/4 (quarter band) and W/2 (Nyquist). Those three bins
+    have integer basis vectors (cos/sin at phase 0, pi/2, pi), so the
+    energies are computed as EXACT integer pattern dot products — they
+    equal |np.fft.rfft(frame)[m]|^2 (asserted in tests) while staying
+    engine-reproducible to the bit, which is what lets the DuckDB oracle
+    recompute them with integer SQL. Trailing samples short of a full
+    window are dropped (standard frame analysis)."""
+    if window % 4 != 0:
+        raise ValueError(f"window must be a multiple of 4: {window}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                _, _, s = decode_wav(bytes(content))
+                x = s.astype(np.int64)
+                for k in range(len(x) // window):
+                    w = x[k * window:(k + 1) * window]
+                    re_q = int(w[0::4].sum() - w[2::4].sum())
+                    im_q = int(w[1::4].sum() - w[3::4].sum())
+                    nyq = int(w[0::2].sum() - w[1::2].sum())
+                    rows.append((
+                        int(asset_id), k,
+                        round(float(np.sqrt((w * w).mean())), 6),
+                        int((w[:-1] * w[1:] < 0).sum()),
+                        int(w.sum()) ** 2,
+                        re_q * re_q + im_q * im_q,
+                        nyq * nyq,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "window_no", "rms", "zero_crossings",
+                    "e_dc", "e_quarter", "e_nyquist",
+                ],
+            )
+
+    return assets.mapInPandas(run, schema=SPECTRAL_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # raw video — a concatenated-PNM stream (the multi-image netpbm format:
 # frames back-to-back, each self-describing; `pnmsplit` reads the same

@@ -211,6 +211,20 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(assets).orderBy("asset_id")
 
 
+def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed spectral audio analysis end-to-end: synth WAVs (800
+    samples = md5 digest as 8 LE int16s cycled), decode, then per
+    100-sample window RMS / zero-crossings / DFT-bin energies at DC,
+    quarter band and Nyquist. The oracle rebuilds each window's samples
+    from md5(text) with modular indexing and recomputes every feature in
+    exact integer SQL."""
+    docs = load(spark, sf_dir, "documents")
+    assets = M.synth_wav_assets(docs, "doc_id", "text", n_samples=800, rate=8000)
+    return M.audio_spectral_features(assets, window=100).orderBy(
+        "asset_id", "window_no"
+    )
+
+
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode end-to-end: synthesize genuine concatenated-PNM
     streams (6 P6 frames per doc, frame k's pixels = md5('{text}:{k}')
@@ -310,6 +324,7 @@ QUERIES = {
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_frame_features": multimodal_frame_features,
+    "multimodal_spectral_features": multimodal_spectral_features,
 }
 
 
@@ -684,6 +699,43 @@ ORACLES = {
                    k -> 3 * len(list_filter(bytes, x -> x // 32 = k))), ','
                ) AS hist_str
         FROM b ORDER BY asset_id
+    """,
+    "multimodal_spectral_features": """
+        WITH d AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents),
+        s AS (
+            SELECT asset_id,
+                   list_transform(
+                       list_transform(range(0, 8), i ->
+                           try_cast('0x' || substr(h, 4*i + 3, 2) AS INTEGER) * 256
+                           + try_cast('0x' || substr(h, 4*i + 1, 2) AS INTEGER)),
+                       u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS vals
+            FROM d
+        ),
+        x AS (
+            SELECT asset_id, CAST(u.k AS INT) AS window_no, CAST(v.j AS INT) AS j,
+                   CAST(vals[CAST((u.k * 100 + v.j) % 8 AS INT) + 1] AS BIGINT) AS v
+            FROM s, UNNEST(range(0, 8)) AS u(k), UNNEST(range(0, 100)) AS v(j)
+        ),
+        nx AS (
+            SELECT *, lead(v) OVER (PARTITION BY asset_id, window_no ORDER BY j) AS v2
+            FROM x
+        )
+        SELECT asset_id, window_no,
+               round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+               CAST(sum(CASE WHEN v2 IS NOT NULL AND v * v2 < 0 THEN 1 ELSE 0 END)
+                    AS INTEGER) AS zero_crossings,
+               CAST(sum(v) * sum(v) AS BIGINT) AS e_dc,
+               CAST(sum(CASE j % 4 WHEN 0 THEN v WHEN 2 THEN -v ELSE 0 END)
+                    * sum(CASE j % 4 WHEN 0 THEN v WHEN 2 THEN -v ELSE 0 END)
+                    + sum(CASE j % 4 WHEN 1 THEN v WHEN 3 THEN -v ELSE 0 END)
+                    * sum(CASE j % 4 WHEN 1 THEN v WHEN 3 THEN -v ELSE 0 END)
+                    AS BIGINT) AS e_quarter,
+               CAST(sum(CASE WHEN j % 2 = 0 THEN v ELSE -v END)
+                    * sum(CASE WHEN j % 2 = 0 THEN v ELSE -v END)
+                    AS BIGINT) AS e_nyquist
+        FROM nx
+        GROUP BY asset_id, window_no
+        ORDER BY asset_id, window_no
     """,
     "multimodal_frame_features": """
         WITH f AS (

@@ -145,3 +145,40 @@ def test_wav_tolerates_extra_chunks():
     spliced = wav[:fmt_end] + extra + wav[fmt_end:]
     rate, n_ch, back = decode_wav(spliced)
     assert rate == 8000 and np.array_equal(back, samples)
+
+
+def test_spectral_pattern_sums_are_fft_bins(spark):
+    """The integer pattern dot products ARE |rfft(frame)[m]|^2 for
+    m = 0, W/4, W/2 — the claim in audio_spectral_features' docstring."""
+    import hashlib
+
+    import numpy as np
+
+    from mbrainz_importer_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(5, "spectral check")], "doc_id long, text string")
+    assets = M.synth_wav_assets(docs, "doc_id", "text", n_samples=800, rate=8000)
+    rows = {r["window_no"]: r for r in M.audio_spectral_features(assets, window=100).collect()}
+    assert sorted(rows) == list(range(8))
+
+    digest = hashlib.md5(b"spectral check").digest()
+    samples = np.tile(np.frombuffer(digest, dtype="<i2"), 100).astype(np.int64)
+    for k, r in rows.items():
+        w = samples[k * 100:(k + 1) * 100]
+        spec = np.abs(np.fft.rfft(w)) ** 2
+        assert abs(r["e_dc"] - spec[0]) < 0.5
+        assert abs(r["e_quarter"] - spec[25]) < 0.5
+        assert abs(r["e_nyquist"] - spec[50]) < 0.5
+        assert abs(r["rms"] - round(float(np.sqrt((w * w).mean())), 6)) < 1e-9
+        assert r["zero_crossings"] == int((w[:-1] * w[1:] < 0).sum())
+
+
+def test_spectral_window_validation(spark):
+    import pytest
+
+    from mbrainz_importer_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assets = M.synth_wav_assets(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="multiple of 4"):
+        M.audio_spectral_features(assets, window=30)
