@@ -327,6 +327,16 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     return rate, n_ch, samples
 
 
+def round_away(x: float, ndigits: int = 6) -> float:
+    """Half-away-from-zero rounding, matching SQL/DuckDB ROUND().
+    Python's builtin round() is banker's (half-to-even), which would
+    diverge from the oracle on an exact tie at the last kept digit."""
+    import math
+
+    scale = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
 def synth_wav_assets(
     df: DataFrame,
     id_col: str,
@@ -377,7 +387,7 @@ def audio_features(assets: DataFrame) -> DataFrame:
                     int(asset_id), int(rate), int(n_ch), len(s),
                     len(s) / rate / n_ch,
                     int(np.max(np.abs(x))) if len(s) else 0,
-                    round(float(np.sqrt(np.mean(x * x))), 6) if len(s) else 0.0,
+                    round_away(float(np.sqrt(np.mean(x * x)))) if len(s) else 0.0,
                 ))
             yield pd.DataFrame(
                 rows,
@@ -411,7 +421,9 @@ def audio_spectral_features(assets: DataFrame, window: int = 100) -> DataFrame:
     equal |np.fft.rfft(frame)[m]|^2 (asserted in tests) while staying
     engine-reproducible to the bit, which is what lets the DuckDB oracle
     recompute them with integer SQL. Trailing samples short of a full
-    window are dropped (standard frame analysis)."""
+    window are dropped (standard frame analysis). MONO ONLY: windowing an
+    interleaved multi-channel stream would mix channels, so n_channels
+    != 1 raises rather than silently producing meaningless features."""
     if window % 4 != 0:
         raise ValueError(f"window must be a multiple of 4: {window}")
 
@@ -419,7 +431,13 @@ def audio_spectral_features(assets: DataFrame, window: int = 100) -> DataFrame:
         for pdf in batches:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
-                _, _, s = decode_wav(bytes(content))
+                _, n_ch, s = decode_wav(bytes(content))
+                if n_ch != 1:
+                    raise ValueError(
+                        f"audio_spectral_features requires mono audio; "
+                        f"asset {asset_id} has {n_ch} channels "
+                        f"(interleaved windows would mix channels)"
+                    )
                 x = s.astype(np.int64)
                 for k in range(len(x) // window):
                     w = x[k * window:(k + 1) * window]
@@ -428,7 +446,7 @@ def audio_spectral_features(assets: DataFrame, window: int = 100) -> DataFrame:
                     nyq = int(w[0::2].sum() - w[1::2].sum())
                     rows.append((
                         int(asset_id), k,
-                        round(float(np.sqrt((w * w).mean())), 6),
+                        round_away(float(np.sqrt((w * w).mean()))),
                         int((w[:-1] * w[1:] < 0).sum()),
                         int(w.sum()) ** 2,
                         re_q * re_q + im_q * im_q,

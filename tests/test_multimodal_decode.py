@@ -182,3 +182,41 @@ def test_spectral_window_validation(spark):
     assets = M.synth_wav_assets(docs, "doc_id", "text")
     with pytest.raises(ValueError, match="multiple of 4"):
         M.audio_spectral_features(assets, window=30)
+
+
+def test_spectral_rejects_multichannel(spark):
+    """Interleaved multi-channel WAV must raise, not silently window
+    across mixed channels (round-4 advice)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mbrainz_importer_spark.operators import multimodal as M
+
+    samples = np.arange(200, dtype=np.int16)
+    data = samples.astype("<i2").tobytes()
+    # hand-build a stereo header (encode_wav is mono-only by contract)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 2, 8000, 8000 * 4, 4, 16,
+        b"data", len(data),
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(hdr + data), "audio/wav")], M.ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="mono"):
+        M.audio_spectral_features(assets, window=100).collect()
+
+
+def test_round_away_matches_sql_round():
+    """round_away is half-away-from-zero (SQL ROUND), not banker's."""
+    from mbrainz_importer_spark.operators.multimodal import round_away
+
+    assert round_away(0.0000005) == 0.000001      # builtin round gives 0.0
+    assert round_away(-0.0000005) == -0.000001
+    assert round_away(1.2345675) == 1.234568
+    assert round_away(2.5, 0) == 3.0
+    assert round_away(-2.5, 0) == -3.0
+    assert round_away(1.23, 6) == 1.23
