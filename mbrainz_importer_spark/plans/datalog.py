@@ -173,7 +173,7 @@ def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
 
 
 _ARITH_FNS = {"+", "-", "*", "/", "quot", "mod", "abs"}
-_FN_HEADS = _ARITH_FNS | {"str", "ground", "get-else"}
+_FN_HEADS = _ARITH_FNS | {"str", "ground", "get-else", "get-some"}
 
 
 def _canon_const(x) -> str:
@@ -248,6 +248,11 @@ def _apply_fn_binding(
         num_binding[out] = F.coalesce(F.col(f"__{al}_vn"), num_default)
         return plan
 
+    if head == "get-some":
+        return _apply_get_some(
+            plan, binding, num_binding, args, out, datoms, idx
+        )
+
     if head == "str":
         parts = []
         for x in args:
@@ -298,6 +303,152 @@ def _apply_fn_binding(
     binding[out] = expr
     num_binding[out] = expr
     return plan
+
+
+def _apply_get_some(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    args: list,
+    out,
+    datoms: DataFrame,
+    idx: int,
+) -> DataFrame:
+    """(get-some $ ?e :attr1 :attr2 ...) — Datomic's first-present
+    accessor: left-joins each attribute in order and takes the first
+    value present. Rows where EVERY attribute is absent are dropped
+    (a function binding that returns nil fails the clause, Datomic
+    semantics). `out` is either a single var (binds the value) or a
+    2-var tuple destructuring [?a ?v] (binds the winning attribute
+    keyword and its value, Datomic's [attr value] return shape)."""
+    a = args[1:] if args and args[0] == "$" else args
+    if len(a) < 2:
+        raise DatalogError("(get-some $ ?e :attr+) needs an entity var and attrs")
+    evar, attrs = a[0], a[1:]
+    if not _is_var(evar) or evar not in binding:
+        raise DatalogError(f"(get-some ...) entity var {evar} must be bound")
+    if any(_is_var(x) for x in attrs):
+        raise DatalogError("(get-some ...) attrs must be constants")
+    if plan is None:
+        raise DatalogError("(get-some ...) before any pattern")
+
+    vals, nums = [], []
+    for j, attr in enumerate(attrs):
+        al = f"gs{idx}_{j}"
+        sub = datoms.where(F.col("a") == attr).select(
+            F.col("e").alias(f"__{al}_e"),
+            F.col("v").alias(f"__{al}_v"),
+            F.col("v_num").alias(f"__{al}_vn"),
+        )
+        plan = plan.join(sub, binding[evar] == F.col(f"__{al}_e"), "left")
+        vals.append(F.col(f"__{al}_v"))
+        nums.append(F.col(f"__{al}_vn"))
+    val = F.coalesce(*vals)
+    plan = plan.where(val.isNotNull())
+
+    if isinstance(out, (tuple, list)):
+        if len(out) != 2 or not all(_is_var(x) for x in out):
+            raise DatalogError(
+                f"(get-some ...) tuple destructuring needs [?a ?v]: {out}"
+            )
+        avar, vvar = out
+        for o in out:
+            if o in binding:
+                raise DatalogError(f"function output var {o} is already bound")
+        # first present attr wins
+        attr_expr = F.coalesce(*[
+            F.when(v_col.isNotNull(), F.lit(attr))
+            for v_col, attr in zip(vals, attrs)
+        ])
+        binding[avar] = attr_expr
+        binding[vvar] = val
+        num_binding[vvar] = F.coalesce(*nums)
+    else:
+        if out in binding:
+            raise DatalogError(f"function output var {out} is already bound")
+        binding[out] = val
+        num_binding[out] = F.coalesce(*nums)
+    return plan
+
+
+def _apply_fulltext(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    clause: list,
+    out,
+    datoms: DataFrame,
+    bound: dict,
+    idx: int,
+) -> DataFrame:
+    """(fulltext $ :attr "search") [[?e ?v]] — Datomic's fulltext
+    clause (schema.edn flags :db/fulltext true attributes; Lucene-backed
+    in the reference). Spark-first: a pre-filtered scan of the attr's
+    datoms with an AND-of-terms token match (tokenization shared with
+    operators.text.tokens, so datalog fulltext and the postings index of
+    operators.fulltext agree on terms); the scan joins the outer plan
+    exactly like a triple pattern. The term set is a driver-side literal
+    compiled into the plan — at scale the filter pushes down to a scan
+    of the (bucketed) attr partition, same shape as fulltext_search."""
+    from ..operators.fulltext import query_terms
+    from ..operators.text import tokens
+
+    a = clause[1:]
+    if a and a[0] == "$":
+        a = a[1:]
+    if len(a) != 2:
+        raise DatalogError(f"(fulltext $ :attr search) expects 2 args: {clause}")
+    attr, search = a
+    if _is_var(attr):
+        raise DatalogError("(fulltext ...) attr must be a constant")
+    if _is_var(search):
+        if search not in bound:
+            raise DatalogError(f"(fulltext ...) search var {search} must be an :in param")
+        search = bound[search]
+    if not isinstance(search, str):
+        raise DatalogError(f"(fulltext ...) search must be a string: {search!r}")
+
+    # [[?e ?v]] relation destructuring (Datomic shape) or bare [?e ?v]
+    dest = out
+    if (
+        isinstance(dest, (tuple, list)) and len(dest) == 1
+        and isinstance(dest[0], (tuple, list))
+    ):
+        dest = dest[0]
+    if (
+        not isinstance(dest, (tuple, list))
+        or not 1 <= len(dest) <= 2
+        or not all(_is_var(x) for x in dest)
+    ):
+        raise DatalogError(
+            f"(fulltext ...) output must destructure [[?e ?v]]: {out}"
+        )
+
+    alias = f"ft{idx}"
+    scan = datoms.alias(alias).where(F.col(f"{alias}.a") == attr)
+    toks = tokens(F.col(f"{alias}.v"))
+    for term in query_terms(search):
+        scan = scan.where(F.array_contains(toks, term))
+
+    cols = [F.col(f"{alias}.e"), F.col(f"{alias}.v")]
+    join_conds = []
+    for var, col in zip(dest, cols):
+        if var in binding:
+            join_conds.append(col == binding[var])
+        else:
+            binding[var] = col
+            if var == dest[-1] and len(dest) == 2:
+                num_binding[var] = F.col(f"{alias}.v_num")
+    if plan is None:
+        if join_conds:
+            raise DatalogError("(fulltext ...) first clause cannot self-reference")
+        return scan
+    if join_conds:
+        cond = join_conds[0]
+        for c in join_conds[1:]:
+            cond = cond & c
+        return plan.join(scan, cond)
+    return plan.crossJoin(scan)
 
 
 def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
@@ -698,6 +849,32 @@ def _compile_where(
             plan = _apply_fn_binding(
                 plan, binding, num_binding, clause, pat[1], datoms, bound, i
             )
+            continue
+        if (
+            len(pat) == 2
+            and isinstance(pat[0], (tuple, list))
+            and isinstance(pat[1], (tuple, list))
+        ):
+            # destructured-output clause: [(fulltext ...) [[?e ?v]]] or
+            # [(get-some ...) [?a ?v]]
+            clause = list(pat[0])
+            head = clause[0] if clause else None
+            if head == "fulltext":
+                plan = _apply_fulltext(
+                    plan, binding, num_binding, clause, pat[1], datoms, bound, i
+                )
+            elif head == "get-some":
+                args = [
+                    bound.get(x, x) if _is_var(x) else x for x in clause[1:]
+                ]
+                plan = _apply_get_some(
+                    plan, binding, num_binding, args, list(pat[1]), datoms, i
+                )
+            else:
+                raise DatalogError(
+                    f"unsupported destructuring function {head!r} "
+                    f"(have: fulltext, get-some)"
+                )
             continue
         if len(pat) == 1 and isinstance(pat[0], (tuple, list)):
             clause = list(pat[0])
