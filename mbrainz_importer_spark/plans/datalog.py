@@ -43,6 +43,15 @@ Covers the query surface the reference actually exercises
     concatenation, (ground const), and (get-else ?e :attr default)
     which left-joins the attribute and falls back to the default where
     the entity has no datom (EAV nulls are ABSENT datoms, eav.py:16-17);
+  - (get-some $ ?e :attr+) first-present accessor — single-var output
+    binds the winning value, [?a ?v] destructuring binds the winning
+    attribute and value; rows where every attribute is absent drop
+    (Datomic nil-fails-the-clause). One [attr value] per entity even
+    for cardinality-many attributes (deterministically the min v);
+  - (fulltext $ :attr "search") [[?e ?v]] — token-match scan of a
+    :db/fulltext attribute's datoms; multi-term searches use Lucene's
+    default OR (any term matches), mirroring the reference's
+    Lucene-backed fulltext. The search string may be an :in param;
   - (missing? ?e :attr) predicate — anti-join on entities that lack the
     attribute;
   - :find with plain variables and/or aggregates (count, count-distinct,
@@ -194,6 +203,7 @@ def _apply_fn_binding(
     datoms: DataFrame,
     bound: dict,
     idx: int,
+    depth: int = 0,
 ) -> DataFrame | None:
     """[(fn arg...) ?out] — bind ?out to a computed column.
 
@@ -229,7 +239,7 @@ def _apply_fn_binding(
             raise DatalogError("(get-else ...) attr and default must be constants")
         if plan is None:
             raise DatalogError("(get-else ...) before any pattern")
-        al = f"ge{idx}"
+        al = f"ge{idx}_{depth}"
         sub = datoms.where(F.col("a") == attr).select(
             F.col("e").alias(f"__{al}_e"),
             F.col("v").alias(f"__{al}_v"),
@@ -250,7 +260,7 @@ def _apply_fn_binding(
 
     if head == "get-some":
         return _apply_get_some(
-            plan, binding, num_binding, args, out, datoms, idx
+            plan, binding, num_binding, args, out, datoms, idx, depth
         )
 
     if head == "str":
@@ -313,6 +323,7 @@ def _apply_get_some(
     out,
     datoms: DataFrame,
     idx: int,
+    depth: int = 0,
 ) -> DataFrame:
     """(get-some $ ?e :attr1 :attr2 ...) — Datomic's first-present
     accessor: left-joins each attribute in order and takes the first
@@ -320,13 +331,34 @@ def _apply_get_some(
     (a function binding that returns nil fails the clause, Datomic
     semantics). `out` is either a single var (binds the value) or a
     2-var tuple destructuring [?a ?v] (binds the winning attribute
-    keyword and its value, Datomic's [attr value] return shape)."""
+    keyword and its value, Datomic's [attr value] return shape).
+
+    The entity term is a bound var or an :in-substituted constant (the
+    dispatcher substitutes :in params before calling; a constant entity
+    becomes the join key literal, which Catalyst pushes into each
+    sub-scan as a filter).
+
+    Scale/cardinality notes: each attribute's sub-scan is reduced to ONE
+    row per entity before joining (groupBy e, min v + its v_num via
+    min_by) — get-some binds a single [attr value] per entity, so a
+    cardinality-many attribute must not multiply rows; Datomic returns an
+    unspecified datom, here deterministically the minimum v. The numeric
+    projection and (in the destructured form) the winning attribute are
+    derived from the SAME first-present winner as the value — a chained
+    CASE over the per-attr presence flags — so a non-numeric winner
+    yields a null numeric binding rather than silently falling through
+    to a later attribute's number."""
     a = args[1:] if args and args[0] == "$" else args
     if len(a) < 2:
         raise DatalogError("(get-some $ ?e :attr+) needs an entity var and attrs")
     evar, attrs = a[0], a[1:]
-    if not _is_var(evar) or evar not in binding:
-        raise DatalogError(f"(get-some ...) entity var {evar} must be bound")
+    if _is_var(evar):
+        if evar not in binding:
+            raise DatalogError(f"(get-some ...) entity var {evar} must be bound")
+        e_expr = binding[evar]
+    else:
+        # :in-substituted entity constant
+        e_expr = F.lit(evar if isinstance(evar, str) else _canon_const(evar))
     if any(_is_var(x) for x in attrs):
         raise DatalogError("(get-some ...) attrs must be constants")
     if plan is None:
@@ -334,18 +366,40 @@ def _apply_get_some(
 
     vals, nums = [], []
     for j, attr in enumerate(attrs):
-        al = f"gs{idx}_{j}"
-        sub = datoms.where(F.col("a") == attr).select(
-            F.col("e").alias(f"__{al}_e"),
-            F.col("v").alias(f"__{al}_v"),
-            F.col("v_num").alias(f"__{al}_vn"),
+        al = f"gs{idx}_{j}_{depth}"
+        sub = (
+            datoms.where(F.col("a") == attr)
+            .groupBy("e")
+            .agg(
+                F.min("v").alias("v"),
+                F.min_by("v_num", "v").alias("vn"),
+            )
+            .select(
+                F.col("e").alias(f"__{al}_e"),
+                F.col("v").alias(f"__{al}_v"),
+                F.col("vn").alias(f"__{al}_vn"),
+            )
         )
-        plan = plan.join(sub, binding[evar] == F.col(f"__{al}_e"), "left")
+        plan = plan.join(sub, e_expr == F.col(f"__{al}_e"), "left")
         vals.append(F.col(f"__{al}_v"))
         nums.append(F.col(f"__{al}_vn"))
     val = F.coalesce(*vals)
     plan = plan.where(val.isNotNull())
 
+    def _from_winner(outs):
+        # first attribute with a present value wins; take ITS projection
+        # (not the first non-null projection, which could belong to a
+        # different attribute)
+        expr = None
+        for v_col, o in zip(vals, outs):
+            expr = (
+                F.when(v_col.isNotNull(), o)
+                if expr is None
+                else expr.when(v_col.isNotNull(), o)
+            )
+        return expr
+
+    num_val = _from_winner(nums)
     if isinstance(out, (tuple, list)):
         if len(out) != 2 or not all(_is_var(x) for x in out):
             raise DatalogError(
@@ -355,19 +409,14 @@ def _apply_get_some(
         for o in out:
             if o in binding:
                 raise DatalogError(f"function output var {o} is already bound")
-        # first present attr wins
-        attr_expr = F.coalesce(*[
-            F.when(v_col.isNotNull(), F.lit(attr))
-            for v_col, attr in zip(vals, attrs)
-        ])
-        binding[avar] = attr_expr
+        binding[avar] = _from_winner([F.lit(attr) for attr in attrs])
         binding[vvar] = val
-        num_binding[vvar] = F.coalesce(*nums)
+        num_binding[vvar] = num_val
     else:
         if out in binding:
             raise DatalogError(f"function output var {out} is already bound")
         binding[out] = val
-        num_binding[out] = F.coalesce(*nums)
+        num_binding[out] = num_val
     return plan
 
 
@@ -380,16 +429,21 @@ def _apply_fulltext(
     datoms: DataFrame,
     bound: dict,
     idx: int,
+    depth: int = 0,
 ) -> DataFrame:
     """(fulltext $ :attr "search") [[?e ?v]] — Datomic's fulltext
     clause (schema.edn flags :db/fulltext true attributes; Lucene-backed
     in the reference). Spark-first: a pre-filtered scan of the attr's
-    datoms with an AND-of-terms token match (tokenization shared with
-    operators.text.tokens, so datalog fulltext and the postings index of
-    operators.fulltext agree on terms); the scan joins the outer plan
-    exactly like a triple pattern. The term set is a driver-side literal
-    compiled into the plan — at scale the filter pushes down to a scan
-    of the (bucketed) attr partition, same shape as fulltext_search."""
+    datoms with an ANY-of-terms token match — Lucene's QueryParser
+    default operator is OR, so a multi-term search matches a value
+    containing at least one term, like the reference; AND scoring lives
+    in operators.fulltext.fulltext_search(mode='all'). Tokenization is
+    shared with operators.text.tokens, so datalog fulltext and the
+    postings index of operators.fulltext agree on terms; the scan joins
+    the outer plan exactly like a triple pattern. The term set is a
+    driver-side literal compiled into the plan — at scale the filter
+    pushes down to a scan of the (bucketed) attr partition, same shape
+    as fulltext_search."""
     from ..operators.fulltext import query_terms
     from ..operators.text import tokens
 
@@ -424,11 +478,13 @@ def _apply_fulltext(
             f"(fulltext ...) output must destructure [[?e ?v]]: {out}"
         )
 
-    alias = f"ft{idx}"
+    alias = f"ft{idx}_{depth}"
     scan = datoms.alias(alias).where(F.col(f"{alias}.a") == attr)
     toks = tokens(F.col(f"{alias}.v"))
-    for term in query_terms(search):
-        scan = scan.where(F.array_contains(toks, term))
+    terms = query_terms(search)
+    scan = scan.where(
+        F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+    )
 
     cols = [F.col(f"{alias}.e"), F.col(f"{alias}.v")]
     join_conds = []
@@ -847,7 +903,8 @@ def _compile_where(
                     f"unsupported function {head!r} (have {sorted(_FN_HEADS)})"
                 )
             plan = _apply_fn_binding(
-                plan, binding, num_binding, clause, pat[1], datoms, bound, i
+                plan, binding, num_binding, clause, pat[1], datoms, bound, i,
+                len(stack),
             )
             continue
         if (
@@ -861,14 +918,16 @@ def _compile_where(
             head = clause[0] if clause else None
             if head == "fulltext":
                 plan = _apply_fulltext(
-                    plan, binding, num_binding, clause, pat[1], datoms, bound, i
+                    plan, binding, num_binding, clause, pat[1], datoms, bound,
+                    i, len(stack),
                 )
             elif head == "get-some":
                 args = [
                     bound.get(x, x) if _is_var(x) else x for x in clause[1:]
                 ]
                 plan = _apply_get_some(
-                    plan, binding, num_binding, args, list(pat[1]), datoms, i
+                    plan, binding, num_binding, args, list(pat[1]), datoms,
+                    i, len(stack),
                 )
             else:
                 raise DatalogError(

@@ -529,8 +529,83 @@ def pull_options_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contact_datoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-derived entities with TWO sparse string attributes for
+    get-some: :cust/alias exists only above 5000 balance, :cust/mkt only
+    above 0 — so get-some has a real first-present cascade and a real
+    nil-drop tail (balance <= 0 has neither)."""
+    from ..plans.eav import table_datoms
+
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    contact = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_acctbal") > 5000, F.upper(F.col("c_name"))).alias("alias"),
+        F.when(F.col("c_acctbal") > 0, F.col("c_mktsegment")).alias("mkt"),
+    )
+    return table_datoms(contact, "cust", "id")
+
+
+def datalog_get_some_contact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(get-some $ ?e :attr1 :attr2) single-var output through the
+    VERBATIM EDN front door: first-present value (alias above 5000
+    balance, else mktsegment above 0), entities with neither dropped
+    (Datomic nil-fails-the-clause)."""
+    from ..plans.query_edn import q_edn
+
+    datoms = _contact_datoms(spark, sf_dir)
+    return q_edn(
+        """[:find ?id ?v
+            :where
+            [?e :cust/id ?id]
+            [(get-some $ ?e :cust/alias :cust/mkt) ?v]]""",
+        datoms,
+    ).orderBy("id")
+
+
+def datalog_get_some_attr_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(get-some ...) [?attr ?v] tuple destructuring: binds the WINNING
+    attribute keyword alongside its value — and both must come from the
+    same winner (the r5 ADVICE coalesce-divergence class)."""
+    from ..plans.query_edn import q_edn
+
+    datoms = _contact_datoms(spark, sf_dir)
+    return q_edn(
+        """[:find ?id ?attr ?v
+            :where
+            [?e :cust/id ?id]
+            [(get-some $ ?e :cust/alias :cust/mkt) [?attr ?v]]]""",
+        datoms,
+    ).orderBy("id")
+
+
+def datalog_fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (fulltext ...) clause over the documents corpus as VERBATIM
+    EDN text with the search string as an :in param — Lucene default-OR
+    across terms (reference schema.edn:37,183,269 flags :db/fulltext
+    attributes), [[?e ?v]] destructuring, join-back on ?e for the id."""
+    from ..plans.eav import table_datoms
+    from ..plans.query_edn import q_edn
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    datoms = table_datoms(docs, "doc", "id")
+    return q_edn(
+        """[:find ?id
+            :in $ ?search
+            :where
+            [(fulltext $ :doc/text ?search) [[?e ?v]]]
+            [?e :doc/id ?id]]""",
+        datoms,
+        "vector hash",
+    ).orderBy("id")
+
+
 QUERIES = {
     "datalog_fn_binding": datalog_fn_binding,
+    "datalog_get_some_contact": datalog_get_some_contact,
+    "datalog_get_some_attr_val": datalog_get_some_attr_val,
+    "datalog_fulltext_search": datalog_fulltext_search,
     "datalog_get_else": datalog_get_else,
     "datalog_missing_check": datalog_missing_check,
     "datalog_agg_extended": datalog_agg_extended,
@@ -571,6 +646,32 @@ _ANC_CTE = """
 """
 
 ORACLES = {
+    "datalog_get_some_contact": """
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id,
+               CASE WHEN c_acctbal > 5000 THEN UPPER(c_name)
+                    WHEN c_acctbal > 0 THEN c_mktsegment END AS v
+        FROM customer
+        WHERE c_custkey <= 300 AND c_acctbal > 0
+        ORDER BY id
+    """,
+    "datalog_get_some_attr_val": """
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id,
+               CASE WHEN c_acctbal > 5000 THEN ':cust/alias'
+                    WHEN c_acctbal > 0 THEN ':cust/mkt' END AS attr,
+               CASE WHEN c_acctbal > 5000 THEN UPPER(c_name)
+                    WHEN c_acctbal > 0 THEN c_mktsegment END AS v
+        FROM customer
+        WHERE c_custkey <= 300 AND c_acctbal > 0
+        ORDER BY id
+    """,
+    "datalog_fulltext_search": r"""
+        SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id
+        FROM documents
+        WHERE list_has_any(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            ['hash', 'vector'])
+        ORDER BY id
+    """,
     "datalog_find_pull": """
         SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)) AS n,
                n_name AS nname,

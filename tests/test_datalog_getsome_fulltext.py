@@ -1,0 +1,235 @@
+"""Tests for the (get-some ...) and (fulltext ...) datalog clauses —
+the round-5 additions, pinned down per VERDICT r5 next-round #1, plus
+regression tests for every round-5 ADVICE finding:
+
+  - numeric binding derived from the SAME first-present winner as the
+    value (a non-numeric winner must not fall through to a later
+    attribute's number);
+  - cardinality-many attributes bind ONE [attr value] per entity;
+  - multi-term fulltext is Lucene default-OR, like the reference;
+  - gs/ft scan aliases carry the recursion depth (no ambiguous columns
+    when the clause appears both at top level and inside a rule body);
+  - :in-substituted entity constants are accepted by get-some.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mbrainz_importer_spark.plans.datalog import DatalogError, q
+from mbrainz_importer_spark.plans.query_edn import q_edn
+
+
+@pytest.fixture(scope="module")
+def datoms(spark):
+    rows = [
+        ("t:1", ":t/id", "1", 1.0),
+        ("t:1", ":t/tag", "zzz", None),     # non-numeric, wins over score
+        ("t:1", ":t/score", "50", 50.0),
+        ("t:2", ":t/id", "2", 2.0),
+        ("t:2", ":t/score", "50", 50.0),    # only score
+        ("t:3", ":t/id", "3", 3.0),         # neither -> get-some drops
+        ("t:4", ":t/id", "4", 4.0),
+        ("t:4", ":t/tag", "alpha", None),   # cardinality-many tag
+        ("t:4", ":t/tag", "beta", None),
+        ("t:1", ":t/text", "Big red fox", None),
+        ("t:2", ":t/text", "small blue whale", None),
+        ("t:4", ":t/text", "red whale", None),
+    ]
+    return spark.createDataFrame(rows, "e string, a string, v string, v_num double")
+
+
+GS = ("get-some", "$", "?e", ":t/tag", ":t/score")
+
+
+def test_get_some_first_present_and_nil_drop(datoms):
+    out = q(
+        {"find": ["?i", "?v"],
+         "where": [["?e", ":t/id", "?i"], [GS, "?v"]]},
+        datoms,
+    )
+    got = {r["i"]: r["v"] for r in out.collect()}
+    # t:3 has neither attr -> dropped (nil fails the clause)
+    assert got == {"1": "zzz", "2": "50", "4": "alpha"}
+
+
+def test_get_some_cardinality_many_one_row(datoms):
+    """ADVICE r5 medium #2: two :t/tag datoms on t:4 must NOT duplicate
+    the row — one [attr value] per entity, deterministically min v."""
+    out = q(
+        {"find": ["?i", "?v"],
+         "with": ["?e"],  # keep per-entity bag: duplicates would show
+         "where": [["?e", ":t/id", "?i"], [GS, "?v"]]},
+        datoms,
+    )
+    rows = [(r["i"], r["v"]) for r in out.collect() if r["i"] == "4"]
+    assert rows == [("4", "alpha")]
+
+
+def test_get_some_numeric_from_winner_only(datoms):
+    """ADVICE r5 medium #1: t:1's winner is :t/tag 'zzz' (non-numeric);
+    a numeric predicate must see null (row drops), NOT :t/score's 50."""
+    out = q(
+        {"find": ["?i", "?v"],
+         "where": [["?e", ":t/id", "?i"], [GS, "?v"], [(">", "?v", 10)]]},
+        datoms,
+    )
+    got = {r["i"]: r["v"] for r in out.collect()}
+    assert got == {"2": "50"}  # t:1 and t:4 winners are strings -> dropped
+
+
+def test_get_some_destructured_winner_pair(datoms):
+    out = q(
+        {"find": ["?i", "?a2", "?v"],
+         "where": [["?e", ":t/id", "?i"], [GS, ["?a2", "?v"]]]},
+        datoms,
+    )
+    got = {r["i"]: (r["a2"], r["v"]) for r in out.collect()}
+    assert got == {
+        "1": (":t/tag", "zzz"),
+        "2": (":t/score", "50"),
+        "4": (":t/tag", "alpha"),
+    }
+
+
+def test_get_some_in_entity_constant(datoms):
+    """ADVICE r5 low #3: (get-some $ ?ent ...) with ?ent supplied as an
+    :in scalar param compiles (entity constant filters the sub-scans)."""
+    out = q(
+        {"find": ["?v"],
+         "in": ["?ent"],
+         "where": [["?x", ":t/id", "_"], [GS[:2] + ("?ent",) + GS[3:], "?v"]]},
+        datoms, "t:2",
+    )
+    assert [r["v"] for r in out.collect()] == ["50"]
+
+
+def test_get_some_in_rule_body_depth_alias(datoms):
+    """ADVICE r5 low #4: the same clause index at top level (depth 0)
+    and inside a rule body (depth 1) must not collide on scan aliases."""
+    rules = [[("tagval", "?e", "?v"),
+              ["?e", ":t/id", "_"],
+              [GS, "?v"]]]
+    out = q(
+        {"find": ["?i", "?v", "?v2"],
+         "rules": rules,
+         "where": [["?e", ":t/id", "?i"],
+                   [GS, "?v2"],
+                   [("tagval", "?e", "?v")]]},
+        datoms,
+    )
+    got = {r["i"]: (r["v"], r["v2"]) for r in out.collect()}
+    assert got == {"1": ("zzz", "zzz"), "2": ("50", "50"), "4": ("alpha", "alpha")}
+
+
+def test_get_some_errors(datoms):
+    with pytest.raises(DatalogError, match="must be bound"):
+        q({"find": ["?v"], "where": [[GS, "?v"]]}, datoms)
+    with pytest.raises(DatalogError, match="attrs must be constants"):
+        q({"find": ["?v"],
+           "where": [["?e", ":t/id", "_"],
+                     [("get-some", "$", "?e", "?attr"), "?v"]]}, datoms)
+    with pytest.raises(DatalogError, match="already bound"):
+        q({"find": ["?i"],
+           "where": [["?e", ":t/id", "?i"], [GS, "?i"]]}, datoms)
+    with pytest.raises(DatalogError, match=r"\[\?a \?v\]"):
+        q({"find": ["?i"],
+           "where": [["?e", ":t/id", "?i"], [GS, ["?a", "?b", "?c"]]]}, datoms)
+
+
+FT = ("fulltext", "$", ":t/text", "red whale")
+
+
+def test_fulltext_or_semantics(datoms):
+    """ADVICE r5 low #1: multi-term search is Lucene default-OR — any
+    term matches (t:1 has only 'red', t:2 only 'whale', t:4 both)."""
+    out = q({"find": ["?e", "?v"], "where": [[FT, [["?e", "?v"]]]]}, datoms)
+    got = sorted(r["e"] for r in out.collect())
+    assert got == ["t:1", "t:2", "t:4"]
+
+
+def test_fulltext_case_insensitive_single_row_per_match(datoms):
+    # 'Big' tokenizes lowercased; t:4 matching BOTH terms yields one row
+    out = q({"find": ["?e"], "where": [[("fulltext", "$", ":t/text", "BIG whale"),
+                                        [["?e", "?v"]]]]}, datoms)
+    assert sorted(r["e"] for r in out.collect()) == ["t:1", "t:2", "t:4"]
+
+
+def test_fulltext_bound_var_join_back(datoms):
+    out = q(
+        {"find": ["?i"],
+         "where": [["?e", ":t/id", "?i"],
+                   [(">", "?i", 1)],
+                   [FT, [["?e", "?v"]]]]},
+        datoms,
+    )
+    assert sorted(r["i"] for r in out.collect()) == ["2", "4"]
+
+
+def test_fulltext_as_first_clause(datoms):
+    out = q({"find": ["?e"], "where": [[FT, [["?e"]]]]}, datoms)
+    assert sorted(r["e"] for r in out.collect()) == ["t:1", "t:2", "t:4"]
+
+
+def test_fulltext_in_param_search(datoms):
+    out = q(
+        {"find": ["?e"],
+         "in": ["?s"],
+         "where": [[("fulltext", "$", ":t/text", "?s"), [["?e", "?v"]]]]},
+        datoms, "blue",
+    )
+    assert [r["e"] for r in out.collect()] == ["t:2"]
+
+
+def test_fulltext_in_rule_body_depth_alias(datoms):
+    """ft{idx}_{depth}: same clause index at depth 0 and inside a rule
+    body must not produce ambiguous scan aliases."""
+    rules = [[("redish", "?e"),
+              [FT, [["?e", "?w"]]]]]
+    out = q(
+        {"find": ["?e", "?v"],
+         "rules": rules,
+         "where": [[FT, [["?e", "?v"]]],
+                   [("redish", "?e")]]},
+        datoms,
+    )
+    assert sorted(r["e"] for r in out.collect()) == ["t:1", "t:2", "t:4"]
+
+
+def test_fulltext_errors(datoms):
+    with pytest.raises(DatalogError, match="must be a string"):
+        q({"find": ["?e"],
+           "where": [[("fulltext", "$", ":t/text", 5), [["?e", "?v"]]]]}, datoms)
+    with pytest.raises(DatalogError, match="must be an :in param"):
+        q({"find": ["?e"],
+           "where": [[("fulltext", "$", ":t/text", "?s"), [["?e", "?v"]]]]}, datoms)
+    with pytest.raises(DatalogError, match="attr must be a constant"):
+        q({"find": ["?e"],
+           "where": [[("fulltext", "$", "?a", "red"), [["?e", "?v"]]]]}, datoms)
+    with pytest.raises(DatalogError, match="destructure"):
+        q({"find": ["?e"],
+           "where": [["?e", ":t/id", "_"], [FT, ["?x", "?y", "?z"]]]}, datoms)
+
+
+def test_edn_text_get_some_and_fulltext(datoms):
+    """Verbatim Datomic query text through the EDN front door exercises
+    both new fn heads (VERDICT r5 next-round #5)."""
+    out = q_edn(
+        """[:find ?i ?a2 ?v
+            :where
+            [?e :t/id ?i]
+            [(get-some $ ?e :t/tag :t/score) [?a2 ?v]]]""",
+        datoms,
+    )
+    got = {r["i"]: (r["a2"], r["v"]) for r in out.collect()}
+    assert got["1"] == (":t/tag", "zzz")
+
+    out = q_edn(
+        """[:find ?e
+            :in $ ?search
+            :where
+            [(fulltext $ :t/text ?search) [[?e ?v]]]
+            [?e :t/id _]]""",
+        datoms, "fox whale",
+    )
+    assert sorted(r["e"] for r in out.collect()) == ["t:1", "t:2", "t:4"]
