@@ -287,16 +287,21 @@ AUDIO_SCHEMA = T.StructType([
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
-    """Serialize mono int16 samples as a canonical RIFF/WAVE PCM file."""
+    """Serialize int16 samples as a canonical RIFF/WAVE PCM file.
+    1-D is mono; 2-D (n_frames, n_channels) is interleaved frame-major —
+    the standard WAV channel layout."""
     import struct
 
-    if samples.dtype != np.int16 or samples.ndim != 1:
-        raise ValueError(f"expected 1-D int16, got {samples.shape} {samples.dtype}")
-    data = samples.astype("<i2").tobytes()
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError(
+            f"expected 1-D or 2-D int16, got {samples.shape} {samples.dtype}"
+        )
+    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+    data = samples.astype("<i2").reshape(-1).tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE",
-        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"fmt ", 16, 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16,
         b"data", len(data),
     )
     return hdr + data
@@ -371,6 +376,44 @@ def synth_wav_assets(
     )
 
 
+def synth_stereo_wav_assets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_frames: int = 800,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL stereo corpus: channel 0 is md5(text) read as
+    8 LE int16s cycled to `n_frames`, channel 1 is md5(text + ':R')
+    likewise; the two are interleaved frame-major into a genuine 2-channel
+    WAV. Each deinterleaved channel is its digest cycled, so the DuckDB
+    oracle recomputes per-channel windows from the two md5s alone."""
+    if n_frames % 8 != 0:
+        raise ValueError("n_frames must be a multiple of 8 (digest cycle)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for text in pdf[text_col]:
+                chans = []
+                for suffix in ("", ":R"):
+                    digest = hashlib.md5(
+                        (text + suffix).encode("utf-8")
+                    ).digest()
+                    base = np.frombuffer(digest, dtype="<i2")
+                    chans.append(np.tile(base, n_frames // 8))
+                contents.append(encode_wav(np.stack(chans, axis=1), rate))
+            yield pd.DataFrame({
+                "asset_id": pdf[id_col].astype("int64"),
+                "content": contents,
+                "mime": "audio/wav",
+            })
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=ASSET_SCHEMA
+    )
+
+
 def audio_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched WAV decode + feature extraction: duration, peak
     (max |sample|), RMS — the audio analog of decode_image_pixels, with
@@ -402,6 +445,7 @@ def audio_features(assets: DataFrame) -> DataFrame:
 
 SPECTRAL_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
+    T.StructField("channel", T.IntegerType(), False),
     T.StructField("window_no", T.IntegerType(), False),
     T.StructField("rms", T.DoubleType(), False),
     T.StructField("zero_crossings", T.IntegerType(), False),
@@ -421,9 +465,14 @@ def audio_spectral_features(assets: DataFrame, window: int = 100) -> DataFrame:
     equal |np.fft.rfft(frame)[m]|^2 (asserted in tests) while staying
     engine-reproducible to the bit, which is what lets the DuckDB oracle
     recompute them with integer SQL. Trailing samples short of a full
-    window are dropped (standard frame analysis). MONO ONLY: windowing an
-    interleaved multi-channel stream would mix channels, so n_channels
-    != 1 raises rather than silently producing meaningless features."""
+    window are dropped (standard frame analysis).
+
+    Multi-channel streams are DEINTERLEAVED (frame-major WAV layout):
+    each channel's samples are windowed independently and rows carry a
+    `channel` column — never windowed across interleaved channels, which
+    would mix them (the r4 advice bug class; mono was the r5 floor,
+    per-channel is the production behavior). A data chunk whose sample
+    count isn't a multiple of n_channels is malformed and raises."""
     if window % 4 != 0:
         raise ValueError(f"window must be a multiple of 4: {window}")
 
@@ -432,31 +481,31 @@ def audio_spectral_features(assets: DataFrame, window: int = 100) -> DataFrame:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 _, n_ch, s = decode_wav(bytes(content))
-                if n_ch != 1:
+                if n_ch < 1 or len(s) % n_ch:
                     raise ValueError(
-                        f"audio_spectral_features requires mono audio; "
-                        f"asset {asset_id} has {n_ch} channels "
-                        f"(interleaved windows would mix channels)"
+                        f"malformed WAV for asset {asset_id}: {len(s)} "
+                        f"samples not divisible by {n_ch} channels"
                     )
-                x = s.astype(np.int64)
-                for k in range(len(x) // window):
-                    w = x[k * window:(k + 1) * window]
-                    re_q = int(w[0::4].sum() - w[2::4].sum())
-                    im_q = int(w[1::4].sum() - w[3::4].sum())
-                    nyq = int(w[0::2].sum() - w[1::2].sum())
-                    rows.append((
-                        int(asset_id), k,
-                        round_away(float(np.sqrt((w * w).mean()))),
-                        int((w[:-1] * w[1:] < 0).sum()),
-                        int(w.sum()) ** 2,
-                        re_q * re_q + im_q * im_q,
-                        nyq * nyq,
-                    ))
+                for ch in range(n_ch):
+                    x = s[ch::n_ch].astype(np.int64)
+                    for k in range(len(x) // window):
+                        w = x[k * window:(k + 1) * window]
+                        re_q = int(w[0::4].sum() - w[2::4].sum())
+                        im_q = int(w[1::4].sum() - w[3::4].sum())
+                        nyq = int(w[0::2].sum() - w[1::2].sum())
+                        rows.append((
+                            int(asset_id), ch, k,
+                            round_away(float(np.sqrt((w * w).mean()))),
+                            int((w[:-1] * w[1:] < 0).sum()),
+                            int(w.sum()) ** 2,
+                            re_q * re_q + im_q * im_q,
+                            nyq * nyq,
+                        ))
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "asset_id", "window_no", "rms", "zero_crossings",
-                    "e_dc", "e_quarter", "e_nyquist",
+                    "asset_id", "channel", "window_no", "rms",
+                    "zero_crossings", "e_dc", "e_quarter", "e_nyquist",
                 ],
             )
 

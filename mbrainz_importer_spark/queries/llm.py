@@ -221,7 +221,20 @@ def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = M.synth_wav_assets(docs, "doc_id", "text", n_samples=800, rate=8000)
     return M.audio_spectral_features(assets, window=100).orderBy(
-        "asset_id", "window_no"
+        "asset_id", "channel", "window_no"
+    )
+
+
+def multimodal_spectral_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel spectral analysis over REAL stereo WAVs (VERDICT r5
+    next-round #3): channel 0 cycles md5(text), channel 1 md5(text+':R'),
+    interleaved frame-major; the operator deinterleaves and windows each
+    channel independently. The oracle recomputes both channels' windows
+    from the two md5s with the same exact integer SQL as the mono gate."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    assets = M.synth_stereo_wav_assets(docs, "doc_id", "text", n_frames=800)
+    return M.audio_spectral_features(assets, window=100).orderBy(
+        "asset_id", "channel", "window_no"
     )
 
 
@@ -325,6 +338,7 @@ QUERIES = {
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_frame_features": multimodal_frame_features,
     "multimodal_spectral_features": multimodal_spectral_features,
+    "multimodal_spectral_stereo": multimodal_spectral_stereo,
 }
 
 
@@ -720,7 +734,7 @@ ORACLES = {
             SELECT *, lead(v) OVER (PARTITION BY asset_id, window_no ORDER BY j) AS v2
             FROM x
         )
-        SELECT asset_id, window_no,
+        SELECT asset_id, CAST(0 AS INTEGER) AS channel, window_no,
                round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
                CAST(sum(CASE WHEN v2 IS NOT NULL AND v * v2 < 0 THEN 1 ELSE 0 END)
                     AS INTEGER) AS zero_crossings,
@@ -736,6 +750,50 @@ ORACLES = {
         FROM nx
         GROUP BY asset_id, window_no
         ORDER BY asset_id, window_no
+    """,
+    "multimodal_spectral_stereo": """
+        WITH d AS (
+            SELECT doc_id AS asset_id, CAST(c.ch AS INTEGER) AS channel,
+                   md5(CASE WHEN c.ch = 0 THEN text ELSE text || ':R' END) AS h
+            FROM documents, (VALUES (0), (1)) AS c(ch)
+            WHERE doc_id < 200
+        ),
+        s AS (
+            SELECT asset_id, channel,
+                   list_transform(
+                       list_transform(range(0, 8), i ->
+                           try_cast('0x' || substr(h, 4*i + 3, 2) AS INTEGER) * 256
+                           + try_cast('0x' || substr(h, 4*i + 1, 2) AS INTEGER)),
+                       u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS vals
+            FROM d
+        ),
+        x AS (
+            SELECT asset_id, channel, CAST(u.k AS INT) AS window_no,
+                   CAST(v.j AS INT) AS j,
+                   CAST(vals[CAST((u.k * 100 + v.j) % 8 AS INT) + 1] AS BIGINT) AS v
+            FROM s, UNNEST(range(0, 8)) AS u(k), UNNEST(range(0, 100)) AS v(j)
+        ),
+        nx AS (
+            SELECT *, lead(v) OVER (
+                PARTITION BY asset_id, channel, window_no ORDER BY j) AS v2
+            FROM x
+        )
+        SELECT asset_id, channel, window_no,
+               round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+               CAST(sum(CASE WHEN v2 IS NOT NULL AND v * v2 < 0 THEN 1 ELSE 0 END)
+                    AS INTEGER) AS zero_crossings,
+               CAST(sum(v) * sum(v) AS BIGINT) AS e_dc,
+               CAST(sum(CASE j % 4 WHEN 0 THEN v WHEN 2 THEN -v ELSE 0 END)
+                    * sum(CASE j % 4 WHEN 0 THEN v WHEN 2 THEN -v ELSE 0 END)
+                    + sum(CASE j % 4 WHEN 1 THEN v WHEN 3 THEN -v ELSE 0 END)
+                    * sum(CASE j % 4 WHEN 1 THEN v WHEN 3 THEN -v ELSE 0 END)
+                    AS BIGINT) AS e_quarter,
+               CAST(sum(CASE WHEN j % 2 = 0 THEN v ELSE -v END)
+                    * sum(CASE WHEN j % 2 = 0 THEN v ELSE -v END)
+                    AS BIGINT) AS e_nyquist
+        FROM nx
+        GROUP BY asset_id, channel, window_no
+        ORDER BY asset_id, channel, window_no
     """,
     "multimodal_frame_features": """
         WITH f AS (

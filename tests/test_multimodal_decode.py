@@ -128,8 +128,10 @@ def test_wav_decode_rejects_garbage():
 
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not audio at all")
-    with pytest.raises(ValueError, match="expected 1-D int16"):
-        encode_wav(np.zeros((2, 2), dtype=np.int16))
+    with pytest.raises(ValueError, match="expected 1-D or 2-D int16"):
+        encode_wav(np.zeros((2, 2, 2), dtype=np.int16))
+    with pytest.raises(ValueError, match="expected 1-D or 2-D int16"):
+        encode_wav(np.zeros(4, dtype=np.int32))
 
 
 def test_wav_tolerates_extra_chunks():
@@ -184,9 +186,34 @@ def test_spectral_window_validation(spark):
         M.audio_spectral_features(assets, window=30)
 
 
-def test_spectral_rejects_multichannel(spark):
-    """Interleaved multi-channel WAV must raise, not silently window
-    across mixed channels (round-4 advice)."""
+def test_spectral_stereo_deinterleaves_per_channel(spark):
+    """Interleaved stereo windows PER CHANNEL (never across channels —
+    the round-4 advice bug class): each channel's rows equal the mono
+    analysis of that channel's deinterleaved samples."""
+    import numpy as np
+
+    from mbrainz_importer_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(-3000, 3000, size=(200, 2), dtype=np.int64)
+    wav = M.encode_wav(frames.astype(np.int16), rate=8000)
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav")], M.ASSET_SCHEMA
+    )
+    rows = M.audio_spectral_features(assets, window=100).collect()
+    assert sorted((r["channel"], r["window_no"]) for r in rows) == [
+        (0, 0), (0, 1), (1, 0), (1, 1),
+    ]
+    for r in rows:
+        w = frames[r["window_no"] * 100:(r["window_no"] + 1) * 100, r["channel"]]
+        assert r["e_dc"] == int(w.sum()) ** 2
+        assert r["zero_crossings"] == int((w[:-1] * w[1:] < 0).sum())
+        assert abs(r["rms"] - M.round_away(float(np.sqrt((w * w).mean())))) < 1e-12
+
+
+def test_spectral_rejects_malformed_interleave(spark):
+    """A data chunk whose sample count isn't divisible by n_channels is
+    malformed — raise, don't window a ragged deinterleave."""
     import struct
 
     import numpy as np
@@ -194,9 +221,8 @@ def test_spectral_rejects_multichannel(spark):
 
     from mbrainz_importer_spark.operators import multimodal as M
 
-    samples = np.arange(200, dtype=np.int16)
+    samples = np.arange(201, dtype=np.int16)  # odd count, 2 channels
     data = samples.astype("<i2").tobytes()
-    # hand-build a stereo header (encode_wav is mono-only by contract)
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE",
@@ -206,7 +232,7 @@ def test_spectral_rejects_multichannel(spark):
     assets = spark.createDataFrame(
         [(1, bytearray(hdr + data), "audio/wav")], M.ASSET_SCHEMA
     )
-    with pytest.raises(Exception, match="mono"):
+    with pytest.raises(Exception, match="not divisible"):
         M.audio_spectral_features(assets, window=100).collect()
 
 
