@@ -31,6 +31,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "multimodal_meta",
     "datalog_region_nations",
+    "datalog_recursive_ancestors",
     "sequence_packing",
     "curation_pipeline",
     "dedup_span_level",

@@ -88,3 +88,56 @@ def fulltext_topk(
     return fulltext_search(index, query, mode).orderBy(
         F.col("score").desc(), F.col("doc").asc()
     ).limit(k)
+
+
+def fulltext_tfidf_topk(
+    index: DataFrame,
+    query: str,
+    k: int,
+    mode: str = "any",
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Top-k by integer-scaled tf-idf: rare query terms outweigh common
+    ones, the relevance ranking a search user expects beyond raw tf
+    (VERDICT r5 next-round #4).
+
+    idf_scaled(t) = (idf_scale * N) div df(t) — an integer rational
+    approximation of inverse document frequency (monotone decreasing in
+    df, like log(N/df), but exact integer arithmetic end-to-end so the
+    DuckDB oracle reproduces scores bit-for-bit; float log would invite
+    cross-engine ulp drift in the ranking). N is the corpus doc count
+    (distinct docs in the index), df the number of docs containing the
+    term. score(doc) = sum over matched terms of tf * idf_scaled.
+
+    Scale shape: df/N are one groupBy over the few query terms' postings
+    (partition-pruned on bucketed storage) plus one single-row aggregate;
+    both broadcast into the scoring join, so the corpus-side postings
+    shuffle once on doc, same as fulltext_search. orderBy+limit is
+    TakeOrdered, not a global sort."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any': {mode!r}")
+    terms = query_terms(query)
+    matched = index.where(F.col("term").isin(terms))
+    n_docs = index.agg(F.countDistinct("doc").alias("n_docs"))
+    dfreq = (
+        matched.groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.expr(f"CAST(({idf_scale} * n_docs) DIV df AS BIGINT)").alias(
+                "idf_scaled"
+            ),
+        )
+    )
+    agg = (
+        matched.join(F.broadcast(dfreq), "term")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.col("tf") * F.col("idf_scaled")).cast("long").alias("score"),
+        )
+    )
+    if mode == "all":
+        agg = agg.where(F.col("n_matched") == len(terms))
+    return agg.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(k)

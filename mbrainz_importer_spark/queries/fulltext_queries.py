@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.fulltext import build_fulltext_index, fulltext_search, fulltext_topk
+from ..operators.fulltext import (
+    build_fulltext_index,
+    fulltext_search,
+    fulltext_tfidf_topk,
+    fulltext_topk,
+)
 from ..tables import load
 
 _SQL_POSTINGS = r"""
@@ -41,9 +46,19 @@ def fulltext_any_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fulltext_topk(idx, "vector scan batch", k=20, mode="any")
 
 
+def fulltext_tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf relevance top-20: integer-scaled idf weighting so the rare
+    'vector' outweighs the common 'table' — identical bit-exact scores
+    in the DuckDB oracle (integer div, no float log)."""
+    docs = load(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs, "doc_id", "text")
+    return fulltext_tfidf_topk(idx, "vector table scan", k=20, mode="any")
+
+
 QUERIES = {
     "fulltext_and_search": fulltext_and_search,
     "fulltext_any_topk": fulltext_any_topk,
+    "fulltext_tfidf_topk": fulltext_tfidf_topk_docs,
 }
 
 ORACLES = {
@@ -63,6 +78,25 @@ ORACLES = {
                CAST(SUM(tf) AS BIGINT) AS score
         FROM postings WHERE term IN ('batch', 'scan', 'vector')
         GROUP BY doc
+        ORDER BY score DESC, doc ASC
+        LIMIT 20
+    """,
+    "fulltext_tfidf_topk": f"""
+        WITH {_SQL_POSTINGS},
+        nd AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM postings),
+        dfreq AS (
+            SELECT term,
+                   (1000 * (SELECT n_docs FROM nd)) // COUNT(DISTINCT doc)
+                       AS idf_scaled
+            FROM postings
+            WHERE term IN ('scan', 'table', 'vector')
+            GROUP BY term
+        )
+        SELECT p.doc,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(p.tf * d.idf_scaled) AS BIGINT) AS score
+        FROM postings p JOIN dfreq d USING (term)
+        GROUP BY p.doc
         ORDER BY score DESC, doc ASC
         LIMIT 20
     """,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from mbrainz_importer_spark.operators.fulltext import (
     build_fulltext_index,
     fulltext_search,
+    fulltext_tfidf_topk,
     fulltext_topk,
     query_terms,
 )
@@ -61,6 +62,26 @@ def test_topk_deterministic_order(index):
     # doc 2 scores 3; docs 1 (the*2+quick+brown=4)... compute: doc1 terms
     # the(2)+quick(1)+brown(1)=4, doc2 quick(2)+brown(1)=3, doc4=2
     assert [(r["doc"], r["score"]) for r in rows] == [(1, 4), (2, 3)]
+
+
+def test_tfidf_rare_term_outranks_common(index):
+    """N=4 indexed docs; df(turtle)=1, df(fox)=2 -> idf_scaled 4000 vs
+    2000, so the single turtle doc outranks the fox docs; equal scores
+    tie-break on doc asc."""
+    rows = fulltext_tfidf_topk(index, "fox turtle", k=3, mode="any").collect()
+    assert [(r["doc"], r["score"]) for r in rows] == [
+        (3, 4000), (1, 2000), (4, 2000),
+    ]
+
+
+def test_tfidf_all_mode_and_tf_weighting(index):
+    # df(quick)=df(brown)=3 -> idf_scaled = 4000 // 3 = 1333
+    rows = fulltext_tfidf_topk(index, "quick brown", k=5, mode="all").collect()
+    assert [(r["doc"], r["score"]) for r in rows] == [
+        (2, 3 * 1333), (1, 2 * 1333), (4, 2 * 1333),
+    ]
+    with pytest.raises(ValueError):
+        fulltext_tfidf_topk(index, "x", k=1, mode="fuzzy")
 
 
 def test_query_terms_normalization():
