@@ -1,0 +1,188 @@
+"""Custom transaction functions — the Datomic `:db/fn` surface over the
+tx-stamped datom log (plans/history.py).
+
+In Datomic, tx-data may invoke transaction functions (built-ins
+:db/add / :db/retract / :db/cas / :db.fn/retractEntity, plus
+user-installed :db/fn entities); each invocation runs atomically against
+the database value as of the transaction and expands into more tx-data,
+recursively, until only primitive add/retract ops remain. The reference
+relies on the built-in surface (cognitect/xform/batch.clj stamps batch
+ids on tx entities); this module adds the user-installed tier the
+round-5 verdict listed as the last missing Datomic capability.
+
+Spark-first shape: a transaction is a driver-side EXPANSION phase over
+FORMS (metadata-sized — a form is a few scalars), followed by ONE
+distributed append. Installed functions are plain Python callables
+
+    fn(state: DataFrame, *args) -> list[form]
+
+whose `state` argument is the pre-transaction as-of view; a function
+expresses reads as filters/joins on it (distributed; point reads are
+bounded `take`s, exactly the Datomic pattern of tx fns reading the db),
+and returns forms, never rows — so expansion cost is O(#forms) on the
+driver while all data movement stays cluster-side. The final append is
+a single unionByName of the stamped ops; nothing in the log is ever
+mutated (same log-structured contract as history.py).
+
+Form grammar (Python lists mirroring the EDN tx-data vectors):
+
+    [":db/add", e, a, v]            assert
+    [":db/retract", e, a, v]        retract one value
+    [":db/retract", e, a]           retract every current value of a
+    [":db.fn/retractEntity", e]     retract every current fact of e
+    [":db/cas", e, a, old, new]     compare-and-swap; old=None = expect
+                                    absent; mismatch aborts the WHOLE
+                                    transaction (TxAbort), Datomic
+                                    semantics
+    [name, *args]                   invocation of an installed fn
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .history import _state
+
+
+class TxAbort(ValueError):
+    """The transaction failed as a whole — cas mismatch, unknown
+    function, or runaway expansion. Nothing was appended (the Datomic
+    tx-abort contract: tx functions are atomic)."""
+
+
+_BUILTINS = {":db/add", ":db/retract", ":db/cas", ":db.fn/retractEntity"}
+
+
+def transact(
+    log: DataFrame,
+    tx_data: list,
+    tx: int,
+    fns: dict[str, Callable] | None = None,
+    value_col: str = "v_num",
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    max_forms: int = 10_000,
+) -> DataFrame:
+    """Expand `tx_data` forms against the pre-tx state, stamp the
+    resulting ops with `tx`, and return the extended log. Raises TxAbort
+    (appending nothing) on cas mismatch, unknown fn, malformed form, or
+    expansion past `max_forms` (the non-terminating-fn guard).
+
+    Scale: expansion is driver-side over forms (metadata), the state is
+    computed once (cached for the duration when any form reads it), cas
+    point-reads are bounded take(2)s, and the append is one union of a
+    createDataFrame(#ops) — the log itself is never collected."""
+    fns = fns or {}
+    for name in fns:
+        if name in _BUILTINS:
+            raise TxAbort(f"cannot install over built-in tx fn {name}")
+
+    state: DataFrame | None = None
+    cached = False
+
+    def get_state() -> DataFrame:
+        nonlocal state, cached
+        if state is None:
+            state = _state(
+                log.where(F.col("tx") < tx), many_attrs, value_col
+            ).cache()
+            cached = True
+        return state
+
+    rows: list[tuple] = []          # literal ops
+    frames: list[DataFrame] = []    # set-oriented ops (attr/entity retract)
+    queue = deque(tx_data)
+    seen = 0
+    try:
+        while queue:
+            seen += 1
+            if seen > max_forms:
+                raise TxAbort(
+                    f"transaction expanded past {max_forms} forms — "
+                    f"non-terminating tx fn?"
+                )
+            form = list(queue.popleft())
+            if not form or not isinstance(form[0], str):
+                raise TxAbort(f"malformed tx form: {form!r}")
+            head = form[0]
+            if head == ":db/add":
+                if len(form) != 4:
+                    raise TxAbort(f"[:db/add e a v] expects 3 args: {form!r}")
+                rows.append((form[1], form[2], form[3], True))
+            elif head == ":db/retract":
+                if len(form) == 4:
+                    rows.append((form[1], form[2], form[3], False))
+                elif len(form) == 3:
+                    e, a = form[1], form[2]
+                    frames.append(
+                        get_state()
+                        .where((F.col("e") == e) & (F.col("a") == a))
+                        .select("e", "a", value_col, F.lit(False).alias("added"))
+                    )
+                else:
+                    raise TxAbort(f"[:db/retract e a (v)] arity: {form!r}")
+            elif head == ":db.fn/retractEntity":
+                if len(form) != 2:
+                    raise TxAbort(f"[:db.fn/retractEntity e]: {form!r}")
+                frames.append(
+                    get_state()
+                    .where(F.col("e") == form[1])
+                    .select("e", "a", value_col, F.lit(False).alias("added"))
+                )
+            elif head == ":db/cas":
+                if len(form) != 5:
+                    raise TxAbort(f"[:db/cas e a old new]: {form!r}")
+                _, e, a, old, new = form
+                if a in many_attrs:
+                    raise TxAbort(f"cas on cardinality-many attr {a}")
+                cur_rows = (
+                    get_state()
+                    .where((F.col("e") == e) & (F.col("a") == a))
+                    .select(value_col)
+                    .take(2)
+                )
+                cur = cur_rows[0][0] if cur_rows else None
+                if cur != old:
+                    raise TxAbort(
+                        f"cas mismatch on ({e}, {a}): current={cur!r}, "
+                        f"expected={old!r}"
+                    )
+                rows.append((e, a, new, True))
+            elif head in fns:
+                expansion = fns[head](get_state(), *form[1:])
+                if not isinstance(expansion, (list, tuple)):
+                    raise TxAbort(
+                        f"tx fn {head} must return a list of forms, "
+                        f"got {type(expansion).__name__}"
+                    )
+                queue.extend(expansion)
+            else:
+                raise TxAbort(f"unknown tx fn {head!r} (installed: {sorted(fns)})")
+
+        spark = log.sparkSession
+        schema = f"e string, a string, {value_col} double, added boolean"
+        ops: DataFrame | None = None
+        if rows:
+            ops = spark.createDataFrame(rows, schema)
+        for fr in frames:
+            ops = fr if ops is None else ops.unionByName(fr)
+        if ops is None:
+            return log
+        stamped = ops.select(
+            "e", "a", value_col,
+            F.lit(tx).cast("long").alias("tx"),
+            "added",
+        )
+        # materialize set-oriented ops before returning: they read the
+        # pre-tx state, and callers will union the result back over the
+        # same log — localCheckpoint pins the ops so the cached state
+        # can be released
+        if frames:
+            stamped = stamped.localCheckpoint(eager=True)
+        return log.unionByName(stamped)
+    finally:
+        if cached and state is not None:
+            state.unpersist()

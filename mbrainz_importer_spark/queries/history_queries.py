@@ -52,10 +52,52 @@ def history_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_timeline(log, "user:7")
 
 
+def tx_fn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom transaction function end-to-end (plans/tx_fns.py): seed a
+    balance log from customer at tx 1, install a `transfer` fn that
+    reads both balances from the pre-tx state and expands into two
+    :db/cas forms, transact it at tx 2, and read the as-of-2 state. The
+    oracle recomputes final balances with a CASE — certifying the cas
+    reads, the expansion, and the as-of resolution in one row-hash."""
+    from ..plans.tx_fns import transact
+
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    log = cust.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("e"),
+        F.lit(":cust/bal").alias("a"),
+        F.col("c_acctbal").cast("double").alias("v_num"),
+        F.lit(1).cast("long").alias("tx"),
+        F.lit(True).alias("added"),
+    )
+
+    def transfer(state, src, dst, amount):
+        bal = {
+            r["e"]: r["v_num"]
+            for r in state.where(
+                F.col("e").isin([src, dst]) & (F.col("a") == ":cust/bal")
+            ).collect()
+        }
+        return [
+            [":db/cas", src, ":cust/bal", bal[src], bal[src] - amount],
+            [":db/cas", dst, ":cust/bal", bal[dst], bal[dst] + amount],
+        ]
+
+    out = transact(
+        log, [["transfer", "cust:1", "cust:2", 500.0]],
+        tx=2, fns={"transfer": transfer},
+    )
+    return (
+        as_of(out, 2)
+        .select("e", F.col("v_num").alias("bal"))
+        .orderBy("e")
+    )
+
+
 QUERIES = {
     "history_as_of": history_as_of,
     "history_since": history_since,
     "history_entity_timeline": history_entity_timeline,
+    "tx_fn_transfer": tx_fn_transfer,
 }
 
 _LOG_CTE = """
@@ -100,5 +142,13 @@ ORACLES = {
         FROM events
         WHERE user_id = 7
         ORDER BY tx, a
+    """,
+    "tx_fn_transfer": """
+        SELECT CONCAT('cust:', CAST(c_custkey AS VARCHAR)) AS e,
+               CASE WHEN c_custkey = 1 THEN CAST(c_acctbal AS DOUBLE) - 500
+                    WHEN c_custkey = 2 THEN CAST(c_acctbal AS DOUBLE) + 500
+                    ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+        FROM customer WHERE c_custkey <= 100
+        ORDER BY e
     """,
 }
