@@ -46,6 +46,34 @@ def build_fulltext_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def write_fulltext_index_bucketed(
+    index: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Persist the postings index bucketed+sorted by `term` — the scale
+    shape build_fulltext_index's docstring promises, made concrete:
+
+    - whenever the bucketed scan is active (any per-term aggregate or
+      term-keyed join — e.g. the df counts feeding tf-idf's idf), the
+      `term IN (...)` filter BUCKET-PRUNES the scan to the query terms'
+      buckets (`SelectedBucketsCount: k out of n` in the physical plan)
+      and groupBy('term') inherits hashpartitioning(term) so it plans
+      with NO Exchange (both proven in test_fulltext.py);
+    - for pure filter+scan reads Spark auto-disables bucketed scans
+      (no partitioning to exploit); set
+      spark.sql.sources.bucketing.autoBucketedScan.enabled=false to
+      force pruning there too.
+
+    Managed table because only the catalog carries bucket metadata
+    (same constraint as sources/bucketed.py)."""
+    (
+        index.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def query_terms(query: str) -> list[str]:
     """Distinct lowercased whitespace terms of a query string, sorted —
     the driver-side constant the search compiles into the plan."""

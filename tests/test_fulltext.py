@@ -92,6 +92,44 @@ def test_query_terms_normalization():
         fulltext_search(None, "x", mode="fuzzy")
 
 
+def test_bucketed_postings_prune_and_no_term_exchange(spark, corpus):
+    """The 100 TB postings shape: term-bucketed storage bucket-prunes a
+    search's scan to the query terms' buckets, and per-term aggregates
+    (tf-idf's df counts) need no Exchange."""
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.operators.fulltext import (
+        write_fulltext_index_bucketed,
+    )
+    from mbrainz_importer_spark.sources.bucketed import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    idx = build_fulltext_index(corpus, "doc_id", "text")
+    write_fulltext_index_bucketed(idx, "b_postings", n_buckets=8)
+    try:
+        bucketed = spark.table("b_postings")
+        # same search results through the bucketed store
+        out = {r["doc"]: r["score"]
+               for r in fulltext_search(bucketed, "quick brown", mode="all").collect()}
+        assert out == {1: 2, 2: 3, 4: 2}
+        # per-term agg (idf's df counts): the bucketed scan kicks in
+        # (groupBy(term) consumes the buckets' hashpartitioning), the
+        # term filter BUCKET-PRUNES the scan, and no Exchange is planned
+        dfreq = (
+            bucketed.where(F.col("term").isin(["quick", "brown"]))
+            .groupBy("term")
+            .agg(F.count_distinct("doc").alias("df"))
+        )
+        dfreq.count()
+        plan = physical_plan(dfreq)
+        assert "SelectedBucketsCount" in plan, plan
+        assert count_exchanges(dfreq) == 0, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_postings")
+
+
 def test_artist_name_fulltext(spark):
     """Parity shape with the reference's fulltext attributes: search
     artist/name the way (fulltext $ :artist/name "jimi") would."""
