@@ -67,6 +67,11 @@ Covers the query surface the reference actually exercises
     the other three become small broadcast relations cross-seeded into
     the plan, joined wherever their vars appear (Datomic input-relation
     semantics; inputs are treated as sets);
+  - multiple database inputs — :in markers "$2", "$3", ... each bound
+    to a datoms DataFrame param; top-level patterns prefixed with the
+    marker (["$2", e, a, v]) scan that db instead of the primary (the
+    Datomic as-of-vs-current cross-db join idiom). Markers inside rule
+    bodies / not / or are not resolved (documented limitation);
   - :limit (the reference's `:limit -1` = no limit).
 
 Compilation: each pattern becomes an aliased, pre-filtered scan of the
@@ -806,13 +811,21 @@ def _apply_or(
     return plan
 
 
-def _parse_in(in_vars: list, params: tuple) -> tuple[dict, list]:
-    """Split :in specs into scalar constants and seed relations.
-    Returns (bound, seeds) where seeds is [(vars, rows)] — collection
-    ['?x', '...'] -> 1-col rows, tuple ['?a','?b'] -> one row, relation
-    [['?a','?b']] -> many rows."""
+import re as _re
+
+_DB_MARK = _re.compile(r"^\$\d+$")
+
+
+def _parse_in(in_vars: list, params: tuple) -> tuple[dict, list, dict]:
+    """Split :in specs into scalar constants, seed relations, and extra
+    database inputs. Returns (bound, seeds, dbs): seeds is
+    [(vars, rows)] — collection ['?x', '...'] -> 1-col rows, tuple
+    ['?a','?b'] -> one row, relation [['?a','?b']] -> many rows; dbs
+    maps '$2'-style markers to datoms DataFrames (Datomic multi-db
+    queries — patterns prefixed with the marker scan that db)."""
     bound: dict = {}
     seeds: list[tuple[list, list]] = []
+    dbs: dict[str, DataFrame] = {}
 
     def claim(v):
         if not _is_var(v):
@@ -821,7 +834,21 @@ def _parse_in(in_vars: list, params: tuple) -> tuple[dict, list]:
             raise DatalogError(f"duplicate :in var {v}")
 
     for spec, p in zip(in_vars, params):
-        if isinstance(spec, str):
+        if spec == "$":
+            raise DatalogError(
+                "the primary db '$' is the positional datoms argument; "
+                "list only extra dbs ($2, $3, ...) in :in"
+            )
+        if isinstance(spec, str) and _DB_MARK.match(spec):
+            if not isinstance(p, DataFrame):
+                raise DatalogError(
+                    f":in db marker {spec} needs a datoms DataFrame, "
+                    f"got {type(p).__name__}"
+                )
+            if spec in dbs:
+                raise DatalogError(f"duplicate :in db marker {spec}")
+            dbs[spec] = p
+        elif isinstance(spec, str):
             claim(spec)
             bound[spec] = p
         elif isinstance(spec, list) and len(spec) == 2 and spec[1] == "...":
@@ -841,7 +868,7 @@ def _parse_in(in_vars: list, params: tuple) -> tuple[dict, list]:
             seeds.append((list(spec), [tuple(p)]))
         else:
             raise DatalogError(f"unsupported :in spec {spec!r}")
-    return bound, seeds
+    return bound, seeds, dbs
 
 
 def _seed_plan(
@@ -879,6 +906,7 @@ def _compile_where(
     stack: tuple[str, ...] = (),
     rec_impl: dict[str, DataFrame] | None = None,
     init: tuple[DataFrame | None, dict, dict] | None = None,
+    dbs: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame | None, dict, dict]:
     """Compile a clause list (triple patterns, predicates, rule
     invocations) to (plan, binding, num_binding). Shared by the top-level
@@ -1002,6 +1030,18 @@ def _compile_where(
                     f"(ops: {sorted(_PRED_OPS)}; rules: {sorted(rules)})"
                 )
             continue
+        src = None
+        if (
+            len(pat) == 4
+            and isinstance(pat[0], str)
+            and _DB_MARK.match(pat[0])
+        ):
+            # [$2 e a v] — pattern scoped to an extra :in database
+            # (Datomic multi-db queries, e.g. as-of vs current joins).
+            # Supported in top-level :where patterns; inside rule
+            # bodies / not / or the marker is unresolvable (the db map
+            # does not flow into sub-compilations) and raises below.
+            src, pat = pat[0], list(pat[1:])
         if len(pat) == 2:
             # [e a] — attribute-presence pattern (explore_db.clj:16
             # [?e :db/unique]); value position is an implicit wildcard
@@ -1010,8 +1050,17 @@ def _compile_where(
             raise DatalogError(f"pattern must be [e a v] or [e a]: {pat}")
         else:
             e, a, v = pat
+        base = datoms
+        if src is not None:
+            if not dbs or src not in dbs:
+                raise DatalogError(
+                    f"unknown db marker {src!r} — declare it in :in and "
+                    f"pass a datoms DataFrame (markers are only resolved "
+                    f"in top-level :where patterns)"
+                )
+            base = dbs[src]
         alias = f"p{i}_{len(stack)}"
-        scan = datoms.alias(alias)
+        scan = base.alias(alias)
         cols = {"e": F.col(f"{alias}.e"), "a": F.col(f"{alias}.a"),
                 "v": F.col(f"{alias}.v"), "v_num": F.col(f"{alias}.v_num")}
 
@@ -1069,12 +1118,12 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
         raise DatalogError("query needs :find and :where")
     if len(in_vars) != len(params):
         raise DatalogError(f":in arity {len(in_vars)} != {len(params)} params")
-    bound, seeds = _parse_in(in_vars, params)
+    bound, seeds, dbs = _parse_in(in_vars, params)
     rules = _parse_rules(query.get("rules") or [])
 
     init = _seed_plan(seeds, datoms) if seeds else None
     plan, binding, num_binding = _compile_where(
-        where, datoms, bound, rules, init=init
+        where, datoms, bound, rules, init=init, dbs=dbs
     )
 
     # :find projection — Datomic SET semantics: the bound relation is

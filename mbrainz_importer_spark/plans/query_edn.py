@@ -65,6 +65,13 @@ def _conv_entry(cl) -> list:
         return list(cl)  # [e a] attribute-presence pattern
     if len(cl) == 3 and not any(isinstance(x, list) for x in cl):
         return list(cl)  # triple pattern
+    if (
+        len(cl) == 4
+        and isinstance(cl[0], str)
+        and cl[0].startswith("$")
+        and not any(isinstance(x, list) for x in cl)
+    ):
+        return list(cl)  # [$2 e a v] db-scoped pattern (multi-db :in)
     raise DatalogError(f"unrecognized :where clause {cl!r}")
 
 
@@ -90,8 +97,8 @@ def _conv_find(term):
 
 def _conv_in(spec):
     if spec in ("$", "%"):
-        return None  # db / rules arrive as Python args
-    return spec  # scalar str or already-shaped list
+        return None  # primary db / rules arrive as Python args
+    return spec  # scalar str, '$2'-style extra-db marker, or shaped list
 
 
 def edn_query(text: str) -> dict:

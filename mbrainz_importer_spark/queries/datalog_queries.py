@@ -578,6 +578,28 @@ def datalog_get_some_attr_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def datalog_cross_db_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-database query (:in $ $2) as VERBATIM EDN text — the
+    Datomic idiom of joining two database values in one datalog query
+    (canonically as-of vs current): nation datoms are the primary db,
+    region datoms arrive as the $2 input, and ?rk unifies across them."""
+    from ..plans.eav import table_datoms
+    from ..plans.query_edn import q_edn
+
+    nation_db = table_datoms(load(spark, sf_dir, "nation"), "nation", "n_nationkey")
+    region_db = table_datoms(load(spark, sf_dir, "region"), "region", "r_regionkey")
+    return q_edn(
+        """[:find ?name ?rname
+            :in $ $2
+            :where
+            [?n :nation/n_regionkey ?rk]
+            [?n :nation/n_name ?name]
+            [$2 ?r :region/r_regionkey ?rk]
+            [$2 ?r :region/r_name ?rname]]""",
+        nation_db, region_db,
+    ).orderBy("name")
+
+
 def datalog_fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (fulltext ...) clause over the documents corpus as VERBATIM
     EDN text with the search string as an :in param — Lucene default-OR
@@ -606,6 +628,7 @@ QUERIES = {
     "datalog_get_some_contact": datalog_get_some_contact,
     "datalog_get_some_attr_val": datalog_get_some_attr_val,
     "datalog_fulltext_search": datalog_fulltext_search,
+    "datalog_cross_db_join": datalog_cross_db_join,
     "datalog_get_else": datalog_get_else,
     "datalog_missing_check": datalog_missing_check,
     "datalog_agg_extended": datalog_agg_extended,
@@ -663,6 +686,11 @@ ORACLES = {
         FROM customer
         WHERE c_custkey <= 300 AND c_acctbal > 0
         ORDER BY id
+    """,
+    "datalog_cross_db_join": """
+        SELECT DISTINCT n_name AS name, r_name AS rname
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY name
     """,
     "datalog_fulltext_search": r"""
         SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id

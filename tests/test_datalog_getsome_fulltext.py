@@ -211,6 +211,66 @@ def test_fulltext_errors(datoms):
            "where": [["?e", ":t/id", "_"], [FT, ["?x", "?y", "?z"]]]}, datoms)
 
 
+@pytest.fixture(scope="module")
+def zone_datoms(spark):
+    rows = [
+        ("zone:a", ":zone/id", "1", 1.0),
+        ("zone:a", ":zone/name", "north", None),
+        ("zone:b", ":zone/id", "2", 2.0),
+        ("zone:b", ":zone/name", "south", None),
+    ]
+    return spark.createDataFrame(rows, "e string, a string, v string, v_num double")
+
+
+def test_multi_db_join_dict_form(datoms, zone_datoms):
+    """Datomic multi-db :in ($2): a pattern prefixed with the marker
+    scans the extra db; shared vars join across databases."""
+    out = q(
+        {"find": ["?i", "?zname"],
+         "in": ["$2"],
+         "where": [["?e", ":t/id", "?i"],
+                   ["$2", "?z", ":zone/id", "?i"],
+                   ["$2", "?z", ":zone/name", "?zname"]]},
+        datoms, zone_datoms,
+    )
+    got = {r["i"]: r["zname"] for r in out.collect()}
+    assert got == {"1": "north", "2": "south"}
+
+
+def test_multi_db_edn_text(datoms, zone_datoms):
+    out = q_edn(
+        """[:find ?i ?zname
+            :in $ $2
+            :where
+            [?e :t/id ?i]
+            [$2 ?z :zone/id ?i]
+            [$2 ?z :zone/name ?zname]]""",
+        datoms, zone_datoms,
+    )
+    got = {r["i"]: r["zname"] for r in out.collect()}
+    assert got == {"1": "north", "2": "south"}
+
+
+def test_multi_db_errors(datoms, zone_datoms):
+    with pytest.raises(DatalogError, match="unknown db marker"):
+        q({"find": ["?i"], "where": [["$2", "?e", ":t/id", "?i"]]}, datoms)
+    with pytest.raises(DatalogError, match="positional datoms argument"):
+        q({"find": ["?i"], "in": ["$"],
+           "where": [["?e", ":t/id", "?i"]]}, datoms, zone_datoms)
+    with pytest.raises(DatalogError, match="needs a datoms DataFrame"):
+        q({"find": ["?i"], "in": ["$2"],
+           "where": [["?e", ":t/id", "?i"]]}, datoms, "not-a-df")
+    # markers are not resolved inside (not ...) sub-compilations
+    with pytest.raises(DatalogError, match="unknown db marker"):
+        q(
+            {"find": ["?i"],
+             "in": ["$2"],
+             "where": [["?e", ":t/id", "?i"],
+                       [("not", ["$2", "?z", ":zone/id", "?i"])]]},
+            datoms, zone_datoms,
+        )
+
+
 def test_edn_text_get_some_and_fulltext(datoms):
     """Verbatim Datomic query text through the EDN front door exercises
     both new fn heads (VERDICT r5 next-round #5)."""
