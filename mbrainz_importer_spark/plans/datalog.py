@@ -68,10 +68,10 @@ Covers the query surface the reference actually exercises
     the plan, joined wherever their vars appear (Datomic input-relation
     semantics; inputs are treated as sets);
   - multiple database inputs — :in markers "$2", "$3", ... each bound
-    to a datoms DataFrame param; top-level patterns prefixed with the
-    marker (["$2", e, a, v]) scan that db instead of the primary (the
-    Datomic as-of-vs-current cross-db join idiom). Markers inside rule
-    bodies / not / or are not resolved (documented limitation);
+    to a datoms DataFrame param; patterns prefixed with the marker
+    (["$2", e, a, v]) scan that db instead of the primary (the Datomic
+    as-of-vs-current cross-db join idiom), including inside rule
+    bodies, (not ...) and (or ...) sub-plans;
   - :limit (the reference's `:limit -1` = no limit).
 
 Compilation: each pattern becomes an aliased, pre-filtered scan of the
@@ -540,6 +540,7 @@ def _compile_rule(
     rules: dict[str, list[tuple[list, list]]],
     stack: tuple[str, ...],
     rec_impl: dict[str, DataFrame] | None = None,
+    dbs: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Compile every definition of a rule to one DataFrame with
     positional columns a0..aN (plus __num_aJ numeric projections, null
@@ -565,7 +566,7 @@ def _compile_rule(
 
     def branch(args: list, body: list, impl: dict[str, DataFrame]) -> DataFrame:
         plan, binding, num_binding = _compile_where(
-            body, datoms, {}, rules, stack + (name,), impl
+            body, datoms, {}, rules, stack + (name,), impl, dbs=dbs
         )
         if plan is None:
             raise DatalogError(f"rule {name} has an empty body")
@@ -635,6 +636,7 @@ def _apply_rule(
     stack: tuple[str, ...],
     idx: int,
     rec_impl: dict[str, DataFrame] | None = None,
+    dbs: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Join a rule invocation [(name term...)] into the running plan:
     constants filter the rule plan, already-bound vars become join
@@ -644,7 +646,7 @@ def _apply_rule(
     if len(terms) != arity:
         raise DatalogError(f"rule {name} arity {arity} != {len(terms)} args")
     alias = f"rule{idx}_{len(stack)}"
-    rp = _compile_rule(name, datoms, rules, stack, rec_impl).alias(alias)
+    rp = _compile_rule(name, datoms, rules, stack, rec_impl, dbs).alias(alias)
     cols = [F.col(f"{alias}.a{j}") for j in range(arity)]
     ncols = [F.col(f"{alias}.__num_a{j}") for j in range(arity)]
 
@@ -690,6 +692,7 @@ def _apply_not(
     stack: tuple[str, ...],
     rec_impl: dict[str, DataFrame] | None,
     join_vars: list | None = None,
+    dbs: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """(not clause+): remove bindings for which the inner clauses are
     satisfiable — a left-anti join on the variables shared with the
@@ -704,7 +707,7 @@ def _apply_not(
         raise DatalogError("(not ...) needs at least one inner clause")
     sub, sub_binding, _ = _compile_where(
         [c if isinstance(c, list) else [c] for c in inner],
-        datoms, bound, rules, stack, rec_impl,
+        datoms, bound, rules, stack, rec_impl, dbs=dbs,
     )
     if join_vars is not None:
         for v in join_vars:
@@ -741,6 +744,7 @@ def _apply_or(
     idx: int,
     rec_impl: dict[str, DataFrame] | None,
     join_vars: list | None = None,
+    dbs: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """(or leg+): each leg is one clause or an ("and", clause+) group;
     every leg must bind the SAME variable set (Datomic's rule for or).
@@ -757,7 +761,9 @@ def _apply_or(
             clauses = [c if isinstance(c, list) else [c] for c in leg[1:]]
         else:
             clauses = [leg if isinstance(leg, list) else [leg]]
-        sub, sb, snb = _compile_where(clauses, datoms, bound, rules, stack, rec_impl)
+        sub, sb, snb = _compile_where(
+            clauses, datoms, bound, rules, stack, rec_impl, dbs=dbs
+        )
         if sub is None:
             raise DatalogError(f"(or ...) leg is empty: {leg}")
         leg_rels.append((sub, sb, snb))
@@ -975,7 +981,8 @@ def _compile_where(
                 )
             elif head == "not":
                 plan = _apply_not(
-                    plan, binding, clause[1:], datoms, bound, rules, stack, rec_impl
+                    plan, binding, clause[1:], datoms, bound, rules, stack,
+                    rec_impl, dbs=dbs,
                 )
             elif head == "not-join":
                 if len(clause) < 3 or not isinstance(clause[1], list):
@@ -984,12 +991,12 @@ def _compile_where(
                     )
                 plan = _apply_not(
                     plan, binding, clause[2:], datoms, bound, rules, stack,
-                    rec_impl, join_vars=clause[1],
+                    rec_impl, join_vars=clause[1], dbs=dbs,
                 )
             elif head == "or":
                 plan = _apply_or(
                     plan, binding, num_binding, clause[1:], datoms, bound,
-                    rules, stack, i, rec_impl,
+                    rules, stack, i, rec_impl, dbs=dbs,
                 )
             elif head == "or-join":
                 if len(clause) < 3 or not isinstance(clause[1], list):
@@ -998,7 +1005,7 @@ def _compile_where(
                     )
                 plan = _apply_or(
                     plan, binding, num_binding, clause[2:], datoms, bound,
-                    rules, stack, i, rec_impl, join_vars=clause[1],
+                    rules, stack, i, rec_impl, join_vars=clause[1], dbs=dbs,
                 )
             elif head == "missing?":
                 a = clause[1:]
@@ -1022,7 +1029,7 @@ def _compile_where(
             elif isinstance(head, str) and head in rules:
                 plan = _apply_rule(
                     plan, binding, num_binding, clause, datoms, bound,
-                    rules, stack, i, rec_impl,
+                    rules, stack, i, rec_impl, dbs=dbs,
                 )
             else:
                 raise DatalogError(
@@ -1037,10 +1044,8 @@ def _compile_where(
             and _DB_MARK.match(pat[0])
         ):
             # [$2 e a v] — pattern scoped to an extra :in database
-            # (Datomic multi-db queries, e.g. as-of vs current joins).
-            # Supported in top-level :where patterns; inside rule
-            # bodies / not / or the marker is unresolvable (the db map
-            # does not flow into sub-compilations) and raises below.
+            # (Datomic multi-db queries, e.g. as-of vs current joins);
+            # the db map flows into rule/not/or sub-compilations too.
             src, pat = pat[0], list(pat[1:])
         if len(pat) == 2:
             # [e a] — attribute-presence pattern (explore_db.clj:16
@@ -1055,8 +1060,7 @@ def _compile_where(
             if not dbs or src not in dbs:
                 raise DatalogError(
                     f"unknown db marker {src!r} — declare it in :in and "
-                    f"pass a datoms DataFrame (markers are only resolved "
-                    f"in top-level :where patterns)"
+                    f"pass a datoms DataFrame"
                 )
             base = dbs[src]
         alias = f"p{i}_{len(stack)}"

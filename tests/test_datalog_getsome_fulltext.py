@@ -260,15 +260,19 @@ def test_multi_db_errors(datoms, zone_datoms):
     with pytest.raises(DatalogError, match="needs a datoms DataFrame"):
         q({"find": ["?i"], "in": ["$2"],
            "where": [["?e", ":t/id", "?i"]]}, datoms, "not-a-df")
-    # markers are not resolved inside (not ...) sub-compilations
-    with pytest.raises(DatalogError, match="unknown db marker"):
-        q(
-            {"find": ["?i"],
-             "in": ["$2"],
-             "where": [["?e", ":t/id", "?i"],
-                       [("not", ["$2", "?z", ":zone/id", "?i"])]]},
-            datoms, zone_datoms,
-        )
+
+
+def test_multi_db_marker_inside_not(datoms, zone_datoms):
+    """The db map flows into sub-compilations: (not [$2 ...]) subtracts
+    entities present in the extra db (t:3 and t:4 have no zone)."""
+    out = q(
+        {"find": ["?i"],
+         "in": ["$2"],
+         "where": [["?e", ":t/id", "?i"],
+                   [("not", ["$2", "?z", ":zone/id", "?i"])]]},
+        datoms, zone_datoms,
+    )
+    assert sorted(r["i"] for r in out.collect()) == ["3", "4"]
 
 
 def test_edn_text_get_some_and_fulltext(datoms):
