@@ -40,9 +40,11 @@ Covers the query surface the reference actually exercises
     "not"/"or"/"and" are reserved words, not usable as rule names;
   - function-binding clauses [(fn arg...) ?out] — arithmetic
     (+ - * / quot mod abs, via the numeric v_num projection), (str ...)
-    concatenation, (ground const), and (get-else ?e :attr default)
-    which left-joins the attribute and falls back to the default where
-    the entity has no datom (EAV nulls are ABSENT datoms, eav.py:16-17);
+    concatenation, (ground const), (tuple x+) vector packing with
+    [(untuple ?t) [?a ?b]] destructuring, and
+    (get-else ?e :attr default) which left-joins the attribute and
+    falls back to the default where the entity has no datom (EAV nulls
+    are ABSENT datoms, eav.py:16-17);
   - (get-some $ ?e :attr+) first-present accessor — single-var output
     binds the winning value, [?a ?v] destructuring binds the winning
     attribute and value; rows where every attribute is absent drop
@@ -55,7 +57,9 @@ Covers the query surface the reference actually exercises
   - (missing? ?e :attr) predicate — anti-join on entities that lack the
     attribute;
   - :find with plain variables and/or aggregates (count, count-distinct,
-    sum, min, max, avg, median, variance, stddev, distinct) — grouped by
+    sum, min, max, avg, median, variance, stddev, distinct; bounded
+    (min n ?x)/(max n ?x)/(sample n ?x) — sample is a deterministic
+    md5-ordered subset, see the inline note) — grouped by
     the plain vars. Aggregation follows Datomic SET semantics: the bound
     relation is deduplicated over the find variables (plus :with
     variables) BEFORE aggregating, so `[:find ?x (sum ?v)]` sums each
@@ -187,7 +191,7 @@ def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
 
 
 _ARITH_FNS = {"+", "-", "*", "/", "quot", "mod", "abs"}
-_FN_HEADS = _ARITH_FNS | {"str", "ground", "get-else", "get-some"}
+_FN_HEADS = _ARITH_FNS | {"str", "ground", "get-else", "get-some", "tuple"}
 
 
 def _canon_const(x) -> str:
@@ -278,6 +282,23 @@ def _apply_fn_binding(
             else:
                 parts.append(F.lit(x if isinstance(x, str) else _canon_const(x)))
         binding[out] = F.concat(*parts)
+        return plan
+
+    if head == "tuple":
+        # Datomic's (tuple ?a ?b ...) — pack operands into one vector
+        # value (an array of canonical strings here); (untuple ?t)
+        # destructures it back
+        if not args:
+            raise DatalogError(f"(tuple x+) needs operands: {clause}")
+        cols = []
+        for x in args:
+            if _is_var(x):
+                if x not in binding:
+                    raise DatalogError(f"unbound (tuple ...) operand {x}")
+                cols.append(binding[x].cast("string"))
+            else:
+                cols.append(F.lit(x if isinstance(x, str) else _canon_const(x)))
+        binding[out] = F.array(*cols)
         return plan
 
     # arithmetic over the numeric projection
@@ -963,10 +984,36 @@ def _compile_where(
                     plan, binding, num_binding, args, list(pat[1]), datoms,
                     i, len(stack),
                 )
+            elif head == "untuple":
+                # [(untuple ?t) [?a ?b ...]] — Datomic's vector
+                # destructuring: bind each output var to the tuple's
+                # positional element (1-based element_at; out-of-range
+                # yields null, like destructuring a short vector)
+                a = clause[1:]
+                if len(a) != 1 or not _is_var(a[0]) or a[0] not in binding:
+                    raise DatalogError(
+                        f"(untuple ?t) needs one bound tuple var: {clause}"
+                    )
+                outs = list(pat[1])
+                if not outs or not all(_is_var(x) for x in outs):
+                    raise DatalogError(
+                        f"(untuple ?t) output must destructure vars: {pat[1]}"
+                    )
+                src_col = binding[a[0]]
+                for j, o in enumerate(outs):
+                    if o in binding:
+                        raise DatalogError(
+                            f"function output var {o} is already bound"
+                        )
+                    # F.get is null-safe out of range (ANSI element_at
+                    # would throw on destructuring a short vector)
+                    el = F.get(src_col, j)
+                    binding[o] = el
+                    num_binding[o] = el.cast("double")
             else:
                 raise DatalogError(
                     f"unsupported destructuring function {head!r} "
-                    f"(have: fulltext, get-some)"
+                    f"(have: fulltext, get-some, untuple)"
                 )
             continue
         if len(pat) == 1 and isinstance(pat[0], (tuple, list)):
@@ -1163,24 +1210,35 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
             continue
         if isinstance(term, (tuple, list)):
             if len(term) == 3:
-                # n-ary (min n ?x) / (max n ?x): the n smallest/largest
-                # distinct values as a sorted collection (Datomic's
-                # bounded-collection aggregates)
+                # n-ary (min n ?x) / (max n ?x) / (sample n ?x): bounded
+                # collections (Datomic's bounded aggregates). sample is
+                # DETERMINISTIC here — the n distinct values with the
+                # smallest md5 of their string form, emitted value-sorted
+                # — a reproducible pseudo-random subset (Datomic's is
+                # unspecified-random; determinism is what makes the
+                # result oracle-checkable and re-run-stable)
                 agg, n_bound, var = term
-                if agg not in ("min", "max"):
-                    raise DatalogError(f"only (min n ?x)/(max n ?x) take a bound: {term}")
+                if agg not in ("min", "max", "sample"):
+                    raise DatalogError(
+                        f"only (min n ?x)/(max n ?x)/(sample n ?x) take a bound: {term}"
+                    )
                 if not isinstance(n_bound, int) or n_bound < 1:
                     raise DatalogError(f"aggregate bound must be a positive int: {term}")
                 agg = f"{agg}-{n_bound}"
             else:
                 agg, var = term
             base = agg.split("-")[0] if agg[-1].isdigit() else agg
-            if agg not in AGGS and base not in ("min", "max"):
+            if agg not in AGGS and base not in ("min", "max", "sample"):
                 raise DatalogError(f"unsupported aggregate {agg}")
             if var not in binding:
                 raise DatalogError(f"unbound aggregate var {var}")
             name = f"{agg.replace('-', '_')}_{_var_name(var)}"
             al = f"__agg{k}"
+            if base == "sample":
+                sel_cols.append(binding[var].alias(al))
+                agg_specs.append((agg, al, name))
+                out_order.append(name)
+                continue
             if agg in _NUM_AGGS or base in ("min", "max"):
                 ncol = num_binding.get(var)
                 if ncol is None:
@@ -1216,6 +1274,15 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
                 base, n_s = agg.rsplit("-", 1)
                 arr = F.sort_array(F.collect_set(col), asc=(base == "min"))
                 agg_cols.append(F.slice(arr, 1, int(n_s)).alias(name))
+            elif "-" in agg and agg.split("-")[0] == "sample":
+                n_s = int(agg.rsplit("-", 1)[1])
+                pairs = F.sort_array(F.collect_set(F.struct(
+                    F.md5(col.cast("string")).alias("h"), col.alias("x"),
+                )))
+                picked = F.slice(pairs, 1, n_s)
+                agg_cols.append(
+                    F.array_sort(F.transform(picked, lambda s: s["x"])).alias(name)
+                )
             else:  # sum min max avg median variance stddev (numeric)
                 agg_cols.append(getattr(F, agg)(col).alias(name))
         out = (

@@ -600,6 +600,43 @@ def datalog_cross_db_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("name")
 
 
+def datalog_tuple_untuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tuple ...) packing round-tripped through [(untuple ?t) [...]]
+    destructuring, then (str ...) so the oracle compares plain strings —
+    certifies positional integrity of the vector value."""
+    from ..plans.query_edn import q_edn
+
+    datoms = _datoms_small(spark, sf_dir)
+    return q_edn(
+        """[:find ?name ?s
+            :where
+            [?n :nation/n_name ?name]
+            [?n :nation/n_regionkey ?rk]
+            [(tuple ?name ?rk) ?pair]
+            [(untuple ?pair) [?nm2 ?rk2]]
+            [(str ?nm2 "|" ?rk2) ?s]]""",
+        datoms,
+    ).orderBy("name")
+
+
+def datalog_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample n ?x) bounded aggregate — deterministic md5-ordered
+    subset per group, value-sorted, serialized for the oracle; DuckDB
+    reproduces the identical pick via the same md5 ordering."""
+    datoms = build_datoms({
+        "nation": (load(spark, sf_dir, "nation"), "n_nationkey"),
+    })
+    out = q(
+        {"find": ["?rk", ("sample", 3, "?name")],
+         "where": [["?n", ":nation/n_regionkey", "?rk"],
+                   ["?n", ":nation/n_name", "?name"]]},
+        datoms,
+    )
+    return out.select(
+        "rk", F.array_join("sample_3_name", ",").alias("sampled")
+    ).orderBy("rk")
+
+
 def datalog_fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (fulltext ...) clause over the documents corpus as VERBATIM
     EDN text with the search string as an :in param — Lucene default-OR
@@ -629,6 +666,8 @@ QUERIES = {
     "datalog_get_some_attr_val": datalog_get_some_attr_val,
     "datalog_fulltext_search": datalog_fulltext_search,
     "datalog_cross_db_join": datalog_cross_db_join,
+    "datalog_tuple_untuple": datalog_tuple_untuple,
+    "datalog_sample_agg": datalog_sample_agg,
     "datalog_get_else": datalog_get_else,
     "datalog_missing_check": datalog_missing_check,
     "datalog_agg_extended": datalog_agg_extended,
@@ -691,6 +730,20 @@ ORACLES = {
         SELECT DISTINCT n_name AS name, r_name AS rname
         FROM nation JOIN region ON n_regionkey = r_regionkey
         ORDER BY name
+    """,
+    "datalog_tuple_untuple": """
+        SELECT DISTINCT n_name AS name,
+               n_name || '|' || CAST(n_regionkey AS VARCHAR) AS s
+        FROM nation ORDER BY name
+    """,
+    "datalog_sample_agg": """
+        SELECT CAST(n_regionkey AS VARCHAR) AS rk,
+               array_to_string(
+                   list_sort((list(name ORDER BY md5(name)))[:3]), ','
+               ) AS sampled
+        FROM (SELECT DISTINCT n_regionkey, n_name AS name FROM nation)
+        GROUP BY n_regionkey
+        ORDER BY rk
     """,
     "datalog_fulltext_search": r"""
         SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id
