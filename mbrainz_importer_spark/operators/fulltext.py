@@ -118,6 +118,76 @@ def fulltext_topk(
     ).limit(k)
 
 
+def fulltext_bm25_topk(
+    index: DataFrame,
+    query: str,
+    k: int,
+    mode: str = "any",
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Top-k by QUANTIZED BM25 (k1=1.2, b=0.75) — relevance with
+    document-length normalization, in pure integer arithmetic so the
+    ranking reproduces bit-for-bit in any engine.
+
+    Derivation: BM25_term = idf · tf(k1+1) / (tf + k1(1-b + b·dl/avgdl))
+    with k1=6/5, b=3/4 and avgdl = total/N becomes, after clearing
+    denominators,   idf · 44·tf·total / (20·tf·total + 6·total + 18·dl·N).
+    To stay inside int64 at any corpus size we quantize the length term
+    FIRST:  den = 20·tf + 6 + (18·dl·N) div total,  then
+    term_score = (idf_scaled · 44·tf) div den — every factor is bounded
+    by tokens-per-doc, not corpus size (18·dl·N needs dl·N < 5e17, fine
+    for 1e9 docs of 1e3 tokens). The early division quantizes the
+    length penalty to integer steps; ranking behavior (rare terms up,
+    long docs down) is preserved and, unlike float BM25, two engines
+    can never disagree on a tie.
+
+    Shapes: dl is one groupBy(doc) over the postings (co-located if the
+    index is ALSO stored doc-bucketed; with the term-bucketed layout of
+    write_fulltext_index_bucketed it is one shuffle), df/N/total are
+    query-term-sized or single-row broadcasts; the scoring join then
+    aggregates per doc exactly like fulltext_search."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any': {mode!r}")
+    terms = query_terms(query)
+    dl = index.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    matched = index.where(F.col("term").isin(terms))
+    dfreq = (
+        matched.groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.expr(f"CAST(({idf_scale} * n_docs) DIV df AS BIGINT)").alias(
+                "idf_scaled"
+            ),
+        )
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "den",
+            F.expr("20 * tf + 6 + (18 * dl * n_docs) DIV total"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr("CAST((idf_scaled * 44 * tf) DIV den AS BIGINT)"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("term_score").cast("long").alias("score"),
+    )
+    if mode == "all":
+        agg = agg.where(F.col("n_matched") == len(terms))
+    return agg.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(k)
+
+
 def fulltext_tfidf_topk(
     index: DataFrame,
     query: str,

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.fulltext import (
     build_fulltext_index,
+    fulltext_bm25_topk,
     fulltext_search,
     fulltext_tfidf_topk,
     fulltext_topk,
@@ -55,10 +56,20 @@ def fulltext_tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fulltext_tfidf_topk(idx, "vector table scan", k=20, mode="any")
 
 
+def fulltext_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-BM25 top-20: idf weighting plus document-length
+    normalization, all integer arithmetic (derivation in
+    operators/fulltext.py) so the DuckDB oracle reproduces every score."""
+    docs = load(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs, "doc_id", "text")
+    return fulltext_bm25_topk(idx, "vector table scan", k=20, mode="any")
+
+
 QUERIES = {
     "fulltext_and_search": fulltext_and_search,
     "fulltext_any_topk": fulltext_any_topk,
     "fulltext_tfidf_topk": fulltext_tfidf_topk_docs,
+    "fulltext_bm25_topk": fulltext_bm25_topk_docs,
 }
 
 ORACLES = {
@@ -77,6 +88,36 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_matched,
                CAST(SUM(tf) AS BIGINT) AS score
         FROM postings WHERE term IN ('batch', 'scan', 'vector')
+        GROUP BY doc
+        ORDER BY score DESC, doc ASC
+        LIMIT 20
+    """,
+    "fulltext_bm25_topk": f"""
+        WITH {_SQL_POSTINGS},
+        dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc),
+        tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+        dfreq AS (
+            SELECT term,
+                   (1000 * (SELECT n_docs FROM tot)) // COUNT(DISTINCT doc)
+                       AS idf_scaled
+            FROM postings
+            WHERE term IN ('scan', 'table', 'vector')
+            GROUP BY term
+        ),
+        ts AS (
+            SELECT p.doc,
+                   (d.idf_scaled * 44 * p.tf) //
+                   (20 * p.tf + 6 + (18 * dl.dl * (SELECT n_docs FROM tot))
+                        // (SELECT total FROM tot)) AS term_score
+            FROM postings p
+              JOIN dfreq d USING (term)
+              JOIN dl USING (doc)
+        )
+        SELECT doc,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(term_score) AS BIGINT) AS score
+        FROM ts
         GROUP BY doc
         ORDER BY score DESC, doc ASC
         LIMIT 20

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from mbrainz_importer_spark.operators.fulltext import (
     build_fulltext_index,
+    fulltext_bm25_topk,
     fulltext_search,
     fulltext_tfidf_topk,
     fulltext_topk,
@@ -82,6 +83,20 @@ def test_tfidf_all_mode_and_tf_weighting(index):
     ]
     with pytest.raises(ValueError):
         fulltext_tfidf_topk(index, "x", k=1, mode="fuzzy")
+
+
+def test_bm25_length_normalization_exact(index):
+    """Quantized BM25, hand-computed: N=4 docs, total=19 tokens,
+    df(quick)=3 -> idf_scaled=1333; den = 20·tf + 6 + (18·dl·N)//total.
+    doc2 (tf=2, dl=4): (1333·44·2)//61 = 1923; doc4 (tf=1, dl=3):
+    58652//37 = 1585; doc1 (tf=1, dl=9): 58652//60 = 977 — same tf in a
+    SHORTER doc scores higher (doc4 > doc1), the BM25 property."""
+    rows = fulltext_bm25_topk(index, "quick", k=5, mode="any").collect()
+    assert [(r["doc"], r["score"]) for r in rows] == [
+        (2, 1923), (4, 1585), (1, 977),
+    ]
+    with pytest.raises(ValueError):
+        fulltext_bm25_topk(index, "x", k=1, mode="fuzzy")
 
 
 def test_query_terms_normalization():
