@@ -364,16 +364,19 @@ def _apply_get_some(
     becomes the join key literal, which Catalyst pushes into each
     sub-scan as a filter).
 
-    Scale/cardinality notes: each attribute's sub-scan is reduced to ONE
-    row per entity before joining (groupBy e, min v + its v_num via
-    min_by) — get-some binds a single [attr value] per entity, so a
-    cardinality-many attribute must not multiply rows; Datomic returns an
-    unspecified datom, here deterministically the minimum v. The numeric
-    projection and (in the destructured form) the winning attribute are
-    derived from the SAME first-present winner as the value — a chained
-    CASE over the per-attr presence flags — so a non-numeric winner
-    yields a null numeric binding rather than silently falling through
-    to a later attribute's number."""
+    Scale/cardinality notes: all listed attributes reduce in ONE
+    pivot-style aggregation — a single scan filtered to the attr set,
+    one groupBy(e) producing per-attr (min v, its v_num via min_by)
+    columns, one left join onto the plan (k attributes cost one shuffle,
+    not k; the r5 verdict's pivot suggestion). get-some binds a single
+    [attr value] per entity, so a cardinality-many attribute must not
+    multiply rows; Datomic returns an unspecified datom, here
+    deterministically the minimum v. The numeric projection and (in the
+    destructured form) the winning attribute are derived from the SAME
+    first-present winner as the value — a chained CASE over the per-attr
+    presence flags — so a non-numeric winner yields a null numeric
+    binding rather than silently falling through to a later attribute's
+    number."""
     a = args[1:] if args and args[0] == "$" else args
     if len(a) < 2:
         raise DatalogError("(get-some $ ?e :attr+) needs an entity var and attrs")
@@ -390,25 +393,26 @@ def _apply_get_some(
     if plan is None:
         raise DatalogError("(get-some ...) before any pattern")
 
-    vals, nums = [], []
+    al = f"gs{idx}_{depth}"
+    aggs = []
     for j, attr in enumerate(attrs):
-        al = f"gs{idx}_{j}_{depth}"
-        sub = (
-            datoms.where(F.col("a") == attr)
-            .groupBy("e")
-            .agg(
-                F.min("v").alias("v"),
-                F.min_by("v_num", "v").alias("vn"),
-            )
-            .select(
-                F.col("e").alias(f"__{al}_e"),
-                F.col("v").alias(f"__{al}_v"),
-                F.col("vn").alias(f"__{al}_vn"),
-            )
+        hit = F.col("a") == attr
+        aggs.append(F.min(F.when(hit, F.col("v"))).alias(f"__{al}_v{j}"))
+        # min_by skips rows whose ordering expr is null, so each column
+        # pair reduces over only its own attribute's datoms
+        aggs.append(
+            F.min_by(
+                F.when(hit, F.col("v_num")), F.when(hit, F.col("v"))
+            ).alias(f"__{al}_vn{j}")
         )
-        plan = plan.join(sub, e_expr == F.col(f"__{al}_e"), "left")
-        vals.append(F.col(f"__{al}_v"))
-        nums.append(F.col(f"__{al}_vn"))
+    sub = (
+        datoms.where(F.col("a").isin(list(attrs)))
+        .groupBy(F.col("e").alias(f"__{al}_e"))
+        .agg(*aggs)
+    )
+    plan = plan.join(sub, e_expr == F.col(f"__{al}_e"), "left")
+    vals = [F.col(f"__{al}_v{j}") for j in range(len(attrs))]
+    nums = [F.col(f"__{al}_vn{j}") for j in range(len(attrs))]
     val = F.coalesce(*vals)
     plan = plan.where(val.isNotNull())
 
