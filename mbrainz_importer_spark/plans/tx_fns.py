@@ -92,6 +92,12 @@ def transact(
             cached = True
         return state
 
+    def _val(v):
+        # the log's value column is double-typed; accept ints in forms
+        if isinstance(v, bool):
+            raise TxAbort(f"boolean tx value {v!r} has no numeric form")
+        return float(v) if isinstance(v, int) else v
+
     rows: list[tuple] = []          # literal ops
     frames: list[DataFrame] = []    # set-oriented ops (attr/entity retract)
     queue = deque(tx_data)
@@ -111,10 +117,10 @@ def transact(
             if head == ":db/add":
                 if len(form) != 4:
                     raise TxAbort(f"[:db/add e a v] expects 3 args: {form!r}")
-                rows.append((form[1], form[2], form[3], True))
+                rows.append((form[1], form[2], _val(form[3]), True))
             elif head == ":db/retract":
                 if len(form) == 4:
-                    rows.append((form[1], form[2], form[3], False))
+                    rows.append((form[1], form[2], _val(form[3]), False))
                 elif len(form) == 3:
                     e, a = form[1], form[2]
                     frames.append(
@@ -136,6 +142,7 @@ def transact(
                 if len(form) != 5:
                     raise TxAbort(f"[:db/cas e a old new]: {form!r}")
                 _, e, a, old, new = form
+                old, new = (None if old is None else _val(old)), _val(new)
                 if a in many_attrs:
                     raise TxAbort(f"cas on cardinality-many attr {a}")
                 cur_rows = (

@@ -33,7 +33,7 @@ def _state_at(out, t):
 
 def test_transact_add_and_point_retract(log):
     out = transact(log, [
-        [":db/add", "acct:4", ":acct/bal", 9.0],
+        [":db/add", "acct:4", ":acct/bal", 9],     # int coerces to double
         [":db/retract", "acct:3", ":acct/bal", 7.0],
     ], tx=2)
     got = _state_at(out, 2)
