@@ -334,6 +334,47 @@ def test_sample_aggregate_deterministic(datoms):
            "where": [["?e", ":t/id", "?i"]]}, datoms)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 2), st.integers(0, 9)),
+    min_size=0, max_size=30,
+))
+def test_get_some_property_random_eav(spark, data):
+    """For EVERY sparse EAV instance (random (entity, attr, value)
+    triples, attr 2 a distractor): get-some(a0, a1) == first-present of
+    {min a0 value, min a1 value}, entities with neither dropped — the
+    reference model computed in plain Python."""
+    rows = [(f"x:{e}", ":p/id", str(e), float(e)) for e in range(7)]
+    for e, j, v in data:
+        rows.append((f"x:{e}", f":p/a{j}", str(v), float(v)))
+    datoms = spark.createDataFrame(
+        rows, "e string, a string, v string, v_num double"
+    )
+    expect = {}
+    for e in range(7):
+        a0 = sorted({str(v) for (ee, j, v) in data if ee == e and j == 0})
+        a1 = sorted({str(v) for (ee, j, v) in data if ee == e and j == 1})
+        if a0:
+            expect[str(e)] = a0[0]
+        elif a1:
+            expect[str(e)] = a1[0]
+    out = q(
+        {"find": ["?i", "?v"],
+         "where": [["?e", ":p/id", "?i"],
+                   [("get-some", "$", "?e", ":p/a0", ":p/a1"), "?v"]]},
+        datoms,
+    )
+    got = {r["i"]: r["v"] for r in out.collect()}
+    assert got == expect
+
+
 def test_edn_text_get_some_and_fulltext(datoms):
     """Verbatim Datomic query text through the EDN front door exercises
     both new fn heads (VERDICT r5 next-round #5)."""
