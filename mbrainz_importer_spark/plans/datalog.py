@@ -642,7 +642,11 @@ def _compile_rule(
         )
         if not new.take(1):
             return total
-        total = total.unionByName(new).localCheckpoint()
+        # total is a union of already-checkpointed frames (base + each
+        # round's delta): lineage stays shallow without re-materializing
+        # the WHOLE relation every round (which would make round cost
+        # O(|total|) instead of O(|delta| + anti-join))
+        total = total.unionByName(new)
         delta = new
     raise DatalogError(
         f"rule {name!r} did not reach a fixpoint within {MAX_FIXPOINT_ITERS} "
