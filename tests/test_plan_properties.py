@@ -1,0 +1,87 @@
+"""Physical-plan property assertions for headline queries — the scale
+contract as executable checks: broadcasts where a dim is small, map-side
+partial aggregation, no stray shuffles or cartesian products, filter
+pushdown into the parquet scans. These pin the plan SHAPES the scale
+story depends on, so a regression that silently flips a broadcast join
+to a shuffle join (or loses pushdown) fails the suite, not just the
+round-over-round bench comparison.
+
+Assertions run against the initial adaptive plan (deterministic,
+pre-execution); AQE may further improve it at runtime but never
+regresses these properties.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import mbrainz_importer_spark.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return Q.all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_star_join_all_dims_broadcast(spark, qs):
+    """The 6-table star: every dim side broadcasts (5 BroadcastHashJoins,
+    zero SortMergeJoins) and the only shuffle is the final aggregation."""
+    p = plan_of(qs["q5_region_revenue"](spark, SF))
+    assert p.count("BroadcastHashJoin") == 5, p
+    assert p.count("SortMergeJoin") == 0, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "PushedFilters: [IsNotNull" in p, p
+
+
+def test_q1_single_shuffle_with_partial_agg(spark, qs):
+    """One shuffle for the groupBy, map-side combine before it."""
+    p = plan_of(qs["q1_pricing_summary"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_" in p, p  # map-side partial aggregation
+    assert p.count("CartesianProduct") == 0, p
+
+
+def test_broadcast_dim_join_never_shuffles_the_fact(spark, qs):
+    p = plan_of(qs["broadcast_dim_join"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert p.count("SortMergeJoin") == 0, p
+    assert p.count("Exchange hashpartitioning") <= 1, p  # only the agg
+
+
+def test_text_stats_is_pure_projection(spark, qs):
+    """Text analysis is built-in expressions over one scan — zero hash
+    shuffles (the output sort's range partitioning is the only exchange)."""
+    p = plan_of(qs["text_stats"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def test_minhash_lsh_has_no_cartesian(spark, qs):
+    """LSH candidate generation is a band-bucket equi-join — an actual
+    cartesian product would be the all-pairs anti-pattern."""
+    p = plan_of(qs["dedup_minhash_lsh"](spark, SF))
+    assert p.count("CartesianProduct") == 0, p
+    assert p.count("SortMergeJoin") == 0, p
+
+
+def test_get_some_pivot_is_one_aggregation(spark, qs):
+    """The round-6 pivot rewrite: all get-some attributes reduce in one
+    aggregation + one join — bounded exchanges, no SMJ at dim scale."""
+    p = plan_of(qs["datalog_get_some_contact"](spark, SF))
+    assert p.count("SortMergeJoin") == 0, p
+    # one exchange for the attr pivot aggregate, one for the result
+    # distinct — a per-attribute join chain would add one per attribute
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_bm25_no_cartesian_beyond_scalar_broadcasts(spark, qs):
+    """df/N/total are single-row or query-term-sized broadcasts
+    (BroadcastNestedLoopJoin over one row is the scalar-subquery shape,
+    not an all-pairs join); no CartesianProduct anywhere."""
+    p = plan_of(qs["fulltext_bm25_topk"](spark, SF))
+    assert p.count("CartesianProduct") == 0, p
