@@ -189,16 +189,20 @@ def schema_datoms(
     spark,
     tables: dict[str, tuple[DataFrame, str]],
     components: set[str] | frozenset[str] = frozenset(),
+    fulltext: set[str] | frozenset[str] = frozenset(),
 ) -> DataFrame:
     """Schema-as-data: the schema itself as queryable datoms, exactly
     how Datomic exposes it (subsets/entities/schema.edn:1-298 is a list
     of attribute entities carrying :db/ident, :db/valueType,
-    :db/cardinality, :db/unique, :db/isComponent, :db/doc — and
-    examples/explore_db.clj:13-18 queries them with the SAME datalog as
-    the data). One schema entity 'db.attr:{table}/{col}' per attribute;
-    :db/unique (:db.unique/identity) is asserted on id columns,
-    :db/isComponent on attrs named in `components` — Datomic-style,
-    absent means false, EAV has no nulls.
+    :db/cardinality, :db/unique, :db/isComponent, :db/fulltext,
+    :db/doc — and examples/explore_db.clj:13-18 queries them with the
+    SAME datalog as the data). One schema entity 'db.attr:{table}/{col}'
+    per attribute; :db/unique (:db.unique/identity) is asserted on id
+    columns, :db/isComponent on attrs named in `components`,
+    :db/fulltext true on attrs named in `fulltext` (schema.edn:37,183,269
+    flags artist/release/track names this way; the datalog (fulltext ...)
+    clause is the query-side counterpart) — Datomic-style, absent means
+    false, EAV has no nulls.
 
     Metadata only: built driver-side from the StructTypes, O(#attrs)
     rows, no data scan — union it with build_datoms() for a db whose
@@ -220,6 +224,8 @@ def schema_datoms(
                 rows.append((e, ":db/unique", ":db.unique/identity"))
             if ident in components:
                 rows.append((e, ":db/isComponent", "true"))
+            if ident in fulltext:
+                rows.append((e, ":db/fulltext", "true"))
             rows.append((e, ":db/doc", f"Attribute {fld.name} of table {table}"))
     return spark.createDataFrame(
         [(e, a, v, None) for e, a, v in rows],

@@ -578,6 +578,32 @@ def datalog_get_some_attr_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def datalog_schema_fulltext_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven fulltext discovery (the reference's
+    schema.edn:37,183,269 pattern): find the :db/fulltext-flagged
+    attributes FROM THE SCHEMA DATOMS and count their data datoms — the
+    attribute flows from a schema value binding into the attribute
+    position of a data pattern, schema and data in one datalog plan."""
+    from ..plans.eav import schema_datoms, table_datoms
+    from ..plans.query_edn import q_edn
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text", "source"
+    )
+    tables = {"doc": (docs, "id")}
+    db = table_datoms(docs, "doc", "id").unionByName(
+        schema_datoms(spark, tables, fulltext={":doc/text"})
+    )
+    return q_edn(
+        """[:find ?attr (count ?e2)
+            :where
+            [?se :db/fulltext]
+            [?se :db/ident ?attr]
+            [?e2 ?attr ?v]]""",
+        db,
+    ).orderBy("attr")
+
+
 def datalog_cross_db_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-database query (:in $ $2) as VERBATIM EDN text — the
     Datomic idiom of joining two database values in one datalog query
@@ -668,6 +694,7 @@ QUERIES = {
     "datalog_cross_db_join": datalog_cross_db_join,
     "datalog_tuple_untuple": datalog_tuple_untuple,
     "datalog_sample_agg": datalog_sample_agg,
+    "datalog_schema_fulltext_attrs": datalog_schema_fulltext_attrs,
     "datalog_get_else": datalog_get_else,
     "datalog_missing_check": datalog_missing_check,
     "datalog_agg_extended": datalog_agg_extended,
@@ -730,6 +757,10 @@ ORACLES = {
         SELECT DISTINCT n_name AS name, r_name AS rname
         FROM nation JOIN region ON n_regionkey = r_regionkey
         ORDER BY name
+    """,
+    "datalog_schema_fulltext_attrs": """
+        SELECT ':doc/text' AS attr, COUNT(text) AS count_e2
+        FROM documents WHERE text IS NOT NULL
     """,
     "datalog_tuple_untuple": """
         SELECT DISTINCT n_name AS name,
