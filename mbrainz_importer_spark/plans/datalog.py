@@ -76,7 +76,10 @@ Covers the query surface the reference actually exercises
     (["$2", e, a, v]) scan that db instead of the primary (the Datomic
     as-of-vs-current cross-db join idiom), including inside rule
     bodies, (not ...) and (or ...) sub-plans;
-  - :limit (the reference's `:limit -1` = no limit).
+  - :limit (the reference's `:limit -1` = no limit) and :offset (the
+    client API's paging knob; pages are pinned to lexicographic order
+    over the output columns — Datomic leaves the order unspecified, a
+    distributed engine must fix one to be reproducible).
 
 Compilation: each pattern becomes an aliased, pre-filtered scan of the
 datoms view; shared variables induce join conditions; the result is one
@@ -1326,7 +1329,15 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
         )
     else:
         out = out.select(*out_order)
+    offset = query.get("offset")
     limit = query.get("limit")
+    if offset is not None and offset >= 0:
+        # Datomic's client :offset pages the result seq in an
+        # unspecified order; a distributed engine must pin one to be
+        # reproducible — lexicographic over the output columns (so
+        # offset+limit together form stable pages; declaring :offset 0
+        # likewise pins page 1's content, not just its size)
+        out = out.orderBy(*[F.col(c) for c in out.columns]).offset(offset)
     if limit is not None and limit >= 0:
         out = out.limit(limit)
     return out

@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame
 from ..edn import loads
 from .datalog import DatalogError, q
 
-_SECTIONS = {":find", ":in", ":with", ":where", ":limit", ":keys", ":syms", ":strs"}
+_SECTIONS = {
+    ":find", ":in", ":with", ":where", ":limit", ":offset",
+    ":keys", ":syms", ":strs",
+}
 
 
 def _conv_call(form: list):
@@ -137,6 +140,9 @@ def edn_query(text: str) -> dict:
     if ":limit" in sections:
         (lim,) = sections[":limit"]
         out["limit"] = lim
+    if ":offset" in sections:
+        (off,) = sections[":offset"]
+        out["offset"] = off
     for sec in (":keys", ":syms", ":strs"):
         if sec in sections:
             # result-map names: symbols / keywords / strings all become

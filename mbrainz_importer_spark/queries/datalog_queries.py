@@ -604,6 +604,22 @@ def datalog_schema_fulltext_attrs(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("attr")
 
 
+def datalog_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:offset + :limit paging (the client API's knobs) as verbatim EDN
+    text — page 2 of the nation names in the pinned lexicographic
+    order."""
+    from ..plans.query_edn import q_edn
+
+    datoms = _datoms_small(spark, sf_dir)
+    return q_edn(
+        """[:find ?name
+            :offset 5
+            :limit 10
+            :where [?n :nation/n_name ?name]]""",
+        datoms,
+    ).orderBy("name")
+
+
 def datalog_cross_db_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-database query (:in $ $2) as VERBATIM EDN text — the
     Datomic idiom of joining two database values in one datalog query
@@ -695,6 +711,7 @@ QUERIES = {
     "datalog_tuple_untuple": datalog_tuple_untuple,
     "datalog_sample_agg": datalog_sample_agg,
     "datalog_schema_fulltext_attrs": datalog_schema_fulltext_attrs,
+    "datalog_offset_page": datalog_offset_page,
     "datalog_get_else": datalog_get_else,
     "datalog_missing_check": datalog_missing_check,
     "datalog_agg_extended": datalog_agg_extended,
@@ -761,6 +778,12 @@ ORACLES = {
     "datalog_schema_fulltext_attrs": """
         SELECT ':doc/text' AS attr, COUNT(text) AS count_e2
         FROM documents WHERE text IS NOT NULL
+    """,
+    "datalog_offset_page": """
+        SELECT name FROM (
+            SELECT DISTINCT n_name AS name FROM nation
+            ORDER BY name OFFSET 5 LIMIT 10
+        ) ORDER BY name
     """,
     "datalog_tuple_untuple": """
         SELECT DISTINCT n_name AS name,

@@ -334,6 +334,21 @@ def test_sample_aggregate_deterministic(datoms):
            "where": [["?e", ":t/id", "?i"]]}, datoms)
 
 
+def test_offset_paging_deterministic(datoms):
+    """:offset pins lexicographic order over output columns; pages are
+    disjoint, contiguous, and reproducible."""
+    base = {"find": ["?i"], "where": [["?e", ":t/id", "?i"]]}
+    all_ids = sorted(
+        r["i"] for r in q(base, datoms).collect()
+    )
+    page1 = q({**base, "offset": 0, "limit": 2}, datoms).collect()
+    page2 = q({**base, "offset": 2, "limit": 2}, datoms).collect()
+    assert sorted(r["i"] for r in page1) == all_ids[:2]
+    assert sorted(r["i"] for r in page2) == all_ids[2:4]
+    # offset beyond the result set -> empty page
+    assert q({**base, "offset": 99, "limit": 2}, datoms).count() == 0
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
