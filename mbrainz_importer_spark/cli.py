@@ -1,7 +1,9 @@
 """CLI entry point — the analog of the reference's `-main`
-(src/datomic/mbrainz/importer.clj:318-352).
+(src/datomic/mbrainz/importer.clj:318-352) plus a query runner for the
+REPL workflow of examples/explore_db.clj.
 
     python -m mbrainz_importer_spark.cli MANIFEST
+    python -m mbrainz_importer_spark.cli query WAREHOUSE QUERY_EDN [param ...]
 
 Manifest (EDN like the reference's config/manifest.edn.example, or JSON):
 
@@ -12,6 +14,15 @@ Manifest (EDN like the reference's config/manifest.edn.example, or JSON):
      :import-order [...]}    ; optional override
 
 Idempotent; prints per-stage results and timing; exits non-zero on error.
+
+The query mode builds the datoms view (data + schema-as-datoms) over the
+imported warehouse's gid-keyed entity tables and runs VERBATIM Datomic
+query text against it — the explore_db.clj queries paste in unchanged:
+
+    python -m mbrainz_importer_spark.cli query /tmp/wh \\
+      '[:find ?attr :where [?e :db/unique] [?e :db/ident ?attr]]'
+
+Extra CLI args bind :in params (strings).
 """
 
 from __future__ import annotations
@@ -42,9 +53,68 @@ def read_manifest(path: str) -> dict:
     return out
 
 
+def warehouse_datoms(spark, warehouse: str):
+    """The queryable database over an imported warehouse: datoms of
+    every gid-keyed entity table (atomic columns; nested media stay in
+    the relational view) unioned with the schema-as-datoms projection,
+    so explore_db.clj's schema introspection works unchanged."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .plans.eav import build_datoms, schema_datoms
+
+    tdir = os.path.join(warehouse, "tables")
+    tables = {}
+    for name in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+        path = os.path.join(tdir, name)
+        if not os.path.isdir(path):
+            continue
+        df = spark.read.parquet(path)
+        if "gid" not in df.columns:
+            continue  # link tables have composite keys; query them via refs
+        atomic = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+        ]
+        tables[name] = (df.select(*atomic), "gid")
+    if not tables:
+        raise SystemExit(f"no gid-keyed entity tables under {tdir}")
+    return build_datoms(tables).unionByName(schema_datoms(spark, tables))
+
+
+def query_main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(
+            "usage: python -m mbrainz_importer_spark.cli query WAREHOUSE "
+            "QUERY_EDN [param ...]",
+            file=sys.stderr,
+        )
+        return 2
+    warehouse, text, *params = argv
+
+    from .plans.query_edn import q_edn
+    from .session import get_spark
+
+    spark = get_spark("mbrainz-query")
+    out = q_edn(text, warehouse_datoms(spark, warehouse), *params)
+    rows = out.collect()
+    for r in rows:
+        print("[" + " ".join(repr(v) for v in r) + "]")
+    print(f";; {len(rows)} rows", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     if len(argv) != 1:
-        print("usage: python -m mbrainz_importer_spark.cli MANIFEST", file=sys.stderr)
+        print(
+            "usage: python -m mbrainz_importer_spark.cli MANIFEST\n"
+            "       python -m mbrainz_importer_spark.cli query WAREHOUSE "
+            "QUERY_EDN [param ...]",
+            file=sys.stderr,
+        )
         return 2
     manifest = read_manifest(argv[0])
 

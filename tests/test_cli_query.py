@@ -1,0 +1,74 @@
+"""CLI query runner: verbatim Datomic query text against an imported
+warehouse's tables (cli.py query mode — the explore_db.clj REPL flow)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mbrainz_importer_spark.cli import main, query_main, warehouse_datoms
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("wh")
+    artists = spark.createDataFrame(
+        [("g1", "Adamo", ":artist.type/person"),
+         ("g2", "Blue Sharks", ":artist.type/group")],
+        "gid string, name string, type string",
+    )
+    labels = spark.createDataFrame(
+        [("L1", "Blue Note")], "gid string, name string"
+    )
+    links = spark.createDataFrame(
+        [("r1", "g1")], "release_gid string, artist_gid string"
+    )  # no gid column -> skipped by the datoms builder
+    artists.write.parquet(str(wh / "tables" / "artist"))
+    labels.write.parquet(str(wh / "tables" / "label"))
+    links.write.parquet(str(wh / "tables" / "release_artists"))
+    return str(wh)
+
+
+def test_warehouse_query_data_and_schema(spark, warehouse, capsys):
+    rc = query_main([
+        warehouse,
+        """[:find ?name
+            :where [?a :artist/type ":artist.type/group"]
+                   [?a :artist/name ?name]]""",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'Blue Sharks'" in out and "'Adamo'" not in out
+
+    # schema introspection works over the same db (schema-as-datoms)
+    rc = query_main([
+        warehouse,
+        "[:find ?attr :where [?e :db/unique] [?e :db/ident ?attr]]",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "':artist/gid'" in out and "':label/gid'" in out
+
+
+def test_warehouse_query_in_param(spark, warehouse, capsys):
+    rc = main([
+        "query", warehouse,
+        """[:find ?name
+            :in $ ?t
+            :where [?a :artist/type ?t] [?a :artist/name ?name]]""",
+        ":artist.type/person",
+    ])
+    assert rc == 0
+    assert "'Adamo'" in capsys.readouterr().out
+
+
+def test_query_usage_and_missing_tables(tmp_path, capsys):
+    assert main(["query"]) == 2
+    with pytest.raises(SystemExit, match="no gid-keyed"):
+        query_main([str(tmp_path), "[:find ?x :where [?x :a ?v]]"])
+
+
+def test_link_tables_skipped(spark, warehouse):
+    datoms = warehouse_datoms(spark, warehouse)
+    attrs = {r["a"] for r in datoms.select("a").distinct().collect()}
+    assert ":artist/name" in attrs and ":label/name" in attrs
+    assert not any(a.startswith(":release_artists/") for a in attrs)
