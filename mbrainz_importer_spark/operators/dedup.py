@@ -163,6 +163,39 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*aggs)
 
 
+def lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The LSH index rows (doc, band, bucket): signature split into
+    bands, each band md5-condensed into one bucket key. Factored out of
+    minhash_lsh_pairs so a STATIC corpus index can be computed once,
+    persisted (bucket/sort by (band, bucket) for pruned probes), and
+    probed incrementally by new arrivals (incremental_near_dups)."""
+    num_hashes = bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    return banded.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -178,24 +211,9 @@ def minhash_lsh_pairs(
 
     Scale path: the band-bucket groupBy shuffles (doc, bucket) rows — linear
     in corpus size; collisions (not corpus²) drive the pair fan-out."""
-    num_hashes = bands * rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
-        .alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", *band_cols)
-    melted = banded.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
-
+    melted = lsh_bands(
+        df, id_col, text_col, n, bands, rows_per_band, shingles=shingles
+    )
     l, r = melted.alias("l"), melted.alias("r")
     return (
         l.join(
@@ -253,6 +271,88 @@ def lsh_verified_pairs(
         .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .where(raw >= threshold)
         .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard"))
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup NEW documents against an EXISTING corpus — the crawl-vs-
+    corpus containment check a continuously-fed training pipeline runs
+    on every increment. The new side's LSH bands probe the corpus band
+    index (one equi-join on (band, bucket)); candidates verify by exact
+    Jaccard over the two shingle feeds. Returns (doc, dup_of, jaccard)
+    for new-doc/corpus pairs meeting the threshold.
+
+    Scale contract: pass `corpus_bands` / `corpus_shingles` precomputed
+    and PERSISTED (bucket/sort the bands by (band, bucket), the shingles
+    by doc, via sources.bucketed) — then per-increment cost is
+    O(new batch + collisions), never O(corpus), and the corpus is never
+    re-shingled. New-vs-new pairs are deliberately NOT examined (run
+    lsh_verified_pairs within the increment for those); this operator is
+    the asymmetric probe. Streaming face: wrap in foreachBatch — each
+    micro-batch is a bounded new_docs frame (same recipe as
+    streaming/fulltext_stream.py)."""
+    c_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_rows(corpus, id_col, text_col, n)
+    )
+    c_bands = (
+        corpus_bands
+        if corpus_bands is not None
+        else lsh_bands(corpus, id_col, text_col, n, bands, rows_per_band, shingles=c_sh)
+    )
+    n_sh = shingle_rows(new_docs, id_col, text_col, n).cache()
+    n_bands = lsh_bands(
+        new_docs, id_col, text_col, n, bands, rows_per_band, shingles=n_sh
+    )
+    cand = (
+        n_bands.alias("l")
+        .join(
+            c_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(F.col("l.doc").alias("__nd"), F.col("r.doc").alias("__cd"))
+        .where(F.col("__nd") != F.col("__cd"))
+        .distinct()
+    )
+    inter = (
+        cand
+        .join(n_sh.alias("a"), F.col("__nd") == F.col("a.doc"))
+        .join(
+            c_sh.alias("b"),
+            (F.col("__cd") == F.col("b.doc"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("__nd", "__cd")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes_n = n_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sizes_c = c_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    raw = (
+        F.col("inter").cast("double")
+        / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+    )
+    return (
+        inter.join(sizes_n.alias("sa"), F.col("__nd") == F.col("sa.doc"))
+        .join(sizes_c.alias("sb"), F.col("__cd") == F.col("sb.doc"))
+        .where(raw >= threshold)
+        .select(
+            F.col("__nd").alias("doc"),
+            F.col("__cd").alias("dup_of"),
+            F.round(raw, 6).alias("jaccard"),
+        )
     )
 
 

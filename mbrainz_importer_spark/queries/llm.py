@@ -72,6 +72,21 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup.incremental_near_dups):
+    every 5th document plays the 'new crawl increment', the rest the
+    existing corpus; new docs probe the corpus LSH band index and
+    candidates verify by exact Jaccard — per-increment cost is
+    O(increment + collisions), never O(corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    new_docs = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return D.incremental_near_dups(
+        new_docs, corpus, "doc_id", "text", n=3, bands=4, rows_per_band=3,
+        threshold=0.2,
+    ).orderBy("doc", "dup_of")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.simhash16(docs, "doc_id", "text").orderBy("doc")
@@ -322,6 +337,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
+    "dedup_incremental_vs_corpus": dedup_incremental_vs_corpus,
     "dedup_simhash": dedup_simhash,
     "dedup_duplicate_clusters": dedup_duplicate_clusters,
     "text_stats": text_stats,
@@ -386,6 +402,35 @@ def _minhash_oracle(bands: int = 4, rows: int = 3) -> str:
         WITH {_minhash_cte(bands, rows)}
         SELECT doc_a, doc_b FROM cand
         ORDER BY doc_a, doc_b
+    """
+
+
+def _incremental_oracle(bands: int = 4, rows: int = 3, threshold: float = 0.2) -> str:
+    """Same signature/band chain (per-doc, so subset-independent), with
+    the candidate join restricted to new-probe vs corpus."""
+    return f"""
+        WITH {_minhash_cte(bands, rows)},
+        icand AS (
+            SELECT DISTINCT l.doc AS doc, r.doc AS dup_of
+            FROM melt l JOIN melt r
+              ON l.band = r.band AND l.bucket = r.bucket
+            WHERE l.doc % 5 = 0 AND r.doc % 5 <> 0
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        iinter AS (
+            SELECT c.doc, c.dup_of, COUNT(*) AS i
+            FROM icand c
+              JOIN sh a ON a.doc = c.doc
+              JOIN sh b ON b.doc = c.dup_of AND b.sh = a.sh
+            GROUP BY 1, 2
+        )
+        SELECT iinter.doc AS doc, iinter.dup_of AS dup_of,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM iinter
+          JOIN sizes sa ON iinter.doc = sa.doc
+          JOIN sizes sb ON iinter.dup_of = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+        ORDER BY doc, dup_of
     """
 
 
@@ -606,6 +651,7 @@ ORACLES = {
     # sim_ivf_topk: rows-only (KMeans training engine-specific)
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_lsh_verified": _lsh_verified_oracle(),
+    "dedup_incremental_vs_corpus": _incremental_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "text_stats": f"""
         WITH {_TEXT_STATS_CORE},

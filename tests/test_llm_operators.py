@@ -52,6 +52,30 @@ def test_minhash_lsh_recall(near_dup_docs):
     assert (1, 4) not in cand  # unrelated docs don't collide
 
 
+def test_incremental_near_dups_probe(spark, near_dup_docs):
+    """New docs probe the corpus index: doc 3 (exact dup of corpus doc 1)
+    and doc 2 (near-dup) are flagged with their corpus source; the
+    unrelated doc 5 is clean. New-vs-new pairs are not examined, and a
+    PRECOMPUTED corpus index gives identical results."""
+    corpus = near_dup_docs.where("doc_id in (1, 4)")
+    new = near_dup_docs.where("doc_id in (2, 3, 5)")
+    out = {(r["doc"], r["dup_of"]): r["jaccard"]
+           for r in D.incremental_near_dups(
+               new, corpus, "doc_id", "text", threshold=0.2).collect()}
+    assert out[(3, 1)] == 1.0
+    assert out[(2, 1)] > 0.6
+    assert not any(d == 5 for (d, _) in out)
+    assert not any(c in (2, 3, 5) for (_, c) in out)  # targets are corpus-only
+
+    pre_sh = D.shingle_rows(corpus, "doc_id", "text", 3)
+    pre_bands = D.lsh_bands(corpus, "doc_id", "text", shingles=pre_sh)
+    out2 = {(r["doc"], r["dup_of"]): r["jaccard"]
+            for r in D.incremental_near_dups(
+                new, corpus, "doc_id", "text", threshold=0.2,
+                corpus_bands=pre_bands, corpus_shingles=pre_sh).collect()}
+    assert out2 == out
+
+
 def test_simhash_locality(near_dup_docs):
     fps = {r["doc"]: r["simhash"] for r in D.simhash16(near_dup_docs, "doc_id", "text").collect()}
     assert fps[1] == fps[3]  # identical text -> identical fingerprint
