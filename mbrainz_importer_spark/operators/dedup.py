@@ -276,7 +276,7 @@ def lsh_verified_pairs(
 
 def incremental_near_dups(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
@@ -302,6 +302,11 @@ def incremental_near_dups(
     the asymmetric probe. Streaming face: wrap in foreachBatch — each
     micro-batch is a bounded new_docs frame (same recipe as
     streaming/fulltext_stream.py)."""
+    if corpus is None and (corpus_bands is None or corpus_shingles is None):
+        raise ValueError(
+            "incremental_near_dups needs either the corpus frame or BOTH "
+            "precomputed corpus_bands and corpus_shingles"
+        )
     c_sh = (
         corpus_shingles
         if corpus_shingles is not None
