@@ -604,6 +604,22 @@ def datalog_schema_fulltext_attrs(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("attr")
 
 
+def datalog_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(distinct ?x) collection aggregate — the sorted distinct value
+    set per group (Datomic's set-of), serialized for a stable oracle
+    hash; here the nation names per region key."""
+    datoms = _datoms_small(spark, sf_dir)
+    out = q(
+        {"find": ["?rk", ("distinct", "?name")],
+         "where": [["?n", ":nation/n_regionkey", "?rk"],
+                   ["?n", ":nation/n_name", "?name"]]},
+        datoms,
+    )
+    return out.select(
+        "rk", F.array_join("distinct_name", ",").alias("names")
+    ).orderBy("rk")
+
+
 def datalog_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:offset + :limit paging (the client API's knobs) as verbatim EDN
     text — page 2 of the nation names in the pinned lexicographic
@@ -712,6 +728,7 @@ QUERIES = {
     "datalog_sample_agg": datalog_sample_agg,
     "datalog_schema_fulltext_attrs": datalog_schema_fulltext_attrs,
     "datalog_offset_page": datalog_offset_page,
+    "datalog_distinct_agg": datalog_distinct_agg,
     "datalog_get_else": datalog_get_else,
     "datalog_missing_check": datalog_missing_check,
     "datalog_agg_extended": datalog_agg_extended,
@@ -784,6 +801,13 @@ ORACLES = {
             SELECT DISTINCT n_name AS name FROM nation
             ORDER BY name OFFSET 5 LIMIT 10
         ) ORDER BY name
+    """,
+    "datalog_distinct_agg": """
+        SELECT CAST(n_regionkey AS VARCHAR) AS rk,
+               STRING_AGG(name, ',' ORDER BY name) AS names
+        FROM (SELECT DISTINCT n_regionkey, n_name AS name FROM nation)
+        GROUP BY n_regionkey
+        ORDER BY rk
     """,
     "datalog_tuple_untuple": """
         SELECT DISTINCT n_name AS name,
