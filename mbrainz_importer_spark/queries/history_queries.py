@@ -52,6 +52,39 @@ def history_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_timeline(log, "user:7")
 
 
+def history_with_speculative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/with — a speculative database value: the events log extended
+    with two literal ops stamped at max(tx)+1 (one new fact, one
+    retraction of user:7's click), then read via as-of. The durable log
+    is an immutable DataFrame, so callers holding it are unaffected —
+    this gate certifies the speculation is visible in the returned
+    value."""
+    from ..plans.history import with_tx
+
+    SPEC_TX = 10**12  # past every real event id — no driver-side max needed
+    log = _tx_log(spark, sf_dir)
+    tx_data = spark.createDataFrame(
+        [("user:9999", ":user/speculative", 42.0, True),
+         ("user:7", ":user/click", 0.0, False)],
+        "e string, a string, v_num double, added boolean",
+    )
+    spec = with_tx(log, tx_data, SPEC_TX)
+    return (
+        as_of(spec, SPEC_TX)
+        .where(F.col("e").isin(["user:9999", "user:7"]))
+        .orderBy("e", "a")
+    )
+
+
+def history_tx_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/tx-range — the op stream for start <= tx < end in tx order
+    (a partition-pruned range scan on tx-partitioned storage)."""
+    from ..plans.history import tx_range
+
+    log = _tx_log(spark, sf_dir)
+    return tx_range(log, 100, 200)
+
+
 def tx_fn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom transaction function end-to-end (plans/tx_fns.py): seed a
     balance log from customer at tx 1, install a `transfer` fn that
@@ -97,6 +130,8 @@ QUERIES = {
     "history_as_of": history_as_of,
     "history_since": history_since,
     "history_entity_timeline": history_entity_timeline,
+    "history_with_speculative": history_with_speculative,
+    "history_tx_range": history_tx_range,
     "tx_fn_transfer": tx_fn_transfer,
 }
 
@@ -142,6 +177,41 @@ ORACLES = {
         FROM events
         WHERE user_id = 7
         ORDER BY tx, a
+    """,
+    "history_with_speculative": """
+        WITH log AS (
+            SELECT CONCAT('user:', CAST(user_id AS VARCHAR)) AS e,
+                   CONCAT(':user/', event_type) AS a,
+                   value AS v_num,
+                   CAST(event_id AS BIGINT) AS tx,
+                   (event_id % 7 <> 0) AS added
+            FROM events
+            UNION ALL
+            SELECT 'user:9999', ':user/speculative', 42.0,
+                   CAST(1000000000000 AS BIGINT), true
+            UNION ALL
+            SELECT 'user:7', ':user/click', 0.0,
+                   CAST(1000000000000 AS BIGINT), false
+        ),
+        latest AS (
+            SELECT e, a, MAX_BY(v_num, tx) AS v_num,
+                   MAX_BY(added, tx) AS last_added,
+                   CAST(MAX(tx) AS BIGINT) AS tx
+            FROM log GROUP BY e, a
+        )
+        SELECT e, a, v_num, tx FROM latest
+        WHERE last_added AND e IN ('user:9999', 'user:7')
+        ORDER BY e, a
+    """,
+    "history_tx_range": """
+        SELECT CONCAT('user:', CAST(user_id AS VARCHAR)) AS e,
+               CONCAT(':user/', event_type) AS a,
+               value AS v_num,
+               event_id AS tx,
+               (event_id % 7 <> 0) AS added
+        FROM events
+        WHERE event_id >= 100 AND event_id < 200
+        ORDER BY tx, e, a
     """,
     "tx_fn_transfer": """
         SELECT CONCAT('cust:', CAST(c_custkey AS VARCHAR)) AS e,
