@@ -85,6 +85,48 @@ def history_tx_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx_range(log, 100, 200)
 
 
+def history_cascade_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:db.fn/retractEntity with :db/isComponent cascade: customers own
+    their orders through the component attr :cust/order; retracting
+    cust:1 at tx 2 also retracts every order it owns (the component
+    tree), while other customers' facts survive untouched. The gate
+    reads the post-retraction state via as-of."""
+    from ..plans.history import retract_entity_cascade
+
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    ce = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    oe = F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))
+    owner = F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+    log = (
+        cust.select(
+            ce.alias("e"), F.lit(":cust/name").alias("a"),
+            F.col("c_name").alias("v"),
+            F.lit(1).cast("long").alias("tx"), F.lit(True).alias("added"),
+        )
+        .unionByName(orders.select(
+            oe.alias("e"), F.lit(":order/status").alias("a"),
+            F.col("o_orderstatus").alias("v"),
+            F.lit(1).cast("long").alias("tx"), F.lit(True).alias("added"),
+        ))
+        .unionByName(orders.select(
+            owner.alias("e"), F.lit(":cust/order").alias("a"),
+            oe.alias("v"),
+            F.lit(1).cast("long").alias("tx"), F.lit(True).alias("added"),
+        ))
+    )
+    out = retract_entity_cascade(
+        log, "cust:1", tx=2,
+        component_attrs={":cust/order"},
+        many_attrs={":cust/order"},
+        value_col="v",
+    )
+    return (
+        as_of(out, 2, many_attrs={":cust/order"}, value_col="v")
+        .orderBy("e", "a", "v")
+    )
+
+
 def tx_fn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom transaction function end-to-end (plans/tx_fns.py): seed a
     balance log from customer at tx 1, install a `transfer` fn that
@@ -132,6 +174,7 @@ QUERIES = {
     "history_entity_timeline": history_entity_timeline,
     "history_with_speculative": history_with_speculative,
     "history_tx_range": history_tx_range,
+    "history_cascade_retract": history_cascade_retract,
     "tx_fn_transfer": tx_fn_transfer,
 }
 
@@ -212,6 +255,27 @@ ORACLES = {
         FROM events
         WHERE event_id >= 100 AND event_id < 200
         ORDER BY tx, e, a
+    """,
+    "history_cascade_retract": """
+        WITH facts AS (
+            SELECT CONCAT('cust:', CAST(c_custkey AS VARCHAR)) AS e,
+                   ':cust/name' AS a, c_name AS v
+            FROM customer WHERE c_custkey <= 50
+            UNION ALL
+            SELECT CONCAT('order:', CAST(o_orderkey AS VARCHAR)),
+                   ':order/status', o_orderstatus
+            FROM orders WHERE o_custkey <= 50
+            UNION ALL
+            SELECT CONCAT('cust:', CAST(o_custkey AS VARCHAR)),
+                   ':cust/order', CONCAT('order:', CAST(o_orderkey AS VARCHAR))
+            FROM orders WHERE o_custkey <= 50
+        )
+        SELECT e, a, v, CAST(1 AS BIGINT) AS tx FROM facts
+        WHERE e <> 'cust:1'
+          AND e NOT IN (
+            SELECT CONCAT('order:', CAST(o_orderkey AS VARCHAR))
+            FROM orders WHERE o_custkey = 1)
+        ORDER BY e, a, v
     """,
     "tx_fn_transfer": """
         SELECT CONCAT('cust:', CAST(c_custkey AS VARCHAR)) AS e,
