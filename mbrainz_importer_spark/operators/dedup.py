@@ -285,6 +285,7 @@ def incremental_near_dups(
     threshold: float = 0.2,
     corpus_bands: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup NEW documents against an EXISTING corpus — the crawl-vs-
     corpus containment check a continuously-fed training pipeline runs
@@ -301,7 +302,15 @@ def incremental_near_dups(
     lsh_verified_pairs within the increment for those); this operator is
     the asymmetric probe. Streaming face: wrap in foreachBatch — each
     micro-batch is a bounded new_docs frame (same recipe as
-    streaming/fulltext_stream.py)."""
+    streaming/fulltext_stream.py).
+
+    Cache lifetime: the new side's shingles are read three times (bands,
+    verify join, sizes). When `new_shingles` is None they are computed
+    and cached HERE and the cache lives until LRU eviction — fine for a
+    one-shot call, a leak if called in a loop. Repeated callers (the
+    foreachBatch wrapper, streaming/dedup_stream.py) pass `new_shingles`
+    cached by the caller and unpersist it once the batch's result is
+    materialized."""
     if corpus is None and (corpus_bands is None or corpus_shingles is None):
         raise ValueError(
             "incremental_near_dups needs either the corpus frame or BOTH "
@@ -317,7 +326,11 @@ def incremental_near_dups(
         if corpus_bands is not None
         else lsh_bands(corpus, id_col, text_col, n, bands, rows_per_band, shingles=c_sh)
     )
-    n_sh = shingle_rows(new_docs, id_col, text_col, n).cache()
+    n_sh = (
+        new_shingles
+        if new_shingles is not None
+        else shingle_rows(new_docs, id_col, text_col, n).cache()
+    )
     n_bands = lsh_bands(
         new_docs, id_col, text_col, n, bands, rows_per_band, shingles=n_sh
     )

@@ -19,17 +19,20 @@ Covers the query surface the reference actually exercises
     semantics); each def compiles to a distinct subplan projected onto
     the head vars (with numeric projections carried across the rule
     boundary);
-  - DIRECTLY recursive rules (Datomic graph-walk rules, e.g. ancestor)
-    via semi-naive fixpoint: base (non-recursive) defs seed the
-    relation; each iteration re-derives the linearly-recursive defs
-    against only the PREVIOUS iteration's delta (defs with several
-    self-calls fall back to naive whole-relation substitution — still
-    correct, just re-derives more), anti-joins out known tuples, and
-    stops when the delta is empty. Every iteration localCheckpoints to
-    cut lineage (on a cluster you'd point this at a checkpoint dir);
-    the iteration count is bounded by MAX_FIXPOINT_ITERS (the depth of
-    the data graph in practice — ~log2(N) for trees). MUTUAL recursion
-    (a->b->a) is still rejected, not mis-answered;
+  - recursive rules (Datomic graph-walk rules, e.g. ancestor) via
+    semi-naive fixpoint: base (non-recursive) defs seed the relation;
+    each iteration re-derives the recursive defs against only the
+    PREVIOUS iteration's delta (defs with several recursive calls fall
+    back to naive whole-relation substitution — still correct, just
+    re-derives more), anti-joins out known tuples, and stops when the
+    delta is empty. Every iteration localCheckpoints to cut lineage (on
+    a cluster you'd point this at a checkpoint dir); the iteration
+    count is bounded by MAX_FIXPOINT_ITERS (the depth of the data graph
+    in practice — ~log2(N) for trees). MUTUAL recursion (a->b->a, the
+    even/odd pattern) evaluates the whole strongly-connected clique of
+    rules together under the same stratified semi-naive scheme
+    (_compile_clique); recursion through (not ...) is rejected as
+    non-stratified, not mis-answered;
   - (not clause+) negation — [("not", [e a v], ...)]: bindings
     satisfying the inner clauses are subtracted via a left-anti join on
     the variables shared with the outer plan (Datomic unification;
@@ -141,18 +144,75 @@ class DatalogError(ValueError):
 MAX_FIXPOINT_ITERS = 100
 
 
+def _scan_calls(clauses: list, rules) -> list[tuple[str, bool]]:
+    """Every rule invocation in a clause list as (rule_name, negated),
+    with multiplicity — descending into (not ...)/(not-join ...) bodies
+    (negated=True) and (or ...)/(or-join ...) legs. `rules` is consulted
+    for name membership only."""
+    out: list[tuple[str, bool]] = []
+    for pat in clauses:
+        if not (len(pat) == 1 and isinstance(pat[0], (tuple, list)) and pat[0]):
+            continue
+        clause = list(pat[0])
+        head = clause[0]
+        if head in ("not", "not-join"):
+            inner = clause[2:] if head == "not-join" else clause[1:]
+            inner = [c if isinstance(c, list) else [c] for c in inner]
+            out.extend((n, True) for n, _ in _scan_calls(inner, rules))
+        elif head in ("or", "or-join"):
+            legs = clause[2:] if head == "or-join" else clause[1:]
+            for leg in legs:
+                if isinstance(leg, tuple) and leg and leg[0] == "and":
+                    cl = [c if isinstance(c, list) else [c] for c in leg[1:]]
+                else:
+                    cl = [leg if isinstance(leg, list) else [leg]]
+                out.extend(_scan_calls(cl, rules))
+        elif isinstance(head, str) and head in rules:
+            out.append((head, False))
+    return out
+
+
 def _self_calls(body: list, name: str) -> int:
-    """Count direct invocations of rule `name` in a rule body."""
-    n = 0
-    for pat in body:
-        if (
-            len(pat) == 1
-            and isinstance(pat[0], (tuple, list))
-            and pat[0]
-            and pat[0][0] == name
-        ):
-            n += 1
-    return n
+    """Count invocations of rule `name` in a rule body, including inside
+    (or ...) legs (semi-naive substitution reaches them through the impl
+    dict). A self-call under (not ...) is recursion through negation —
+    not stratified — and raises."""
+    calls = _scan_calls(body, {name})
+    if any(neg for _, neg in calls):
+        raise DatalogError(
+            f"rule {name!r} recurses through negation (not stratified)"
+        )
+    return len(calls)
+
+
+def _recursive_clique(name: str, rules: dict) -> set[str]:
+    """The set of rules on a call cycle through `name` (its SCC in the
+    rule-call graph) — empty when `name` is not recursive, {name} for
+    direct self-recursion, larger for mutual recursion."""
+    adj: dict[str, set[str]] = {}
+    for r, defs in rules.items():
+        edges: set[str] = set()
+        for _, body in defs:
+            edges.update(n for n, _ in _scan_calls(body, rules))
+        adj[r] = edges
+
+    def reach(graph: dict) -> set[str]:
+        seen: set[str] = set()
+        todo = list(graph.get(name, ()))
+        while todo:
+            cur = todo.pop()
+            if cur in seen:
+                continue
+            seen.add(cur)
+            todo.extend(graph.get(cur, ()))
+        return seen
+
+    radj: dict[str, set[str]] = {}
+    for r, es in adj.items():
+        for s in es:
+            radj.setdefault(s, set()).add(r)
+    # name →+ x AND x →+ name; non-empty iff name sits on a cycle
+    return reach(adj) & reach(radj)
 
 
 def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
@@ -515,6 +575,12 @@ def _apply_fulltext(
     scan = datoms.alias(alias).where(F.col(f"{alias}.a") == attr)
     toks = tokens(F.col(f"{alias}.v"))
     terms = query_terms(search)
+    if not terms:
+        # Lucene rejects an empty query; a never-true filter would be
+        # indistinguishable from a genuine miss
+        raise DatalogError(
+            f"(fulltext ...) search string yields no terms: {search!r}"
+        )
     scan = scan.where(
         F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
     )
@@ -562,6 +628,42 @@ def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
     return defs
 
 
+def _rule_branch(
+    name: str,
+    args: list,
+    body: list,
+    datoms: DataFrame,
+    rules: dict,
+    stack: tuple[str, ...],
+    impl: dict[str, DataFrame],
+    dbs: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """Compile one rule definition's body and project it onto the head
+    vars as positional columns a0..aN (plus __num_aJ numeric
+    projections, null where the def binds the var non-numerically)."""
+    plan, binding, num_binding = _compile_where(
+        body, datoms, {}, rules, stack + (name,), impl, dbs=dbs
+    )
+    if plan is None:
+        raise DatalogError(f"rule {name} has an empty body")
+    proj = []
+    for j, a in enumerate(args):
+        if a not in binding:
+            raise DatalogError(f"rule {name} head var {a} unbound in body")
+        proj.append(binding[a].alias(f"a{j}"))
+        proj.append(
+            num_binding.get(a, F.lit(None).cast("double")).alias(f"__num_a{j}")
+        )
+    return plan.select(*proj)
+
+
+def _union_all(branches: list[DataFrame]) -> DataFrame:
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def _compile_rule(
     name: str,
     datoms: DataFrame,
@@ -581,44 +683,29 @@ def _compile_rule(
     self-calls), anti-joins already-known tuples, and terminates on an
     empty delta. `rec_impl` carries the in-progress relation down the
     compile so the self-invocation resolves to a DataFrame instead of
-    recursing; mutual recursion still trips the `stack` guard."""
+    recursing. MUTUAL recursion (a clique of rules calling each other)
+    dispatches to _compile_clique — the same semi-naive machinery
+    iterating every rule of the strongly-connected component together."""
     rec_impl = rec_impl or {}
     if name in rec_impl:
         return rec_impl[name]
+    clique = _recursive_clique(name, rules)
+    if len(clique) > 1:
+        return _compile_clique(name, clique, datoms, rules, stack, rec_impl, dbs)
     if name in stack:
-        raise DatalogError(
-            f"mutually recursive rule {name!r} is not supported "
-            "(only direct self-recursion has fixpoint semantics here)"
-        )
+        # unreachable in normal flow (cycles resolve via rec_impl or the
+        # clique path above); kept as a recursion-safety backstop
+        raise DatalogError(f"unresolved recursive invocation of rule {name!r}")
     defs = rules[name]
 
-    def branch(args: list, body: list, impl: dict[str, DataFrame]) -> DataFrame:
-        plan, binding, num_binding = _compile_where(
-            body, datoms, {}, rules, stack + (name,), impl, dbs=dbs
-        )
-        if plan is None:
-            raise DatalogError(f"rule {name} has an empty body")
-        proj = []
-        for j, a in enumerate(args):
-            if a not in binding:
-                raise DatalogError(f"rule {name} head var {a} unbound in body")
-            proj.append(binding[a].alias(f"a{j}"))
-            proj.append(
-                num_binding.get(a, F.lit(None).cast("double")).alias(f"__num_a{j}")
-            )
-        return plan.select(*proj)
-
-    def union_all(branches: list[DataFrame]) -> DataFrame:
-        out = branches[0]
-        for b in branches[1:]:
-            out = out.unionByName(b)
-        return out
+    def branch(args, body, impl):
+        return _rule_branch(name, args, body, datoms, rules, stack, impl, dbs)
 
     base_defs = [d for d in defs if not _self_calls(d[1], name)]
     rec_defs = [d for d in defs if _self_calls(d[1], name)]
 
     if not rec_defs:
-        return union_all([branch(a, b, rec_impl) for a, b in defs]).distinct()
+        return _union_all([branch(a, b, rec_impl) for a, b in defs]).distinct()
 
     if not base_defs:
         raise DatalogError(
@@ -626,7 +713,7 @@ def _compile_rule(
         )
     key_cols = [f"a{j}" for j in range(len(defs[0][0]))]
     total = (
-        union_all([branch(a, b, rec_impl) for a, b in base_defs])
+        _union_all([branch(a, b, rec_impl) for a, b in base_defs])
         .distinct()
         .localCheckpoint()
     )
@@ -638,7 +725,7 @@ def _compile_rule(
             impl[name] = delta if _self_calls(body, name) == 1 else total
             rounds.append(branch(args, body, impl))
         new = (
-            union_all(rounds)
+            _union_all(rounds)
             .distinct()
             .join(total, on=key_cols, how="left_anti")
             .localCheckpoint()
@@ -654,6 +741,126 @@ def _compile_rule(
     raise DatalogError(
         f"rule {name!r} did not reach a fixpoint within {MAX_FIXPOINT_ITERS} "
         "iterations (raise datalog.MAX_FIXPOINT_ITERS for deeper graphs)"
+    )
+
+
+def _compile_clique(
+    name: str,
+    clique: set[str],
+    datoms: DataFrame,
+    rules: dict[str, list[tuple[list, list]]],
+    stack: tuple[str, ...],
+    rec_impl: dict[str, DataFrame],
+    dbs: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """Stratified semi-naive fixpoint over a MUTUAL-recursion clique
+    (e.g. even-hop/odd-hop reachability): every rule of the
+    strongly-connected component iterates together.
+
+    Each rule's defs split on whether they invoke a clique member: the
+    clique-free defs seed that rule's relation; every round re-derives
+    the clique-calling defs — a def with exactly ONE clique call runs
+    against that rule's previous-round DELTA (semi-naive: tuples
+    derivable from older inputs were derived in older rounds), a def
+    with several runs against the full totals (naive re-derivation,
+    still correct) — then anti-joins the already-known tuples per rule.
+    The loop ends when every rule's delta is empty. Rules with no seed
+    defs start EMPTY (None) and populate once a rule they read from
+    produces tuples, so only part of the clique needs ground defs (the
+    even/odd pattern). Each round localCheckpoints per-rule deltas to
+    cut lineage, exactly like the direct-recursion path. A clique call
+    under (not ...) is recursion through negation and raises (not
+    stratified — Datomic rejects it too)."""
+    base: dict[str, list] = {}
+    rec: dict[str, list] = {}
+    order = sorted(clique)
+    for r in order:
+        b, rc = [], []
+        for args, body in rules[r]:
+            calls = _scan_calls(body, rules)
+            if any(neg for n, neg in calls if n in clique):
+                raise DatalogError(
+                    f"rule {r!r} recurses through negation into the clique "
+                    f"{order} (not stratified)"
+                )
+            in_clique = [n for n, _ in calls if n in clique]
+            (rc if in_clique else b).append((args, body, in_clique))
+        base[r], rec[r] = b, rc
+    if not any(base.values()):
+        raise DatalogError(
+            f"mutually recursive rules {order} have no non-recursive def "
+            "to seed the fixpoint"
+        )
+
+    totals: dict[str, DataFrame | None] = {}
+    deltas: dict[str, DataFrame | None] = {}
+    for r in order:
+        if base[r]:
+            t = (
+                _union_all([
+                    _rule_branch(r, a, b, datoms, rules, stack, rec_impl, dbs)
+                    for a, b, _ in base[r]
+                ])
+                .distinct()
+                .localCheckpoint()
+            )
+            totals[r] = t
+            deltas[r] = t if t.take(1) else None
+        else:
+            totals[r] = None
+            deltas[r] = None
+
+    for _ in range(MAX_FIXPOINT_ITERS):
+        new_deltas: dict[str, DataFrame | None] = {}
+        for r in order:
+            key_cols = [f"a{j}" for j in range(len(rules[r][0][0]))]
+            rounds = []
+            for args, body, in_clique in rec[r]:
+                impl = dict(rec_impl)
+                if len(in_clique) == 1:
+                    s = in_clique[0]
+                    if deltas[s] is None:
+                        continue  # nothing new flowed into this def
+                    impl[s] = deltas[s]
+                else:
+                    if any(totals[s] is None for s in in_clique):
+                        continue  # a referenced relation is still empty
+                    if all(deltas[s] is None for s in set(in_clique)):
+                        continue  # no referenced relation changed
+                    for s in set(in_clique):
+                        impl[s] = totals[s]
+                rounds.append(
+                    _rule_branch(r, args, body, datoms, rules, stack, impl, dbs)
+                )
+            if not rounds:
+                new_deltas[r] = None
+                continue
+            new = _union_all(rounds).distinct()
+            if totals[r] is not None:
+                new = new.join(totals[r], on=key_cols, how="left_anti")
+            new = new.localCheckpoint()
+            if new.take(1):
+                new_deltas[r] = new
+                totals[r] = (
+                    new if totals[r] is None else totals[r].unionByName(new)
+                )
+            else:
+                new_deltas[r] = None
+        deltas = new_deltas
+        if all(d is None for d in deltas.values()):
+            out = totals[name]
+            if out is not None:
+                return out
+            # the invoked rule derived nothing — a typed empty relation
+            arity = len(rules[name][0][0])
+            fields = ", ".join(
+                f"a{j} string, __num_a{j} double" for j in range(arity)
+            )
+            return datoms.sparkSession.createDataFrame([], fields)
+    raise DatalogError(
+        f"mutually recursive rules {order} did not reach a fixpoint within "
+        f"{MAX_FIXPOINT_ITERS} iterations (raise datalog.MAX_FIXPOINT_ITERS "
+        "for deeper graphs)"
     )
 
 
@@ -1017,10 +1224,12 @@ def _compile_where(
                             f"function output var {o} is already bound"
                         )
                     # F.get is null-safe out of range (ANSI element_at
-                    # would throw on destructuring a short vector)
+                    # would throw on destructuring a short vector);
+                    # try_cast degrades non-numeric elements to null,
+                    # matching eav.py's v_num convention under ANSI mode
                     el = F.get(src_col, j)
                     binding[o] = el
-                    num_binding[o] = el.cast("double")
+                    num_binding[o] = el.try_cast("double")
             else:
                 raise DatalogError(
                     f"unsupported destructuring function {head!r} "
@@ -1170,8 +1379,9 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
     `query["rules"]` supplies rule definitions (the :in % analog):
     [[("rule-name", "?a", "?b"), clause, ...], ...]; invoke in :where as
     [("rule-name", term, term)]. Multiple defs of one name union
-    (Datomic OR semantics); directly recursive rules run to a
-    semi-naive fixpoint; mutual recursion raises.
+    (Datomic OR semantics); recursive rules — direct AND mutual — run
+    to a stratified semi-naive fixpoint; recursion through negation
+    raises.
     """
     where = query.get("where") or []
     find = query.get("find") or []

@@ -27,9 +27,12 @@ DataFrame (e.g. `log.agg(F.max("tx"))`-derived) — the scalar frame is
 broadcast-cross-joined so the cutoff stays inside the plan with no
 driver-side collect.
 
-Precondition (documented, as in Datomic): at most one op per
-(e, a [, v]) per transaction — max_by ties on tx are otherwise
-arbitrary.
+Same-tx resolution: ops are ordered by (tx, added), so within one
+transaction an assert beats a retract on the same key — the replace
+idiom [[:db/retract e a] [:db/add e a new]] lands on the new value.
+Two DIFFERENT asserts to one cardinality-one (e, a) in one tx remain
+undefined here (tx_fns.transact rejects them as a datoms-conflict
+before they ever reach the log, mirroring Datomic).
 """
 
 from __future__ import annotations
@@ -56,13 +59,18 @@ def _latest(
     value_is_key: bool,
 ) -> DataFrame:
     """Latest-op resolution: one groupBy over the keys with max_by on
-    tx. When the value column is itself a group key (cardinality-many),
-    it is not re-aggregated."""
+    (tx, added) — the tx decides, and WITHIN one tx an assert beats a
+    retract (struct ordering, false < true): the state after a tx is
+    (state - retracts) + adds, so the replace idiom
+    [[:db/retract e a] [:db/add e a new]] resolves deterministically to
+    the new value. When the value column is itself a group key
+    (cardinality-many), it is not re-aggregated."""
+    ord_key = F.struct(F.col("tx"), F.col("added"))
     aggs = []
     if not value_is_key:
-        aggs.append(F.max_by(F.col(value_col), F.col("tx")).alias(value_col))
+        aggs.append(F.max_by(F.col(value_col), ord_key).alias(value_col))
     aggs += [
-        F.max_by(F.col("added"), F.col("tx")).alias("__last_added"),
+        F.max_by(F.col("added"), ord_key).alias("__last_added"),
         F.max("tx").alias("tx"),
     ]
     out = log.groupBy(*[F.col(k) for k in keys]).agg(*aggs)

@@ -74,6 +74,16 @@ def _conv_entry(cl) -> list:
         and cl[0].startswith("$")
         and not any(isinstance(x, list) for x in cl)
     ):
+        if cl[0] == "$":
+            # Datomic's explicit primary-db form [$ ?e ?a ?v] — same
+            # datoms view as the unmarked pattern, marker dropped
+            return list(cl[1:])
+        if not cl[0][1:].isdigit():
+            raise DatalogError(
+                f"unsupported db marker {cl[0]!r} in pattern {cl!r} — "
+                "named db symbols are not supported; use $ (primary) or "
+                "$2-style :in markers"
+            )
         return list(cl)  # [$2 e a v] db-scoped pattern (multi-db :in)
     raise DatalogError(f"unrecognized :where clause {cl!r}")
 

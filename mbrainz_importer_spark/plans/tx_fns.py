@@ -68,8 +68,13 @@ def transact(
 ) -> DataFrame:
     """Expand `tx_data` forms against the pre-tx state, stamp the
     resulting ops with `tx`, and return the extended log. Raises TxAbort
-    (appending nothing) on cas mismatch, unknown fn, malformed form, or
-    expansion past `max_forms` (the non-terminating-fn guard).
+    (appending nothing) on cas mismatch, unknown fn, malformed form,
+    expansion past `max_forms` (the non-terminating-fn guard), or an
+    intra-tx datoms-conflict (two different asserts to one
+    cardinality-one (e, a), or an assert and retract of the same datom
+    — Datomic's :db.error/datoms-conflict; cas validates against the
+    PRE-tx state, so this is what keeps two same-account transfers in
+    one tx from double-spending).
 
     Scale: expansion is driver-side over forms (metadata), the state is
     computed once (cached for the duration when any form reads it), cas
@@ -169,8 +174,63 @@ def transact(
             else:
                 raise TxAbort(f"unknown tx fn {head!r} (installed: {sorted(fns)})")
 
+        # Intra-transaction datom-conflict detection (Datomic
+        # :db.error/datoms-conflict): ops in ONE tx must not disagree —
+        # an assert and a retract of the same datom, or two different
+        # asserts to a cardinality-one (e, a). Each :db/cas validates
+        # against the PRE-tx state, so without this check two transfers
+        # from the same account in one tx would both pass cas and
+        # silently double-spend. Identical duplicate ops dedupe (set
+        # semantics), exactly like Datomic.
+        deduped: list[tuple] = []
+        by_datom: dict[tuple, bool] = {}
+        one_assert: dict[tuple, object] = {}
+        for e, a, v, added in rows:
+            key = (e, a, v)
+            if key in by_datom:
+                if by_datom[key] != added:
+                    raise TxAbort(
+                        f"datoms-conflict: assert and retract of "
+                        f"({e}, {a}, {v!r}) in one transaction"
+                    )
+                continue
+            by_datom[key] = added
+            deduped.append((e, a, v, added))
+            if added and a not in many_attrs:
+                prev = one_assert.setdefault((e, a), v)
+                if prev != v:
+                    raise TxAbort(
+                        f"datoms-conflict: two values asserted for "
+                        f"cardinality-one ({e}, {a}): {prev!r} vs {v!r}"
+                    )
+        rows = deduped
+
         spark = log.sparkSession
         schema = f"e string, a string, {value_col} double, added boolean"
+
+        # The same conflict against SET-ORIENTED ops: an attr/entity
+        # retraction frame retracts current datoms — a literal assert of
+        # one of those exact datoms in the same tx is add-vs-retract of
+        # the same datom. One bounded broadcast join (the literal adds
+        # are metadata-sized), checked while the state is still cached.
+        adds = [(e, a, v) for e, a, v, added in rows if added]
+        if frames and adds:
+            retracts: DataFrame | None = None
+            for fr in frames:
+                retracts = fr if retracts is None else retracts.unionByName(fr)
+            add_df = spark.createDataFrame(
+                adds, f"e string, a string, {value_col} double"
+            )
+            hit = retracts.join(
+                F.broadcast(add_df), ["e", "a", value_col]
+            ).take(1)
+            if hit:
+                r = hit[0]
+                raise TxAbort(
+                    f"datoms-conflict: assert and set-oriented retract of "
+                    f"({r['e']}, {r['a']}, {r[value_col]!r}) in one transaction"
+                )
+
         ops: DataFrame | None = None
         if rows:
             ops = spark.createDataFrame(rows, schema)

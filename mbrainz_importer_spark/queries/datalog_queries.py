@@ -217,6 +217,37 @@ def datalog_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("x", "y")
 
 
+_PARITY_RULES = [
+    [("odd-hop", "?x", "?y"),
+     ["?e", ":node/id", "?x"],
+     ["?e", ":node/parent", "?y"]],
+    [("odd-hop", "?x", "?y"),
+     ["?e", ":node/id", "?x"],
+     ["?e", ":node/parent", "?z"],
+     [("even-hop", "?z", "?y")]],
+    [("even-hop", "?x", "?y"),
+     ["?e", ":node/id", "?x"],
+     ["?e", ":node/parent", "?z"],
+     [("odd-hop", "?z", "?y")]],
+]
+
+
+def datalog_mutual_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUALLY recursive rules (the even/odd pattern): ancestors at
+    EVEN distance in the floor(k/2) tree. even-hop and odd-hop call
+    each other, so the whole clique iterates together under stratified
+    semi-naive evaluation (plans/datalog._compile_clique); even-hop has
+    no base def and seeds empty. Oracle: DuckDB WITH RECURSIVE carrying
+    a parity flag."""
+    datoms = _tree_datoms(spark, sf_dir)
+    query = {
+        "find": ["?x", "?y"],
+        "rules": _PARITY_RULES,
+        "where": [[("even-hop", "?x", "?y")]],
+    }
+    return q(query, datoms).orderBy("x", "y")
+
+
 def datalog_recursive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over a recursive rule's closure: descendant count per
     ancestor (the root of the k/2 tree dominates). Proves the fixpoint
@@ -740,6 +771,7 @@ QUERIES = {
     "pull_recursive_parents": pull_recursive_parents,
     "datalog_recursive_ancestors": datalog_recursive_ancestors,
     "datalog_recursive_counts": datalog_recursive_counts,
+    "datalog_mutual_recursion": datalog_mutual_recursion,
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_param_in": datalog_param_in,
@@ -946,6 +978,18 @@ ORACLES = {
     "datalog_recursive_counts": _ANC_CTE + """
         SELECT y, CAST(COUNT(x) AS BIGINT) AS count_x
         FROM anc GROUP BY y ORDER BY y
+    """,
+    "datalog_mutual_recursion": """
+        WITH RECURSIVE edges AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS x,
+                   CAST(CAST(FLOOR(c_custkey / 2) AS BIGINT) AS VARCHAR) AS y
+            FROM customer WHERE c_custkey BETWEEN 2 AND 400
+        ), hop(x, y, odd) AS (
+            SELECT x, y, TRUE FROM edges
+            UNION
+            SELECT e.x, h.y, NOT h.odd FROM edges e JOIN hop h ON e.y = h.x
+        )
+        SELECT DISTINCT x, y FROM hop WHERE NOT odd ORDER BY x, y
     """,
     "datalog_schema_attrs": """
         SELECT ':nation/n_nationkey' AS attr

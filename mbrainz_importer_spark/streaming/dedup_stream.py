@@ -42,14 +42,23 @@ def dedup_foreach_batch(
     idempotently."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        verdicts = incremental_near_dups(
-            batch_df, None, id_col, text_col, n, bands, rows_per_band,
-            threshold,
-            corpus_bands=corpus_bands, corpus_shingles=corpus_shingles,
-        ).withColumn(
-            BATCH_ID_COL, F.concat_ws("-", F.lit(prefix), F.lit(epoch_id))
-        )
-        sink.load(verdicts, batch_df.sparkSession)
+        # the wrapper owns the batch-shingle cache lifetime: persist for
+        # the three reads within this epoch, release once the sink has
+        # materialized the verdicts — a long-lived stream must not
+        # accumulate one cached frame per micro-batch
+        n_sh = shingle_rows(batch_df, id_col, text_col, n).cache()
+        try:
+            verdicts = incremental_near_dups(
+                batch_df, None, id_col, text_col, n, bands, rows_per_band,
+                threshold,
+                corpus_bands=corpus_bands, corpus_shingles=corpus_shingles,
+                new_shingles=n_sh,
+            ).withColumn(
+                BATCH_ID_COL, F.concat_ws("-", F.lit(prefix), F.lit(epoch_id))
+            )
+            sink.load(verdicts, batch_df.sparkSession)
+        finally:
+            n_sh.unpersist()
 
     return write
 

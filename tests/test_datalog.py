@@ -374,7 +374,39 @@ def test_recursive_rule_cycle_terminates(spark):
     assert out.count() == 9
 
 
-def test_mutual_recursion_rejected(spark):
+_PARITY = [
+    [("odd", "?x", "?y"),
+     ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?y"]],
+    [("odd", "?x", "?y"),
+     ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?z"],
+     [("even", "?z", "?y")]],
+    [("even", "?x", "?y"),
+     ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?z"],
+     [("odd", "?z", "?y")]],
+]
+
+
+def test_mutual_recursion_even_odd(spark):
+    """The even/odd clique: ancestors at even vs odd distance along an
+    a->b->c->d->e chain — the two rules iterate together (stratified
+    semi-naive over the SCC); `even` has no base def and seeds empty."""
+    datoms = _chain_datoms(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    )
+    even = q({"find": ["?x", "?y"], "rules": _PARITY,
+              "where": [[("even", "?x", "?y")]]}, datoms)
+    assert {(r["x"], r["y"]) for r in even.collect()} == {
+        ("a", "c"), ("b", "d"), ("c", "e"), ("a", "e")}
+    odd = q({"find": ["?x", "?y"], "rules": _PARITY,
+             "where": [[("odd", "?x", "?y")]]}, datoms)
+    assert {(r["x"], r["y"]) for r in odd.collect()} == {
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("a", "d"), ("b", "e")}
+
+
+def test_mutual_recursion_trivial_clique(spark):
+    """p = edges ∪ r, r = p: the clique converges to p = r = edges (no
+    new tuples past the seed)."""
     datoms = _chain_datoms(spark, [("a", "b")])
     rules = [
         [("p", "?x", "?y"),
@@ -382,9 +414,62 @@ def test_mutual_recursion_rejected(spark):
         [("p", "?x", "?y"), [("r", "?x", "?y")]],
         [("r", "?x", "?y"), [("p", "?x", "?y")]],
     ]
-    with pytest.raises(DatalogError, match="mutually recursive"):
+    out = q({"find": ["?x", "?y"], "rules": rules,
+             "where": [[("r", "?x", "?y")]]}, datoms)
+    assert {(r["x"], r["y"]) for r in out.collect()} == {("a", "b")}
+
+
+def test_mutual_recursion_unseeded_clique_rejected(spark):
+    """A clique where EVERY def recurses has nothing to seed the
+    fixpoint — rejected, like the direct-recursion equivalent."""
+    datoms = _chain_datoms(spark, [("a", "b")])
+    rules = [
+        [("p", "?x", "?y"), [("r", "?x", "?y")]],
+        [("r", "?x", "?y"), [("p", "?x", "?y")]],
+    ]
+    with pytest.raises(DatalogError, match="no non-recursive def"):
         q({"find": ["?x"], "rules": rules,
            "where": [[("p", "?x", "?y")]]}, datoms).collect()
+
+
+def test_recursion_through_negation_rejected(spark):
+    """A clique edge under (not ...) is non-stratified datalog —
+    rejected, never mis-answered."""
+    datoms = _chain_datoms(spark, [("a", "b")])
+    rules = [
+        [("p", "?x", "?y"),
+         ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?y"]],
+        [("p", "?x", "?y"),
+         ["?e", ":node/id", "?x"], ["?e", ":node/parent", "?y"],
+         [("not", ("r", "?x", "?y"))]],
+        [("r", "?x", "?y"), [("p", "?x", "?y")]],
+    ]
+    with pytest.raises(DatalogError, match="not stratified"):
+        q({"find": ["?x"], "rules": rules,
+           "where": [[("p", "?x", "?y")]]}, datoms).collect()
+
+
+def test_mutual_fixpoint_iteration_bound(spark):
+    """MAX_FIXPOINT_ITERS caps a value-generating mutual clique (each
+    round derives a fresh number, so the fixpoint never empties)."""
+    from mbrainz_importer_spark.plans import datalog as D
+
+    datoms = _chain_datoms(spark, [("a", "b")])
+    rules = [
+        [("gen-a", "?n"),
+         ["?e", ":node/id", "?x"], [("ground", 0), "?n0"],
+         [("+", "?n0", 0), "?n"]],
+        [("gen-a", "?n"), [("gen-b", "?m")], [("+", "?m", 1), "?n"]],
+        [("gen-b", "?n"), [("gen-a", "?m")], [("+", "?m", 1), "?n"]],
+    ]
+    old = D.MAX_FIXPOINT_ITERS
+    D.MAX_FIXPOINT_ITERS = 3
+    try:
+        with pytest.raises(DatalogError, match="fixpoint"):
+            q({"find": ["?n"], "rules": rules,
+               "where": [[("gen-a", "?n")]]}, datoms)
+    finally:
+        D.MAX_FIXPOINT_ITERS = old
 
 
 def test_fixpoint_iteration_bound(spark):

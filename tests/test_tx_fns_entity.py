@@ -110,6 +110,63 @@ def test_unknown_fn_runaway_and_builtin_shadow(log):
     assert transact(log, [], tx=2).count() == log.count()
 
 
+def test_datoms_conflict_two_asserts_cardinality_one(log):
+    """Two different values for one cardinality-one (e, a) in one tx —
+    Datomic's :db.error/datoms-conflict. Both cas forms validate against
+    the PRE-tx state, so without the conflict check two same-account
+    transfers would silently double-spend."""
+    with pytest.raises(TxAbort, match="datoms-conflict"):
+        transact(log, [
+            [":db/add", "acct:1", ":acct/bal", 80.0],
+            [":db/add", "acct:1", ":acct/bal", 60.0],
+        ], tx=2)
+    with pytest.raises(TxAbort, match="datoms-conflict"):
+        transact(log, [
+            [":db/cas", "acct:1", ":acct/bal", 100.0, 80.0],
+            [":db/cas", "acct:1", ":acct/bal", 100.0, 60.0],
+        ], tx=2)
+    # same value twice is idempotent, not a conflict (set semantics) —
+    # and the op dedupes to a single log row
+    out = transact(log, [
+        [":db/add", "acct:1", ":acct/bal", 80.0],
+        [":db/add", "acct:1", ":acct/bal", 80.0],
+    ], tx=2)
+    assert out.where(
+        (F.col("tx") == 2) & (F.col("e") == "acct:1")
+    ).count() == 1
+    # distinct values on a cardinality-MANY attr are fine
+    out = transact(log, [
+        [":db/add", "acct:1", ":acct/tag", 1.0],
+        [":db/add", "acct:1", ":acct/tag", 2.0],
+    ], tx=2, many_attrs={":acct/tag"})
+    assert out.where(F.col("a") == ":acct/tag").count() == 2
+
+
+def test_datoms_conflict_add_vs_retract(log):
+    """An assert and a retract of the SAME datom in one tx conflicts —
+    both the literal form and the set-oriented expansions
+    ([:db/retract e a] / retractEntity reading the pre-tx state)."""
+    with pytest.raises(TxAbort, match="datoms-conflict"):
+        transact(log, [
+            [":db/add", "acct:1", ":acct/bal", 100.0],
+            [":db/retract", "acct:1", ":acct/bal", 100.0],
+        ], tx=2)
+    # attr-wide retract expands to the CURRENT value 100.0 — re-adding
+    # that exact datom in the same tx is add-vs-retract of one datom
+    with pytest.raises(TxAbort, match="datoms-conflict"):
+        transact(log, [
+            [":db/retract", "acct:1", ":acct/bal"],
+            [":db/add", "acct:1", ":acct/bal", 100.0],
+        ], tx=2)
+    # replacing with a DIFFERENT value alongside the wide retract is the
+    # legitimate replace idiom, not a conflict
+    out = transact(log, [
+        [":db/retract", "acct:1", ":acct/bal"],
+        [":db/add", "acct:1", ":acct/bal", 42.0],
+    ], tx=2)
+    assert _state_at(out, 2)[("acct:1", ":acct/bal")] == 42.0
+
+
 @pytest.fixture(scope="module")
 def datoms(spark):
     rows = [
