@@ -3,6 +3,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Each query runs $SPARK_GRAFT_RUNS times (default 3) and reports the
+per-query MEDIAN — single-shot timings at these sizes are dominated by
+JIT/GC jitter (the r6 verdict's +29% "regression" on upsert_merge was
+exactly that), and medians separate drift from noise. `value` is the sum
+of medians; per-run samples go to stderr.
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "multimodal_meta",
     "datalog_region_nations",
+    "datalog_from_store",
     "datalog_recursive_ancestors",
     "sequence_packing",
     "curation_pipeline",
@@ -59,14 +66,21 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, one trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        samples = []
+        n = -1
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        med = sorted(samples)[len(samples) // 2]
+        timings[name] = round(med, 4)
+        shots = "/".join(f"{s:.3f}" for s in samples)
+        print(f"# {name}: median {med:.3f}s of [{shots}] rows={n}",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -166,6 +166,39 @@ def seek_datoms(
     return out.orderBy(*order)
 
 
+def filtered(datoms: DataFrame, pred: "F.Column") -> DataFrame:
+    """`d/filter` analog — a predicate-filtered DATABASE VALUE: the
+    datom set restricted to rows satisfying `pred`, returned as a frame
+    with the same schema, so every consumer that takes a datoms/log
+    frame (datalog `q`, `pull_entities`, `entity`, `datoms_index`,
+    history's `as_of`/`since`) composes with it unchanged — exactly how
+    Datomic's filtered db flows through q/pull/datoms.
+
+    `pred` is a Column over the datom columns (e, a, v, v_num — plus
+    tx/added when filtering a history log), e.g. the security-trim
+    idiom `~F.col('a').startswith(':secret/')`. Datomic's d/filter
+    takes (db, datom) -> bool; value-based predicates (the overwhelming
+    use: attr namespaces, entity prefixes, tx ranges) express directly,
+    and staying a Column keeps the filter a PUSHDOWN predicate — on the
+    attribute-partitioned store an attr-namespace trim prunes whole
+    partitions instead of evaluating per-datom."""
+    return datoms.where(pred)
+
+
+def attr_namespace_pred(*namespaces: str, exclude: bool = False) -> "F.Column":
+    """Predicate Column for `filtered`: datoms whose attribute sits in
+    one of the ':ns/...' namespaces (or OUTSIDE all of them with
+    exclude=True) — the common d/filter shape (hide :secret/*, expose
+    only :public/*)."""
+    if not namespaces:
+        raise ValueError("attr_namespace_pred needs at least one namespace")
+    cond = None
+    for ns in namespaces:
+        leg = F.col("a").startswith(ns.rstrip("/") + "/")
+        cond = leg if cond is None else (cond | leg)
+    return ~cond if exclude else cond
+
+
 def build_datoms(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
     """Union the datom views of {table: (df, id_col)}."""
     out = None

@@ -129,11 +129,50 @@ def since(
     return out.drop(joined) if joined else out
 
 
-def history(log: DataFrame) -> DataFrame:
+def history(
+    log: DataFrame,
+    no_history_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+) -> DataFrame:
     """The raw op stream (d/history): every assert/retract with its tx.
     Identity on the log — exposed for API parity and for composing
-    with filters (history of one entity = .where(e == ...))."""
-    return log
+    with filters (history of one entity = .where(e == ...)).
+
+    `no_history_attrs` honors the :db/noHistory schema flag: Datomic
+    keeps no PAST ops for flagged attrs — history shows only each
+    flagged (e, a)'s CURRENT deciding op (superseded asserts and the
+    retracts that ended them vanish), while unflagged attrs keep their
+    full op stream. as_of/since semantics are untouched by the flag in
+    this engine (the log physically retains the ops; the flag shapes
+    the HISTORY VIEW, which is the API contract callers observe —
+    Datomic itself documents noHistory as best-effort trimming)."""
+    if not no_history_attrs:
+        return log
+    flagged = F.col("a").isin(*no_history_attrs)
+    keep = log.where(~flagged)
+    current = _latest(
+        log.where(flagged), ["e", "a"], value_col, False
+    ).select(
+        "e", "a", value_col, "tx", F.lit(True).alias("added")
+    )
+    return keep.unionByName(current)
+
+
+def materialize_log(log: DataFrame, path: str) -> None:
+    """Write the tx log as ATTRIBUTE-partitioned parquet — the durable
+    shape that makes tx-fn point reads and attribute-scoped history
+    partition-pruned scans (one attr's directory, not the log). The
+    mirror of eav.materialize_datoms for the tx-stamped store."""
+    log.write.mode("overwrite").partitionBy("a").parquet(path)
+
+
+def read_log(spark, path: str, value_col: str = "v_num") -> DataFrame:
+    """Read a materialized tx log; `.where(a == ...)` — including the
+    filters tx_fns._pruned_state applies for cas — prunes to the
+    attribute's partition directory (PartitionFilters in the scan)."""
+    return spark.read.parquet(path).select(
+        "e", "a", value_col, "tx", "added"
+    )
 
 
 def retract_entity(
@@ -290,11 +329,20 @@ def with_tx(
     return log.unionByName(ops)
 
 
-def tx_range(log: DataFrame, start: int, end: int | None = None) -> DataFrame:
+def tx_range(
+    log: DataFrame,
+    start: int,
+    end: int | None = None,
+    no_history_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+) -> DataFrame:
     """`d/tx-range` — the op stream for start <= tx < end (end=None =
     unbounded), in tx order. On tx-partitioned storage the predicate is
-    a partition-pruned range scan."""
-    out = log.where(F.col("tx") >= start)
+    a partition-pruned range scan. `no_history_attrs` applies the
+    :db/noHistory trim (see `history`) before the range filter, so
+    superseded ops of flagged attrs never surface in a range either."""
+    out = history(log, no_history_attrs, value_col)
+    out = out.where(F.col("tx") >= start)
     if end is not None:
         out = out.where(F.col("tx") < end)
     return out.orderBy("tx", "e", "a")

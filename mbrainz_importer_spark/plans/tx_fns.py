@@ -57,6 +57,32 @@ class TxAbort(ValueError):
 _BUILTINS = {":db/add", ":db/retract", ":db/cas", ":db.fn/retractEntity"}
 
 
+def _pruned_state(
+    log_before: DataFrame,
+    many_attrs,
+    value_col: str,
+    e: str | None = None,
+    a: str | None = None,
+) -> DataFrame:
+    """Pre-tx state restricted to one entity and/or attribute, with the
+    filters applied to the LOG SCAN (before the latest-op groupBy), not
+    to a materialized whole-state view. On an attr-partitioned log store
+    (history.materialize_log / read_log) the `a` predicate is a
+    PARTITION-PRUNED read — a cas point read touches one attribute's
+    directory, never the store (certified by
+    test_tx_fns_entity.test_point_read_partition_pruned). This is what
+    every built-in point read (cas, [:db/retract e a],
+    retractEntity) routes through; custom fns receive the full as-of
+    view and express their own filters, which push down the same way
+    when the view is uncached."""
+    out = log_before
+    if e is not None:
+        out = out.where(F.col("e") == e)
+    if a is not None:
+        out = out.where(F.col("a") == a)
+    return _state(out, many_attrs, value_col)
+
+
 def transact(
     log: DataFrame,
     tx_data: list,
@@ -76,24 +102,33 @@ def transact(
     PRE-tx state, so this is what keeps two same-account transfers in
     one tx from double-spending).
 
-    Scale: expansion is driver-side over forms (metadata), the state is
-    computed once (cached for the duration when any form reads it), cas
-    point-reads are bounded take(2)s, and the append is one union of a
+    Scale: expansion is driver-side over forms (metadata). Built-in
+    point reads (cas, attr/entity retract) go through _pruned_state —
+    e/a predicates on the LOG SCAN itself, so on an attr-partitioned
+    log store (history.materialize_log) a cas touches one attribute's
+    partition, never the whole log; cas point-reads are bounded
+    take(2)s. Custom fns read a full as-of view, computed once and
+    cached for the transaction. The append is one union of a
     createDataFrame(#ops) — the log itself is never collected."""
     fns = fns or {}
     for name in fns:
         if name in _BUILTINS:
             raise TxAbort(f"cannot install over built-in tx fn {name}")
 
+    log_before = log.where(F.col("tx") < tx)
     state: DataFrame | None = None
     cached = False
 
     def get_state() -> DataFrame:
+        # full as-of view for CUSTOM fns (they express arbitrary reads);
+        # cached because a fn typically reads it several times. Built-in
+        # point reads do NOT come here — they use _pruned_state so the
+        # e/a predicates reach the log scan (partition pruning on an
+        # attr-partitioned store) instead of filtering a materialized
+        # whole-state cache.
         nonlocal state, cached
         if state is None:
-            state = _state(
-                log.where(F.col("tx") < tx), many_attrs, value_col
-            ).cache()
+            state = _state(log_before, many_attrs, value_col).cache()
             cached = True
         return state
 
@@ -129,8 +164,7 @@ def transact(
                 elif len(form) == 3:
                     e, a = form[1], form[2]
                     frames.append(
-                        get_state()
-                        .where((F.col("e") == e) & (F.col("a") == a))
+                        _pruned_state(log_before, many_attrs, value_col, e=e, a=a)
                         .select("e", "a", value_col, F.lit(False).alias("added"))
                     )
                 else:
@@ -139,8 +173,7 @@ def transact(
                 if len(form) != 2:
                     raise TxAbort(f"[:db.fn/retractEntity e]: {form!r}")
                 frames.append(
-                    get_state()
-                    .where(F.col("e") == form[1])
+                    _pruned_state(log_before, many_attrs, value_col, e=form[1])
                     .select("e", "a", value_col, F.lit(False).alias("added"))
                 )
             elif head == ":db/cas":
@@ -151,8 +184,7 @@ def transact(
                 if a in many_attrs:
                     raise TxAbort(f"cas on cardinality-many attr {a}")
                 cur_rows = (
-                    get_state()
-                    .where((F.col("e") == e) & (F.col("a") == a))
+                    _pruned_state(log_before, many_attrs, value_col, e=e, a=a)
                     .select(value_col)
                     .take(2)
                 )

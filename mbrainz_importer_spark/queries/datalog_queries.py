@@ -46,6 +46,53 @@ def datalog_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("rname")
 
 
+def datalog_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datom STORE end-to-end: the same query as
+    datalog_region_nations, but the datoms round-trip through
+    materialize_datoms -> read_datoms (plans/eav.py:94,107) — an
+    attribute-partitioned parquet store, so each triple pattern with a
+    known attribute is a PARTITION-PRUNED scan (PartitionFilters in the
+    physical plan, certified by test_plan_properties) and the values
+    are certified by the same DuckDB hash as the in-memory gate."""
+    import os
+
+    from ..plans.eav import materialize_datoms, read_datoms
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_nr",
+    )
+    materialize_datoms(_datoms_small(spark, sf_dir), path)
+    store = read_datoms(spark, path)
+    query = {
+        "find": ["?rname", ("count", "?n")],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?r", ":region/r_regionkey", "?rk"],
+            ["?r", ":region/r_name", "?rname"],
+        ],
+    }
+    return q(query, store).orderBy("rname")
+
+
+def datalog_filtered_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`d/filter` — the query runs against a predicate-filtered DATABASE
+    VALUE (plans/eav.filtered): the :region namespace is trimmed out, so
+    the same attr-count query that sees 5 attributes on the full db sees
+    only nation's 3 here. The filter is a pushdown predicate (on the
+    attr-partitioned store it prunes partitions); oracle recomputes the
+    surviving namespace with SQL."""
+    from ..plans.eav import attr_namespace_pred, filtered
+
+    db = filtered(
+        _datoms_small(spark, sf_dir),
+        attr_namespace_pred(":region", exclude=True),
+    )
+    return q(
+        {"find": ["?a", ("count", "?e")], "where": [["?e", "?a", "_"]]}, db
+    ).orderBy("a")
+
+
 def datalog_find_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pull expression inside :find — [:find ?n (pull ?n [...]) :where
     [?n :nation/n_regionkey ?rk] [?r :region/r_regionkey ?rk]
@@ -774,6 +821,8 @@ QUERIES = {
     "datalog_mutual_recursion": datalog_mutual_recursion,
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
+    "datalog_from_store": datalog_from_store,
+    "datalog_filtered_db": datalog_filtered_db,
     "datalog_param_in": datalog_param_in,
     "datalog_find_pull": datalog_find_pull,
     "datalog_in_collection": datalog_in_collection,
@@ -1005,6 +1054,15 @@ ORACLES = {
             SELECT ':region/r_regionkey', COUNT(r_regionkey) FROM region
         ) ORDER BY attr
     """,
+    "datalog_filtered_db": """
+        SELECT a, count_e FROM (
+            SELECT ':nation/n_nationkey' AS a, COUNT(n_nationkey) AS count_e FROM nation
+            UNION ALL
+            SELECT ':nation/n_name', COUNT(n_name) FROM nation
+            UNION ALL
+            SELECT ':nation/n_regionkey', COUNT(n_regionkey) FROM nation
+        ) ORDER BY a
+    """,
     "datalog_attr_counts": """
         SELECT a, count_e FROM (
             SELECT ':nation/n_nationkey' AS a, COUNT(n_nationkey) AS count_e FROM nation
@@ -1019,6 +1077,11 @@ ORACLES = {
         ) ORDER BY a
     """,
     "datalog_region_nations": """
+        SELECT r_name AS rname, COUNT(*) AS count_n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY rname
+    """,
+    "datalog_from_store": """
         SELECT r_name AS rname, COUNT(*) AS count_n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY rname

@@ -85,6 +85,21 @@ def history_tx_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx_range(log, 100, 200)
 
 
+def history_no_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:db/noHistory — the history view with :user/click flagged: click
+    ops collapse to each (e, a)'s CURRENT deciding assert (superseded
+    asserts and the retracts that ended them vanish; entities whose
+    click is currently retracted contribute nothing), while every other
+    attribute keeps its full op stream. The oracle recomputes both
+    branches in SQL."""
+    from ..plans.history import history
+
+    log = _tx_log(spark, sf_dir)
+    return history(log, no_history_attrs={":user/click"}).orderBy(
+        "e", "a", "tx", "added"
+    )
+
+
 def history_cascade_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:db.fn/retractEntity with :db/isComponent cascade: customers own
     their orders through the component attr :cust/order; retracting
@@ -174,6 +189,7 @@ QUERIES = {
     "history_entity_timeline": history_entity_timeline,
     "history_with_speculative": history_with_speculative,
     "history_tx_range": history_tx_range,
+    "history_no_history": history_no_history,
     "history_cascade_retract": history_cascade_retract,
     "tx_fn_transfer": tx_fn_transfer,
 }
@@ -255,6 +271,17 @@ ORACLES = {
         FROM events
         WHERE event_id >= 100 AND event_id < 200
         ORDER BY tx, e, a
+    """,
+    "history_no_history": _LOG_CTE + """
+        SELECT e, a, v_num, tx, added FROM log WHERE a <> ':user/click'
+        UNION ALL
+        SELECT e, a, v_num, tx, true AS added FROM (
+            SELECT e, a, MAX_BY(v_num, tx) AS v_num,
+                   CAST(MAX(tx) AS BIGINT) AS tx,
+                   MAX_BY(added, tx) AS last_added
+            FROM log WHERE a = ':user/click' GROUP BY e, a
+        ) WHERE last_added
+        ORDER BY e, a, tx, added
     """,
     "history_cascade_retract": """
         WITH facts AS (

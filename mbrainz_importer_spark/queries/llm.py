@@ -209,6 +209,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, centroids, k=3).orderBy("qid", "rank")
 
 
+def sim_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF in EXACT mode (n_probe = n_cells): probing every cell makes
+    the candidate set the whole corpus, so the result must HASH-EQUAL
+    the brute-force oracle regardless of the trained centroids — this
+    row certifies the IVF machinery itself (cell assignment, probe
+    explode, equi-join, multi-probe dedupe, deterministic ranking). The
+    approximate path (sim_ivf_topk) stays rows-only with its
+    recall-bound test."""
+    from ..operators.ann import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 50)
+    return ivf_topk(
+        queries, emb, centroids, k=3, n_probe=len(centroids)
+    ).orderBy("qid", "rank")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = M.text_as_assets(docs, "doc_id", "text")
@@ -348,6 +366,7 @@ QUERIES = {
     "sim_lsh_near_pairs": sim_lsh_near_pairs,
     "sim_embedding_dedup_clusters": sim_embedding_dedup_clusters,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_exact": sim_ivf_exact,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,
     "multimodal_pixel_decode": multimodal_pixel_decode,
@@ -871,6 +890,10 @@ ORACLES = {
         FROM documents ORDER BY asset_id
     """,
 }
+
+# IVF with every cell probed is exhaustive search — the oracle IS the
+# brute-force oracle, independent of the trained centroids
+ORACLES["sim_ivf_exact"] = ORACLES["sim_topk_bruteforce"]
 
 
 def _lsh_oracle() -> str:

@@ -110,6 +110,29 @@ def test_unknown_fn_runaway_and_builtin_shadow(log):
     assert transact(log, [], tx=2).count() == log.count()
 
 
+def test_point_read_partition_pruned(log, tmp_path):
+    """The exact frame transact's cas/retract point reads evaluate
+    (_pruned_state) over a store-backed log must be a PARTITION-PRUNED
+    scan: the attribute predicate reaches PartitionFilters, so a cas
+    reads one attr directory, never the log."""
+    from mbrainz_importer_spark.plans.history import materialize_log, read_log
+    from mbrainz_importer_spark.plans.tx_fns import _pruned_state
+
+    path = str(tmp_path / "txlog")
+    materialize_log(log, path)
+    store = read_log(log.sparkSession, path)
+    frame = _pruned_state(
+        store.where(F.col("tx") < 2), frozenset(), "v_num",
+        e="acct:1", a=":acct/bal",
+    )
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert ":acct/bal" in plan.split("PartitionFilters")[1][:200]
+    # and transact over the store-backed log behaves identically
+    out = transact(store, [[":db/cas", "acct:1", ":acct/bal", 100.0, 80.0]], tx=2)
+    assert _state_at(out, 2)[("acct:1", ":acct/bal")] == 80.0
+
+
 def test_datoms_conflict_two_asserts_cardinality_one(log):
     """Two different values for one cardinality-one (e, a) in one tx —
     Datomic's :db.error/datoms-conflict. Both cas forms validate against
