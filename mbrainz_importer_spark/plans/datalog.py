@@ -4,7 +4,10 @@ Covers the query surface the reference actually exercises
 (examples/explore_db.clj:13-45; cognitect/xform/batch.clj:50-53):
 
   - triple patterns [e a v] with variables ('?x'), constants, or
-    wildcards ('_') in any position;
+    wildcards ('_') in any position; over a HISTORY view (a datoms
+    frame with tx/added columns, history.log_datoms) patterns extend to
+    [e a v tx] / [e a v tx op], binding the transaction and the
+    assert/retract flag exactly like Datomic history-db queries;
   - implicit equi-joins on shared variables (J4 — the self-join of the
     EAV view on `e`);
   - predicate clauses [(op ?v x)] — the EDN vector-wrapping-a-list shape
@@ -1306,22 +1309,30 @@ def _compile_where(
             continue
         src = None
         if (
-            len(pat) == 4
+            len(pat) >= 4
             and isinstance(pat[0], str)
             and _DB_MARK.match(pat[0])
         ):
-            # [$2 e a v] — pattern scoped to an extra :in database
+            # [$2 e a v ...] — pattern scoped to an extra :in database
             # (Datomic multi-db queries, e.g. as-of vs current joins);
             # the db map flows into rule/not/or sub-compilations too.
             src, pat = pat[0], list(pat[1:])
         if len(pat) == 2:
             # [e a] — attribute-presence pattern (explore_db.clj:16
             # [?e :db/unique]); value position is an implicit wildcard
-            e, a, v = pat[0], pat[1], "_"
-        elif len(pat) != 3:
-            raise DatalogError(f"pattern must be [e a v] or [e a]: {pat}")
+            terms = [pat[0], pat[1], "_"]
+        elif 3 <= len(pat) <= 5:
+            # [e a v], or the HISTORY-db shapes [e a v tx] /
+            # [e a v tx op] — Datomic lets patterns bind the transaction
+            # and the assert/retract flag when querying a history view
+            # (a datoms frame carrying tx/added columns, e.g.
+            # history.log_datoms)
+            terms = list(pat)
         else:
-            e, a, v = pat
+            raise DatalogError(
+                f"pattern must be [e a], [e a v], [e a v tx] or "
+                f"[e a v tx op]: {pat}"
+            )
         base = datoms
         if src is not None:
             if not dbs or src not in dbs:
@@ -1330,14 +1341,22 @@ def _compile_where(
                     f"pass a datoms DataFrame"
                 )
             base = dbs[src]
+        if len(terms) > 3 and "tx" not in base.columns:
+            raise DatalogError(
+                f"pattern {pat} binds a tx/op position but the datoms "
+                "frame has no tx column — query a history/log view "
+                "(history.log_datoms)"
+            )
         alias = f"p{i}_{len(stack)}"
         scan = base.alias(alias)
         cols = {"e": F.col(f"{alias}.e"), "a": F.col(f"{alias}.a"),
-                "v": F.col(f"{alias}.v"), "v_num": F.col(f"{alias}.v_num")}
+                "v": F.col(f"{alias}.v"), "v_num": F.col(f"{alias}.v_num"),
+                "tx": F.col(f"{alias}.tx"), "added": F.col(f"{alias}.added")}
 
         filters = []
         join_conds = []
-        for pos, term in (("e", e), ("a", a), ("v", v)):
+        positions = ["e", "a", "v", "tx", "added"][: len(terms)]
+        for pos, term in zip(positions, terms):
             if term == "_" or term is None:
                 continue
             if _is_var(term) and term in bound:
@@ -1349,6 +1368,8 @@ def _compile_where(
                     binding[term] = cols[pos]
                     if pos == "v":
                         num_binding[term] = cols["v_num"]
+                    elif pos == "tx":
+                        num_binding[term] = cols["tx"].cast("double")
             else:
                 filters.append(cols[pos] == F.lit(term))
 

@@ -166,6 +166,46 @@ def seek_datoms(
     return out.orderBy(*order)
 
 
+def index_pull(
+    datoms: DataFrame,
+    spec: dict,
+    index: str = "avet",
+    start: tuple = (),
+    limit: int | None = None,
+) -> DataFrame:
+    """`d/index-pull` analog: walk a covering index from a component
+    boundary and pull each entity in index order — Datomic's paged
+    bulk-read API (e.g. all artists from [:artist/name \"B\"] onward).
+
+    Spark-first shape: seek_datoms gives the >=-boundary slice (an
+    OR-chain of pushdown comparisons, a contiguous index read on sorted
+    storage); each entity keeps its FIRST index position (one groupBy(e)
+    with a min-struct — the walk order), the optional `limit` caps
+    entities via a TakeOrdered on that position, and ONE join against
+    the columnar pull projection attaches the attributes. Never a
+    per-entity walk. Departure from Datomic, documented: the reference
+    yields one pull per DATOM encountered (an entity repeats when
+    several of its datoms fall in the slice); a distributed set engine
+    dedupes to one row per entity at its first position, which is also
+    what makes the result order- and oracle-stable. Output: `e`, the
+    spec's columns, in walk order (ties on position impossible — the
+    position struct ends with `e`)."""
+    from .pull import pull_entities
+
+    sliced = seek_datoms(datoms, index, start)
+    order = _INDEX_ORDERS[index]
+    pos = F.struct(*[F.col(c) for c in order])
+    ents = sliced.groupBy("e").agg(F.min(pos).alias("__pos"))
+    if limit is not None:
+        ents = ents.orderBy("__pos").limit(limit)
+    pulled = pull_entities(datoms, spec)
+    return (
+        ents.join(pulled, "e", "left")
+        .orderBy("__pos")
+        .drop("__pos")
+    )
+
+
 def filtered(datoms: DataFrame, pred: "F.Column") -> DataFrame:
     """`d/filter` analog — a predicate-filtered DATABASE VALUE: the
     datom set restricted to rows satisfying `pred`, returned as a frame

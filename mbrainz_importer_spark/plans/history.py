@@ -158,6 +158,28 @@ def history(
     return keep.unionByName(current)
 
 
+def log_datoms(log: DataFrame, value_col: str = "v_num") -> DataFrame:
+    """The history db as a QUERYABLE DATOMS VIEW: (e, a, v, v_num, tx,
+    added). Datalog patterns over this frame may bind the transaction
+    and op positions — [?e ?a ?v ?tx ?op] — Datomic's history-db query
+    shape ('what was asserted/retracted, when'), e.g.
+
+        [:find ?e ?tx :where [?e :user/click _ ?tx false]]
+
+    The canonical string `v` follows eav.table_datoms's formatting
+    (integral doubles lose the trailing .0) so value joins against data
+    datoms line up; v_num carries the numeric projection."""
+    if value_col == "v_num":
+        v = F.regexp_replace(F.col("v_num").cast("string"), r"\.0$", "")
+        vn = F.col("v_num")
+    else:
+        v = F.col(value_col).cast("string")
+        vn = F.col(value_col).try_cast("double")
+    return log.select(
+        "e", "a", v.alias("v"), vn.alias("v_num"), "tx", "added"
+    )
+
+
 def materialize_log(log: DataFrame, path: str) -> None:
     """Write the tx log as ATTRIBUTE-partitioned parquet — the durable
     shape that makes tx-fn point reads and attribute-scoped history
@@ -276,12 +298,20 @@ def excise(
     entity: str,
     tx: int,
     value_col: str = "v_num",
+    attrs: frozenset[str] | set[str] | None = None,
+    before: int | None = None,
 ) -> DataFrame:
     """`:db/excise` — permanent removal of every datom of `entity`,
     INCLUDING history (unlike retract_entity, which only ends the
     entity's present). Datomic excision erases the data but leaves an
     audit datom recording that an excision happened at `tx`; after it,
     as_of at ANY time shows nothing for the entity.
+
+    Scoping knobs, exactly Datomic's: `attrs` (:db.excise/attrs) limits
+    erasure to the named attributes — the entity's other facts keep
+    their history; `before` (:db.excise/beforeT) erases only datoms
+    whose tx < before — the retain-recent-history shape GDPR-style
+    retention uses. Both compose (erase old values of one attr).
 
     The returned log = (log minus the entity's datoms) + one audit op.
     As in Datomic, the audit lives on a FRESH excision entity (here
@@ -292,10 +322,23 @@ def excise(
     predicate — at scale this is the one operation that rewrites
     storage, exactly as in Datomic (excision is a segment rewrite
     there too)."""
-    survivors = log.where(F.col("e") != entity)
+    doomed = F.col("e") == entity
+    if attrs is not None:
+        doomed = doomed & F.col("a").isin(list(attrs))
+    if before is not None:
+        doomed = doomed & (F.col("tx") < before)
+    survivors = log.where(~doomed)
+    value_type = "double"
+    try:
+        from pyspark.sql import types as T
+
+        if isinstance(log.schema[value_col].dataType, T.StringType):
+            value_type = "string"
+    except KeyError:
+        pass
     audit = log.sparkSession.createDataFrame(
         [(f"db.excise:{entity}:{tx}", ":db/excise", None, tx, True)],
-        f"e string, a string, {value_col} double, tx long, added boolean",
+        f"e string, a string, {value_col} {value_type}, tx long, added boolean",
     )
     return survivors.unionByName(audit)
 

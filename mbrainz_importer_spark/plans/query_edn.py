@@ -69,13 +69,13 @@ def _conv_entry(cl) -> list:
     if len(cl) == 3 and not any(isinstance(x, list) for x in cl):
         return list(cl)  # triple pattern
     if (
-        len(cl) == 4
+        4 <= len(cl) <= 6
         and isinstance(cl[0], str)
         and cl[0].startswith("$")
         and not any(isinstance(x, list) for x in cl)
     ):
         if cl[0] == "$":
-            # Datomic's explicit primary-db form [$ ?e ?a ?v] — same
+            # Datomic's explicit primary-db form [$ ?e ?a ?v ...] — same
             # datoms view as the unmarked pattern, marker dropped
             return list(cl[1:])
         if not cl[0][1:].isdigit():
@@ -84,7 +84,10 @@ def _conv_entry(cl) -> list:
                 "named db symbols are not supported; use $ (primary) or "
                 "$2-style :in markers"
             )
-        return list(cl)  # [$2 e a v] db-scoped pattern (multi-db :in)
+        return list(cl)  # [$2 e a v ...] db-scoped pattern (multi-db :in)
+    if len(cl) in (4, 5) and not any(isinstance(x, list) for x in cl):
+        # history-db patterns [e a v tx] / [e a v tx op]
+        return list(cl)
     raise DatalogError(f"unrecognized :where clause {cl!r}")
 
 

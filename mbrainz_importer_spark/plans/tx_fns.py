@@ -115,6 +115,15 @@ def transact(
         if name in _BUILTINS:
             raise TxAbort(f"cannot install over built-in tx fn {name}")
 
+    from pyspark.sql import types as T
+
+    # the log's value column drives the form-value coercion: a
+    # string-typed log (the canonical-string datom store shape,
+    # eav.py) canonicalizes numbers/booleans exactly like
+    # eav.table_datoms; a double-typed log keeps the numeric contract
+    value_is_str = isinstance(log.schema[value_col].dataType, T.StringType)
+    value_type = "string" if value_is_str else "double"
+
     log_before = log.where(F.col("tx") < tx)
     state: DataFrame | None = None
     cached = False
@@ -133,7 +142,15 @@ def transact(
         return state
 
     def _val(v):
-        # the log's value column is double-typed; accept ints in forms
+        if value_is_str:
+            # canonical-string store: eav.table_datoms formatting
+            if v is None or isinstance(v, str):
+                return v
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            s = str(v)
+            return s[:-2] if s.endswith(".0") else s
+        # double-typed log; accept ints in forms
         if isinstance(v, bool):
             raise TxAbort(f"boolean tx value {v!r} has no numeric form")
         return float(v) if isinstance(v, int) else v
@@ -238,7 +255,7 @@ def transact(
         rows = deduped
 
         spark = log.sparkSession
-        schema = f"e string, a string, {value_col} double, added boolean"
+        schema = f"e string, a string, {value_col} {value_type}, added boolean"
 
         # The same conflict against SET-ORIENTED ops: an attr/entity
         # retraction frame retracts current datoms — a literal assert of
@@ -251,7 +268,7 @@ def transact(
             for fr in frames:
                 retracts = fr if retracts is None else retracts.unionByName(fr)
             add_df = spark.createDataFrame(
-                adds, f"e string, a string, {value_col} double"
+                adds, f"e string, a string, {value_col} {value_type}"
             )
             hit = retracts.join(
                 F.broadcast(add_df), ["e", "a", value_col]

@@ -100,6 +100,43 @@ def history_no_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def datalog_history_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog OVER THE HISTORY DB (history.log_datoms): the [e a v tx
+    op] pattern shape binds the transaction and the assert/retract flag
+    — here every retraction of :user/click with its tx, the 'who lost
+    what, when' audit query Datomic runs against (d/history db)."""
+    from ..plans.datalog import q
+    from ..plans.history import log_datoms
+
+    db = log_datoms(_tx_log(spark, sf_dir))
+    return q(
+        {"find": ["?e", "?tx"],
+         "where": [["?e", ":user/click", "_", "?tx", False]]},
+        db,
+    ).orderBy("e", "tx")
+
+
+def datalog_history_superseded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-db self-join on tx variables: values asserted and LATER
+    retracted — two patterns over the same (e, a, v) with [(< ?t1 ?t2)]
+    ordering the asserting and retracting transactions. Aggregated per
+    attribute for a compact certified result."""
+    from ..plans.datalog import q
+    from ..plans.history import log_datoms
+
+    db = log_datoms(_tx_log(spark, sf_dir))
+    return q(
+        {"find": ["?a", ("count", "?t2")],
+         "with": ["?e", "?t1"],
+         "where": [
+             ["?e", "?a", "?v", "?t1", True],
+             ["?e", "?a", "?v", "?t2", False],
+             [("<", "?t1", "?t2")],
+         ]},
+        db,
+    ).orderBy("a")
+
+
 def history_cascade_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:db.fn/retractEntity with :db/isComponent cascade: customers own
     their orders through the component attr :cust/order; retracting
@@ -190,6 +227,8 @@ QUERIES = {
     "history_with_speculative": history_with_speculative,
     "history_tx_range": history_tx_range,
     "history_no_history": history_no_history,
+    "datalog_history_retractions": datalog_history_retractions,
+    "datalog_history_superseded": datalog_history_superseded,
     "history_cascade_retract": history_cascade_retract,
     "tx_fn_transfer": tx_fn_transfer,
 }
@@ -271,6 +310,21 @@ ORACLES = {
         FROM events
         WHERE event_id >= 100 AND event_id < 200
         ORDER BY tx, e, a
+    """,
+    "datalog_history_retractions": _LOG_CTE + """
+        SELECT DISTINCT e, tx FROM log
+        WHERE a = ':user/click' AND NOT added
+        ORDER BY e, tx
+    """,
+    "datalog_history_superseded": _LOG_CTE + """
+        , pairs AS (
+            SELECT DISTINCT l1.a AS a, l2.tx AS t2, l1.e AS e, l1.tx AS t1
+            FROM log l1 JOIN log l2
+              ON l1.e = l2.e AND l1.a = l2.a AND l1.v_num = l2.v_num
+            WHERE l1.added AND NOT l2.added AND l1.tx < l2.tx
+        )
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS count_t2
+        FROM pairs GROUP BY a ORDER BY a
     """,
     "history_no_history": _LOG_CTE + """
         SELECT e, a, v_num, tx, added FROM log WHERE a <> ':user/click'

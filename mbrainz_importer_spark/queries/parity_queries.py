@@ -24,6 +24,23 @@ def index_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_range(datoms, ":customer/c_acctbal", start=0.0, end=5000.0, numeric=True)
 
 
+def index_pull_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/index-pull: walk AVET from the [:customer/c_name \"Customer#000000050\"]
+    boundary, pulling (name, balance) for the first 20 entities in walk
+    order — the paged bulk-read Datomic uses to stream an attribute's
+    entities from a resume point."""
+    from ..plans.eav import index_pull
+
+    datoms = build_datoms({"customer": (load(spark, sf_dir, "customer"), "c_custkey")})
+    return index_pull(
+        datoms,
+        {"name": ":customer/c_name", "bal": (":customer/c_acctbal", "num")},
+        index="avet",
+        start=(":customer/c_name", "Customer#000000050"),
+        limit=20,
+    )
+
+
 def _customer_spec() -> EntitySpec:
     # built lazily: Column expressions need an active SparkContext
     return EntitySpec(
@@ -79,12 +96,21 @@ def excision_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "index_range_scan": index_range_scan,
+    "index_pull_page": index_pull_page,
     "entity_spec_violations": entity_spec_violations,
     "composite_tuple_duplicates": composite_tuple_duplicates,
     "excision_as_of": excision_as_of,
 }
 
 ORACLES = {
+    "index_pull_page": """
+        SELECT CONCAT('customer:', CAST(c_custkey AS VARCHAR)) AS e,
+               c_name AS name,
+               CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+        WHERE c_name >= 'Customer#000000050'
+        ORDER BY c_name LIMIT 20
+    """,
     "index_range_scan": r"""
         SELECT CONCAT('customer:', CAST(c_custkey AS VARCHAR)) AS e,
                ':customer/c_acctbal' AS a,

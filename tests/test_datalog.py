@@ -489,6 +489,47 @@ def test_fixpoint_iteration_bound(spark):
         D.MAX_FIXPOINT_ITERS = old
 
 
+def test_history_pattern_positions(spark):
+    """[e a v tx] / [e a v tx op] over a history view (log_datoms):
+    the tx and op positions bind/filter like any other; tx carries a
+    numeric projection for predicates and aggregates."""
+    from mbrainz_importer_spark.plans.history import log_datoms
+
+    log = spark.createDataFrame(
+        [
+            ("u:1", ":t/score", 10.0, 1, True),
+            ("u:1", ":t/score", 10.0, 3, False),
+            ("u:1", ":t/score", 20.0, 4, True),
+            ("u:2", ":t/score", 5.0, 2, True),
+        ],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    db = log_datoms(log)
+    # op constant filters; tx var binds
+    out = q({"find": ["?e", "?tx"],
+             "where": [["?e", ":t/score", "_", "?tx", False]]}, db)
+    assert [(r["e"], r["tx"]) for r in out.collect()] == [("u:1", 3)]
+    # tx is numeric: ordering predicate across two patterns
+    out2 = q({"find": ["?e", "?t2"],
+              "where": [["?e", ":t/score", "?v", "?t1", True],
+                        ["?e", ":t/score", "?v", "?t2", False],
+                        [("<", "?t1", "?t2")]]}, db)
+    assert [(r["e"], r["t2"]) for r in out2.collect()] == [("u:1", 3)]
+    # wildcard tx with bound op var in :find
+    out3 = q({"find": ["?op", ("count", "?tx")],
+              "where": [["_", ":t/score", "_", "?tx", "?op"]]}, db)
+    assert {(r["op"], r["count_tx"]) for r in out3.collect()} == {
+        (True, 3), (False, 1)}
+
+
+def test_history_pattern_requires_log_view(datoms):
+    with pytest.raises(DatalogError, match="no tx column"):
+        q({"find": ["?e"], "where": [["?e", ":t/id", "_", "?tx"]]}, datoms)
+    with pytest.raises(DatalogError, match="pattern must be"):
+        q({"find": ["?e"],
+           "where": [["?e", ":t/id", "_", "?tx", "?op", "?extra"]]}, datoms)
+
+
 def test_errors(datoms):
     with pytest.raises(DatalogError):
         q({"find": ["?x"], "where": []}, datoms)

@@ -141,6 +141,28 @@ def test_excise_erases_history_unlike_retract(spark):
     assert as_of(excised, 3).where(F.col("e") == "u:2").count() == 1
 
 
+def test_excise_attr_and_before_scopes(spark):
+    """:db.excise/attrs erases only the named attrs; :db.excise/beforeT
+    erases only pre-cutoff datoms; both leave the rest of the entity's
+    history intact."""
+    log = _log(spark)
+    # attrs scope: :a gone at every time, :b keeps its history
+    by_attr = excise(log, "u:1", tx=10, attrs={":a"})
+    assert by_attr.where((F.col("e") == "u:1") & (F.col("a") == ":a")).count() == 0
+    assert as_of(by_attr, 5).where(
+        (F.col("e") == "u:1") & (F.col("a") == ":b")).count() == 1
+    # before scope: only the tx<2 datom erased, the tx=2 one survives
+    by_time = excise(log, "u:1", tx=10, before=2)
+    assert by_time.where((F.col("e") == "u:1") & (F.col("a") == ":a")).count() == 0
+    assert by_time.where((F.col("e") == "u:1") & (F.col("a") == ":b")).count() == 1
+    # composed: old values of one attr only
+    both = excise(log, "u:1", tx=10, attrs={":b"}, before=2)
+    assert both.where(F.col("e") == "u:1").count() == 2  # nothing matched
+    # audit datom present in every scope
+    for out in (by_attr, by_time, both):
+        assert out.where(F.col("a") == ":db/excise").count() == 1
+
+
 # -- component cascade retraction ------------------------------------------
 
 def test_retract_entity_cascade_components(spark):

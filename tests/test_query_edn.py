@@ -94,8 +94,12 @@ def test_errors(datoms):
         edn_query("[:where [?e :t/id ?id]]")
     with pytest.raises(DatalogError, match="section keyword"):
         edn_query("[?x :find ?y]")
+    # 4/5-element patterns are the history shapes now — only longer
+    # clauses are unrecognized at the parse layer
+    assert edn_query("[:find ?x :where [?e :t/id ?x ?tx]]")["where"] == [
+        ["?e", ":t/id", "?x", "?tx"]]
     with pytest.raises(DatalogError, match="unrecognized :where"):
-        edn_query("[:find ?x :where [?e :t/id ?x ?extra]]")
+        edn_query("[:find ?x :where [?e :t/id ?x ?tx ?op ?extra]]")
 
 
 def test_schema_datoms_verbatim_unique_attrs(spark):
@@ -151,3 +155,31 @@ def test_strs_section_and_arity_error(datoms):
     assert out.columns == ["ident"]
     with pytest.raises(DatalogError, match=":keys arity"):
         q_edn("[:find ?id :keys a b :where [?e :t/id ?id]]", datoms).collect()
+
+
+def test_explicit_primary_db_pattern(datoms):
+    """[$ ?e ?a ?v] — Datomic's explicit primary-db form maps to the
+    unmarked datoms view; a named db symbol is rejected with a clear
+    message instead of the generic pattern error."""
+    out = q_edn("[:find ?id :where [$ ?e :t/id ?id]]", datoms)
+    assert sorted(r["id"] for r in out.collect()) == ["a", "b", "c"]
+    with pytest.raises(DatalogError, match="db marker"):
+        q_edn("[:find ?id :where [$named ?e :t/id ?id]]", datoms)
+
+
+def test_history_pattern_verbatim_edn(spark):
+    """The [e a v tx op] history shape as verbatim Datomic query text,
+    with the op position a boolean literal."""
+    from mbrainz_importer_spark.plans.history import log_datoms
+
+    log = spark.createDataFrame(
+        [("u:1", ":t/score", 10.0, 1, True),
+         ("u:1", ":t/score", 10.0, 3, False),
+         ("u:2", ":t/score", 5.0, 2, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    out = q_edn(
+        "[:find ?e ?tx :where [?e :t/score _ ?tx false]]",
+        log_datoms(log),
+    )
+    assert [(r["e"], r["tx"]) for r in out.collect()] == [("u:1", 3)]

@@ -110,6 +110,36 @@ def test_unknown_fn_runaway_and_builtin_shadow(log):
     assert transact(log, [], tx=2).count() == log.count()
 
 
+def test_transact_string_valued_log(spark):
+    """transact over a CANONICAL-STRING log (value_col='v', the datom
+    store's value shape): numbers canonicalize like eav.table_datoms
+    (42 -> '42'), booleans to 'true'/'false', cas compares strings, and
+    the conflict check sees through the canonicalization."""
+    log = spark.createDataFrame(
+        [("doc:1", ":doc/status", "draft", 1, True),
+         ("doc:1", ":doc/rev", "3", 1, True)],
+        "e string, a string, v string, tx long, added boolean",
+    )
+    out = transact(log, [
+        [":db/cas", "doc:1", ":doc/status", "draft", "live"],
+        [":db/cas", "doc:1", ":doc/rev", 3, 4],      # int canon -> '3'/'4'
+        [":db/add", "doc:1", ":doc/flag", True],     # bool canon -> 'true'
+    ], tx=2, value_col="v")
+    got = {(r["e"], r["a"]): r["v"]
+           for r in as_of(out, 2, value_col="v").collect()}
+    assert got[("doc:1", ":doc/status")] == "live"
+    assert got[("doc:1", ":doc/rev")] == "4"
+    assert got[("doc:1", ":doc/flag")] == "true"
+    with pytest.raises(TxAbort, match="cas mismatch"):
+        transact(log, [[":db/cas", "doc:1", ":doc/rev", 2, 5]],
+                 tx=2, value_col="v")
+    with pytest.raises(TxAbort, match="datoms-conflict"):
+        transact(log, [
+            [":db/add", "doc:1", ":doc/rev", 7],
+            [":db/add", "doc:1", ":doc/rev", "8"],
+        ], tx=2, value_col="v")
+
+
 def test_point_read_partition_pruned(log, tmp_path):
     """The exact frame transact's cas/retract point reads evaluate
     (_pruned_state) over a store-backed log must be a PARTITION-PRUNED
