@@ -1,0 +1,135 @@
+"""Datomic client-API tail: `d/qseq`, `d/entid`, `d/ident`, `d/squuid`,
+`d/basis-t`, `d/db-stats` — the small point-oriented calls around the
+query engine.
+
+Reference parity: these are the remaining entry points of the Datomic
+client namespace a user of `examples/explore_db.clj` would touch that do
+not yet have a named analog here (`q`, `pull`, `entity`, `datoms`,
+`index-range`, `seek-datoms`, `index-pull`, `as-of`/`since`/`history`/
+`with`/`tx-range`, `transact` all exist). Each call documents its scale
+contract explicitly: `qseq` streams partition-at-a-time; `entid`/`ident`
+are bounded point probes (the d/entity contract — interactive use, not
+bulk); `basis_t`/`db_stats` are scalar/metadata aggregations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .datalog import DatalogError, q
+
+
+def qseq(query: dict, datoms: DataFrame, *params) -> Iterator:
+    """`d/qseq`: the lazy face of `q` — returns an iterator of Rows
+    instead of a materialized DataFrame. Spark-first: the plan is the
+    SAME compiled datalog plan as `q`; `toLocalIterator` pulls result
+    partitions to the driver one at a time, so consuming the first k
+    rows only fetches the partitions that contain them (Datomic's
+    qseq contract: results are realized lazily as the seq is consumed,
+    aggregates/pull still compute eagerly per element). Memory on the
+    driver is bounded by one partition, not the result set."""
+    return q(query, datoms, *params).toLocalIterator()
+
+
+def entid(datoms: DataFrame, ref) -> str | None:
+    """`d/entid`: resolve an entity identifier to an entity id.
+
+    Accepts an entity id (returned as-is, like Datomic), a lookup ref
+    `[unique-attr, value]`, or an ident keyword string (resolved via a
+    `:db/ident` datom — schema entities carry these, eav.schema_datoms).
+    Returns None when nothing matches; raises on an ambiguous lookup ref
+    (the attr is not acting unique — Datomic would reject the schema).
+
+    Point probe contract: one filtered scan per call — partition-pruned
+    to the attr's directory on materialized storage (eav.read_datoms).
+    Bulk resolution belongs in a join (plans/metaschema.expand_ref)."""
+    if isinstance(ref, (list, tuple)):
+        if len(ref) != 2:
+            raise DatalogError(f"lookup ref must be [attr value]: {ref!r}")
+        attr, value = ref
+        rows = (
+            datoms.where((F.col("a") == attr) & (F.col("v") == str(value)))
+            .select("e").limit(2).collect()
+        )
+        if len(rows) > 1:
+            raise DatalogError(f"lookup ref {ref!r} matched multiple entities")
+        return rows[0]["e"] if rows else None
+    if isinstance(ref, str) and ref.startswith(":"):
+        rows = (
+            datoms.where((F.col("a") == ":db/ident") & (F.col("v") == ref))
+            .select("e").limit(2).collect()
+        )
+        if len(rows) > 1:
+            raise DatalogError(f"ident {ref!r} asserted on multiple entities")
+        return rows[0]["e"] if rows else None
+    return str(ref)
+
+
+def ident(datoms: DataFrame, eid) -> str | None:
+    """`d/ident`: the reverse of `entid` for idents — the `:db/ident`
+    keyword of an entity, or None if it has none. Accepts an ident
+    keyword (returned as-is, Datomic behavior). Same bounded point-probe
+    contract as `entid`."""
+    if isinstance(eid, str) and eid.startswith(":"):
+        return eid
+    rows = (
+        datoms.where((F.col("e") == str(eid)) & (F.col("a") == ":db/ident"))
+        .select("v").limit(1).collect()
+    )
+    return rows[0]["v"] if rows else None
+
+
+def squuid(ts_col, entropy_col) -> F.Column:
+    """`d/squuid`: semi-sequential UUID — Datomic's squuid puts the
+    epoch-seconds in the top 32 bits so ids created close in time sort
+    close in the index (B-tree locality for time-correlated inserts:
+    the difference between appending to one hot page and random writes
+    across the whole index — the same reason at 100 TB you want new
+    entities clustering in fresh files, not scattered over every
+    z-order region).
+
+    Spark-first and DETERMINISTIC: where Datomic draws the low 64 bits
+    from SecureRandom, this takes them from md5(entropy_col) — same
+    index-locality property, but reproducible across runs/engines (the
+    repo-wide determinism convention; sampling.py uses the same trick).
+    Layout: tttttttt-rrrr-4rrr-8rrr-rrrrrrrrrrrr (version-4 bits set,
+    variant 10) with t = epoch seconds of ts_col, r = md5 hex."""
+    secs = F.lpad(
+        F.conv(F.unix_timestamp(ts_col).cast("string"), 10, 16), 8, "0"
+    )
+    h = F.md5(entropy_col.cast("string"))
+    return F.lower(
+        F.concat_ws(
+            "-",
+            secs,
+            F.substring(h, 1, 4),
+            F.concat(F.lit("4"), F.substring(h, 5, 3)),
+            F.concat(F.lit("8"), F.substring(h, 8, 3)),
+            F.substring(h, 11, 12),
+        )
+    )
+
+
+def basis_t(log: DataFrame) -> int:
+    """`d/basis-t`: the database's most recent transaction id — one
+    scalar aggregation over the log's tx column (max-aggregate pushes
+    partial per partition; the collect is the 1-row scalar)."""
+    row = log.agg(F.max("tx").alias("t")).collect()[0]
+    return int(row["t"]) if row["t"] is not None else 0
+
+
+def db_stats(datoms: DataFrame) -> DataFrame:
+    """`d/db-stats`: datom count per attribute plus the total, as a
+    frame (attr, datom_count) with attr='*' for the total — the shape
+    Datomic returns as {:datoms n :attrs {attr {:count n}}}. One
+    map-side-combined groupBy; O(#attrs) result."""
+    per_attr = datoms.groupBy(F.col("a").alias("attr")).agg(
+        F.count("*").alias("datom_count")
+    )
+    total = datoms.agg(
+        F.lit("*").alias("attr"), F.count("*").alias("datom_count")
+    )
+    return per_attr.unionByName(total).orderBy("attr")

@@ -1,0 +1,132 @@
+"""Gates for the round-7 tail: frequency sketches (operators/sketch.py),
+document chunking (operators/chunking.py), and the Datomic client-API
+surface (plans/client.py). Every oracle reproduces the operator
+bit-for-bit in DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_documents
+from ..operators.sketch import heavy_hitters
+from ..plans.client import db_stats, squuid
+from ..plans.eav import build_datoms
+from ..tables import load
+
+_SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over the corpus, run in its EXACT
+    regime (capacity above the corpus vocabulary ⇒ every per-partition
+    error is 0 and the sketch is the exact frequency table, which is
+    what lets DuckDB certify it). The approximate regime's bounds are
+    pinned by tests/test_sketch_chunking.py."""
+    docs = load(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", capacity=200_000, k=25).orderBy(
+        F.col("count_lower").desc(), "token"
+    )
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token windows, stride 24) of a doc
+    subset — the RAG/embedding preprocessing shape; zero-exchange plan
+    (plan-asserted in tests)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def db_stats_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/db-stats over the nation+region datom view: per-attribute datom
+    counts plus the '*' total row."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    datoms = build_datoms(
+        {"nation": (nation, "n_nationkey"), "region": (region, "r_regionkey")}
+    )
+    return db_stats(datoms)
+
+
+def squuid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/squuid for the first 200 events: time-sortable deterministic
+    UUIDs (epoch-seconds top 32 bits, md5-entropy low bits)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return ev.select(
+        "event_id", squuid(F.col("ts"), F.col("event_id")).alias("squuid")
+    ).orderBy("event_id")
+
+
+QUERIES = {
+    "heavy_hitters_topk": heavy_hitters_topk,
+    "doc_chunk_windows": doc_chunk_windows,
+    "db_stats_attrs": db_stats_attrs,
+    "squuid_events": squuid_events,
+}
+
+ORACLES = {
+    "heavy_hitters_topk": f"""
+        WITH counts AS (
+            SELECT u.token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT {_SQL_TOKS} AS t FROM documents), UNNEST(t) AS u(token)
+            WHERE u.token <> ''
+            GROUP BY u.token
+        )
+        SELECT token, n AS count_lower, n AS count_upper
+        FROM counts
+        ORDER BY n DESC, token
+        LIMIT 25
+    """,
+    "doc_chunk_windows": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter({_SQL_TOKS}, x -> x <> '') AS t
+            FROM documents WHERE doc_id < 120
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   CAST(u.s AS BIGINT) AS start_token,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.s)
+                        - 1 AS BIGINT) AS chunk_idx
+            FROM toks, UNNEST(range(0, len(t), 24)) AS u(s)
+        )
+        SELECT doc_id, chunk_idx, start_token,
+               CAST(len(list_slice(t, start_token + 1, start_token + 32))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(t, start_token + 1, start_token + 32),
+                               ' ') AS chunk_text
+        FROM starts
+        ORDER BY doc_id, chunk_idx
+    """,
+    "db_stats_attrs": """
+        WITH n AS (SELECT * FROM nation), r AS (SELECT * FROM region),
+        datoms AS (
+            SELECT ':nation/n_nationkey' AS attr, count(n_nationkey) AS c FROM n
+            UNION ALL SELECT ':nation/n_name', count(n_name) FROM n
+            UNION ALL SELECT ':nation/n_regionkey', count(n_regionkey) FROM n
+            UNION ALL SELECT ':region/r_regionkey', count(r_regionkey) FROM r
+            UNION ALL SELECT ':region/r_name', count(r_name) FROM r
+        ),
+        plus_total AS (
+            SELECT attr, c FROM datoms
+            UNION ALL SELECT '*', sum(c) FROM datoms
+        )
+        SELECT attr, CAST(c AS BIGINT) AS datom_count
+        FROM plus_total ORDER BY attr
+    """,
+    "squuid_events": """
+        WITH h AS (
+            SELECT event_id,
+                   lpad(lower(to_hex(CAST(floor(epoch(ts)) AS BIGINT))), 8, '0') AS secs,
+                   md5(CAST(event_id AS VARCHAR)) AS m
+            FROM events WHERE event_id < 200
+        )
+        SELECT event_id,
+               secs || '-' || substr(m, 1, 4) || '-4' || substr(m, 5, 3)
+                    || '-8' || substr(m, 8, 3) || '-' || substr(m, 11, 12)
+                   AS squuid
+        FROM h ORDER BY event_id
+    """,
+}

@@ -1,0 +1,109 @@
+"""Gates for embedding quantization (operators/quantize.py): SQ8
+quantized inner-product search, and product quantization certified in
+its LOSSLESS regime (k >= distinct subvectors ⇒ ADC == exact integer
+dot — the same exact-regime trick as `sim_ivf_exact`, so the encode/
+ADC/ranking machinery hash-matches DuckDB; the lossy regime's recall
+bound lives in tests/test_quantize.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quantize import (
+    pq_encode, pq_ip_topk, sq8_code, sq8_ip_topk, sq8_train_bounds,
+    train_pq_codebooks,
+)
+from ..tables import load
+
+DIM = 64
+
+# per-dim grid codes, all arithmetic in DOUBLE on both engines (FLOAT
+# subtraction would round differently); greatest/least clamp like the
+# Spark side
+_CODES_CTE = f"""
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    dims AS (
+        SELECT i AS d,
+               CAST(min(embedding[i]) AS DOUBLE) AS lo,
+               CAST(max(embedding[i]) AS DOUBLE) AS hi
+        FROM e, UNNEST(range(1, {DIM + 1})) AS t(i)
+        GROUP BY i
+    ),
+    codes AS (
+        SELECT vec_id,
+               list(CAST(greatest(0, least(255,
+                   round(CASE WHEN hi = lo THEN 0
+                         ELSE (CAST(embedding[i] AS DOUBLE) - lo)
+                              * (255.0 / (hi - lo)) END)))
+                   AS BIGINT) ORDER BY i) AS c
+        FROM e, UNNEST(range(1, {DIM + 1})) AS t(i)
+        JOIN dims ON d = i
+        GROUP BY vec_id
+    )
+"""
+
+
+def _topk_sql(q_pred: str, n_pred: str, k: int) -> str:
+    return f"""
+        WITH {_CODES_CTE},
+        pairs AS (
+            SELECT q.vec_id AS qid, n.vec_id AS nid,
+                   CAST(list_dot_product(q.c, n.c) AS BIGINT) AS dot_q
+            FROM codes q JOIN codes n ON q.vec_id <> n.vec_id
+            WHERE ({q_pred.replace('vec_id', 'q.vec_id')})
+              AND ({n_pred.replace('vec_id', 'n.vec_id')})
+        )
+        SELECT qid, nid, dot_q, rank FROM (
+            SELECT qid, nid, dot_q,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY dot_q DESC, nid) AS BIGINT) AS rank
+            FROM pairs
+        ) WHERE rank <= {k}
+        ORDER BY qid, rank
+    """
+
+
+def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat,SQ8 inner-product top-5: grid trained on the corpus, exact
+    integer dot of codes, per-query ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    queries = emb.where(F.col("vec_id") < 5)
+    return sq8_ip_topk(queries, emb, lo, hi, k=5).orderBy("qid", "rank")
+
+
+def pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (m=8) in the lossless regime over an integer-grid corpus
+    subset: every distinct subvector becomes its own centroid, so the
+    ADC score IS the exact integer dot and must hash-equal the plain
+    quantized ranking (which the oracle recomputes without knowing PQ
+    exists)."""
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    grid = emb.where(F.col("vec_id") < 64).select(
+        "vec_id", sq8_code(F.col("embedding"), lo, hi).cast("array<float>").alias("embedding")
+    )
+    # k bounds at the 64 distinct subvectors — small enough that the
+    # literal codebook stays a compact plan, large enough for lossless
+    books = train_pq_codebooks(
+        grid, "vec_id", "embedding", DIM, m=8, k=256, sample_limit=4096
+    )
+    enc = pq_encode(grid, "vec_id", "embedding", DIM, books)
+    queries = grid.where(F.col("vec_id") < 3)
+    return (
+        pq_ip_topk(queries, enc, books, DIM, k=5)
+        .select("qid", "nid", F.round("score").cast("bigint").alias("dot_q"), "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+QUERIES = {
+    "sq8_quantized_topk": sq8_quantized_topk,
+    "pq_exact_topk": pq_exact_topk,
+}
+
+ORACLES = {
+    "sq8_quantized_topk": _topk_sql("vec_id < 5", "TRUE", 5),
+    "pq_exact_topk": _topk_sql("vec_id < 3", "vec_id < 64", 5),
+}

@@ -1,0 +1,97 @@
+"""Client-API tail (plans/client.py): qseq, entid, ident, squuid,
+basis-t, db-stats."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbrainz_importer_spark.plans.client import (
+    basis_t, db_stats, entid, ident, qseq, squuid,
+)
+from mbrainz_importer_spark.plans.datalog import DatalogError, q
+
+
+def _datoms(spark):
+    rows = [
+        ("artist:1", ":artist/gid", "g-1", None),
+        ("artist:1", ":artist/name", "Bowie", None),
+        ("artist:2", ":artist/gid", "g-2", None),
+        ("artist:2", ":artist/name", "Eno", None),
+        ("db.attr:artist/gid", ":db/ident", ":artist/gid", None),
+        ("db.attr:artist/gid", ":db/unique", ":db.unique/identity", None),
+    ]
+    return spark.createDataFrame(rows, "e string, a string, v string, v_num double")
+
+
+class TestQseq:
+    def test_lazy_iterator_matches_q(self, spark):
+        d = _datoms(spark)
+        query = {"find": ["?e", "?n"], "where": [["?e", ":artist/name", "?n"]]}
+        it = qseq(query, d)
+        assert not isinstance(it, list)
+        got = {(r["e"], r["n"]) for r in it}
+        want = {(r["e"], r["n"]) for r in q(query, d).collect()}
+        assert got == want == {("artist:1", "Bowie"), ("artist:2", "Eno")}
+
+
+class TestEntidIdent:
+    def test_lookup_ref(self, spark):
+        d = _datoms(spark)
+        assert entid(d, [":artist/gid", "g-2"]) == "artist:2"
+        assert entid(d, [":artist/gid", "nope"]) is None
+
+    def test_ident_keyword_and_passthrough(self, spark):
+        d = _datoms(spark)
+        assert entid(d, ":artist/gid") == "db.attr:artist/gid"
+        assert entid(d, "artist:1") == "artist:1"
+        assert ident(d, "db.attr:artist/gid") == ":artist/gid"
+        assert ident(d, ":already/ident") == ":already/ident"
+        assert ident(d, "artist:1") is None
+
+    def test_ambiguous_lookup_raises(self, spark):
+        d = _datoms(spark).union(
+            spark.createDataFrame(
+                [("artist:9", ":artist/gid", "g-2", None)],
+                "e string, a string, v string, v_num double",
+            )
+        )
+        with pytest.raises(DatalogError, match="multiple"):
+            entid(d, [":artist/gid", "g-2"])
+
+    def test_bad_ref_shape(self, spark):
+        with pytest.raises(DatalogError, match="lookup ref"):
+            entid(_datoms(spark), [":artist/gid"])
+
+
+class TestSquuid:
+    def test_time_prefix_sorts_and_is_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (2, "2025-06-01 12:00:00")],
+            "id bigint, ts string",
+        ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+        out = df.select(
+            "id", squuid(F.col("ts"), F.col("id")).alias("u")
+        ).orderBy("id").collect()
+        u1, u2 = out[0]["u"], out[1]["u"]
+        pat = r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$"
+        assert re.match(pat, u1) and re.match(pat, u2)
+        assert u1 < u2  # later timestamp sorts later (top-32-bit property)
+        again = df.select(squuid(F.col("ts"), F.col("id")).alias("u")).orderBy(
+            "u"
+        ).collect()
+        assert [r["u"] for r in again] == [u1, u2]
+
+
+class TestStats:
+    def test_basis_t_and_db_stats(self, spark):
+        log = spark.createDataFrame(
+            [("e1", ":a/x", "1", 100, True), ("e1", ":a/x", "2", 105, True)],
+            "e string, a string, v string, tx bigint, added boolean",
+        )
+        assert basis_t(log) == 105
+        stats = {r["attr"]: r["datom_count"] for r in db_stats(_datoms(spark)).collect()}
+        assert stats["*"] == 6
+        assert stats[":artist/name"] == 2
