@@ -505,3 +505,98 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
             ),
         )
     )
+
+
+# -------------------------------------------------------------------------
+# Bloom pre-filtered novelty (corpus-membership at 100 TB)
+# -------------------------------------------------------------------------
+
+def bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions of a key: pmod(xxhash64(key, seed_i), m) —
+    computed JVM-side so the build and probe sides derive IDENTICAL
+    positions (no Python hash involved anywhere)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def build_bloom(corpus: DataFrame, key: Column, m_bits: int, k: int) -> bytes:
+    """Build the corpus membership Bloom filter as an m_bits/8-byte
+    bitmap. The set-bit positions frame is DISTINCT and therefore
+    bounded by m_bits rows no matter how large the corpus is — the
+    collect is capped by the filter size you chose, never by the data
+    (1 MiB bitmap == at most ~8.4M position rows); that bounded-artifact
+    contract is the same one IVF centroids and BPE merge tables use."""
+    rows = (
+        corpus.select(F.explode(bloom_positions(key, m_bits, k)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bits = bytearray(m_bits // 8 + 1)
+    for r in rows:
+        p = r["pos"]
+        bits[p >> 3] |= 1 << (p & 7)
+    return bytes(bits)
+
+
+def bloom_novelty_filter(
+    arrivals: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Arrivals whose normalized content is NOT in the corpus —
+    (id, content_hash) — with a Bloom pre-filter doing the heavy lifting:
+
+    1. the corpus builds a bounded bitmap ONCE (see build_bloom);
+    2. every arrival tests its k bits via mapInPandas — the bitmap rides
+       the serialized closure to each executor once, the test is numpy
+       bit math over Arrow batches, and 'no' answers are DEFINITE
+       (Bloom filters have no false negatives), so those rows are done
+       without ever joining;
+    3. only the 'maybe' survivors (true dups + the false-positive rate
+       you sized m/k for) take the exact left_anti verify against the
+       corpus hash set.
+
+    At scale this turns an arrivals-vs-corpus anti-join (shuffle both
+    sides) into a map-side test plus an anti-join of a small candidate
+    set — the same probe-an-index-not-the-corpus shape as
+    incremental_near_dups. The final result is EXACT (false positives
+    are removed by the verify), which is what lets DuckDB certify it
+    with a plain anti-join oracle."""
+    import numpy as np
+
+    h = F.md5(normalize_for_fingerprint(F.col(text_col)))
+    arr = arrivals.select(
+        F.col(id_col).alias("id"),
+        h.alias("content_hash"),
+        bloom_positions(h, m_bits, k).alias("pos"),
+    )
+    bloom = np.frombuffer(
+        build_bloom(corpus, F.md5(normalize_for_fingerprint(F.col(text_col))), m_bits, k),
+        dtype=np.uint8,
+    )
+
+    def probe(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pos = np.stack(b["pos"].to_numpy())  # (rows, k)
+            hit = (bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            b = b.drop(columns=["pos"])
+            b["maybe"] = hit.all(axis=1)
+            yield b
+
+    probed = arr.mapInPandas(probe, schema="id bigint, content_hash string, maybe boolean")
+    definite_new = probed.where(~F.col("maybe")).select("id", "content_hash")
+    corpus_hashes = corpus.select(
+        F.md5(normalize_for_fingerprint(F.col(text_col))).alias("content_hash")
+    ).distinct()
+    verified_new = (
+        probed.where(F.col("maybe"))
+        .select("id", "content_hash")
+        .join(corpus_hashes, "content_hash", "left_anti")
+    )
+    return definite_new.unionByName(verified_new.select("id", "content_hash"))

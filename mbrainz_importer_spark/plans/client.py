@@ -133,3 +133,36 @@ def db_stats(datoms: DataFrame) -> DataFrame:
         F.lit("*").alias("attr"), F.count("*").alias("datom_count")
     )
     return per_attr.unionByName(total).orderBy("attr")
+
+
+def query_stats(query: dict, datoms: DataFrame, *params) -> list[dict]:
+    """`:query-stats`: per-clause row counts of the compiled datalog
+    plan — Datomic's query analyzer returns `{:clauses [{:clause ...
+    :rows-out n} ...]}` alongside the result; this returns
+    [{"clause": ..., "rows_out": n}, ...] for each :where prefix.
+
+    DIAGNOSTIC contract (same as Datomic's — you turn it on to debug a
+    slow query, not in production paths): each prefix is compiled with
+    the same compiler as `q` and counted, so the numbers are the true
+    relation sizes Catalyst produced, at the cost of one count job per
+    clause. Use it to find the clause ordering that explodes the
+    intermediate relation, then reorder the query."""
+    from .datalog import _compile_where, _parse_in, _parse_rules, _seed_plan
+
+    where = query.get("where") or []
+    in_vars = query.get("in") or []
+    if len(in_vars) != len(params):
+        raise DatalogError(f":in arity {len(in_vars)} != {len(params)} params")
+    bound, seeds, dbs = _parse_in(in_vars, params)
+    rules = _parse_rules(query.get("rules") or [])
+    init = _seed_plan(seeds, datoms) if seeds else None
+
+    out: list[dict] = []
+    for i in range(1, len(where) + 1):
+        plan, _, _ = _compile_where(
+            where[:i], datoms, bound, rules, init=init, dbs=dbs
+        )
+        out.append(
+            {"clause": where[i - 1], "rows_out": plan.count() if plan is not None else 0}
+        )
+    return out

@@ -65,6 +65,7 @@ _INDEX_ORDERS = {
     "eavt": ["e", "a", "v"],
     "aevt": ["a", "e", "v"],
     "avet": ["a", "v", "e"],
+    "vaet": ["v", "a", "e"],
 }
 
 
@@ -74,17 +75,29 @@ def datoms_index(
     e: str | None = None,
     a: str | None = None,
     v: str | None = None,
+    ref_attrs: set[str] | frozenset[str] | None = None,
 ) -> DataFrame:
     """The `d/datoms` index-scan API: the datom set ordered as one of
     Datomic's covering indexes (EAVT entity-major, AEVT attribute-major,
-    AVET attribute-value — the lookup index), with optional component
-    prefix filters. On materialized storage each ordering is a
-    sort-ordered/z-ordered table and a component filter is a
-    partition-pruned range scan; here the filters push down into the
-    parquet scan and the sort is the query's explicit output order."""
+    AVET attribute-value — the lookup index, VAET the reverse-ref
+    index), with optional component prefix filters. On materialized
+    storage each ordering is a sort-ordered/z-ordered table and a
+    component filter is a partition-pruned range scan; here the filters
+    push down into the parquet scan and the sort is the query's explicit
+    output order.
+
+    VAET holds only ref-typed datoms in Datomic (it IS the reverse
+    index: who points at this entity) — our refs are value-joins, so
+    `ref_attrs` names the ref attributes and is required for
+    index='vaet'; a `v` prefix filter then answers the reverse lookup
+    with a scan restricted to those attrs."""
     if index not in _INDEX_ORDERS:
         raise ValueError(f"index must be one of {sorted(_INDEX_ORDERS)}: {index}")
     out = datoms
+    if index == "vaet":
+        if not ref_attrs:
+            raise ValueError("index='vaet' needs ref_attrs (ref-typed attributes)")
+        out = out.where(F.col("a").isin(*sorted(ref_attrs)))
     for col, val in (("e", e), ("a", a), ("v", v)):
         if val is not None:
             out = out.where(F.col(col) == val)
@@ -304,3 +317,24 @@ def schema_datoms(
         [(e, a, v, None) for e, a, v in rows],
         "e string, a string, v string, v_num double",
     )
+
+
+def alter_ident(datoms: DataFrame, old: str, new: str) -> DataFrame:
+    """Schema alteration: rename an attribute's :db/ident — Datomic's
+    `{:db/id old-ident :db/ident new-ident}` alteration. The attribute
+    ENTITY is unchanged (same datoms, same history); only the name
+    rewrites: every data datom's `a`, and the schema entity's
+    :db/ident VALUE (so `entid(d, new)` finds the attr entity and
+    queries compile against the new name). Datomic keeps the old ident
+    resolvable as an alias; pass the returned frame plus
+    `{old: new}` to query-side callers that must accept legacy text
+    (plans/query_edn callers can pre-rewrite with it).
+
+    Pure projection (two conditional replaces, no shuffle); on the
+    attr-partitioned store a rename is a metadata-level partition move
+    you would run as one partition rewrite, not a full-store scan."""
+    a2 = F.when(F.col("a") == old, F.lit(new)).otherwise(F.col("a"))
+    v2 = F.when(
+        (F.col("a") == ":db/ident") & (F.col("v") == old), F.lit(new)
+    ).otherwise(F.col("v"))
+    return datoms.withColumn("a", a2).withColumn("v", v2)

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from ..operators.chunking import chunk_documents
 from ..operators.sketch import heavy_hitters
 from ..plans.client import db_stats, squuid
-from ..plans.eav import build_datoms
+from ..plans.datalog import q
+from ..plans.eav import alter_ident, build_datoms, datoms_index
 from ..tables import load
 
 _SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -59,11 +60,42 @@ def squuid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _nr_datoms(spark: SparkSession, sf_dir: str):
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return build_datoms(
+        {"nation": (nation, "n_nationkey"), "region": (region, "r_regionkey")}
+    )
+
+
+def datoms_vaet_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/datoms :vaet with a value prefix — the reverse-ref lookup:
+    every ref datom pointing at key '1' (region 1's nations, plus any
+    other ref attr carrying that value), value-major order."""
+    return datoms_index(
+        _nr_datoms(spark, sf_dir), "vaet", v="1",
+        ref_attrs={":nation/n_regionkey"},
+    )
+
+
+def schema_rename_ident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema alteration: rename :nation/n_name -> :nation/name, then
+    query through the NEW ident with plain datalog — the datoms and the
+    schema entity both follow the rename."""
+    renamed = alter_ident(_nr_datoms(spark, sf_dir), ":nation/n_name", ":nation/name")
+    return q(
+        {"find": ["?e", "?name"], "where": [["?e", ":nation/name", "?name"]]},
+        renamed,
+    ).orderBy("e")
+
+
 QUERIES = {
     "heavy_hitters_topk": heavy_hitters_topk,
     "doc_chunk_windows": doc_chunk_windows,
     "db_stats_attrs": db_stats_attrs,
     "squuid_events": squuid_events,
+    "datoms_vaet_reverse": datoms_vaet_reverse,
+    "schema_rename_ident": schema_rename_ident,
 }
 
 ORACLES = {
@@ -115,6 +147,20 @@ ORACLES = {
         )
         SELECT attr, CAST(c AS BIGINT) AS datom_count
         FROM plus_total ORDER BY attr
+    """,
+    "datoms_vaet_reverse": """
+        SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS e,
+               ':nation/n_regionkey' AS a,
+               '1' AS v,
+               CAST(1 AS DOUBLE) AS v_num
+        FROM nation WHERE n_regionkey = 1
+        ORDER BY e
+    """,
+    "schema_rename_ident": """
+        SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS e,
+               n_name AS name
+        FROM nation
+        ORDER BY e
     """,
     "squuid_events": """
         WITH h AS (

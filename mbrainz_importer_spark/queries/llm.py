@@ -49,6 +49,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(docs, "doc_id", "text").orderBy("canonical_id")
 
 
+def dedup_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered corpus-membership: arrivals (doc_id >= 400)
+    that are content-new vs the corpus (doc_id < 400). Definite-new rows
+    never join; 'maybe' rows take the exact verify, so the result is
+    exact and the oracle is a plain anti-join."""
+    docs = load(spark, sf_dir, "documents")
+    arrivals = docs.where(F.col("doc_id") >= 400)
+    corpus = docs.where(F.col("doc_id") < 400)
+    return D.bloom_novelty_filter(arrivals, corpus, "doc_id", "text").orderBy("id")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).orderBy(
@@ -352,6 +363,7 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
+    "dedup_bloom_novelty": dedup_bloom_novelty,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
@@ -547,6 +559,19 @@ ORACLES = {
                COUNT(*) AS group_size
         FROM documents
         GROUP BY 1 ORDER BY canonical_id
+    """,
+    "dedup_bloom_novelty": f"""
+        WITH c AS (
+            SELECT DISTINCT md5({_SQL_NORM}) AS content_hash
+            FROM documents WHERE doc_id < 400
+        ),
+        a AS (
+            SELECT doc_id AS id, md5({_SQL_NORM}) AS content_hash
+            FROM documents WHERE doc_id >= 400
+        )
+        SELECT id, content_hash FROM a
+        WHERE content_hash NOT IN (SELECT content_hash FROM c)
+        ORDER BY id
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLE_CTE},

@@ -95,3 +95,75 @@ class TestStats:
         stats = {r["attr"]: r["datom_count"] for r in db_stats(_datoms(spark)).collect()}
         assert stats["*"] == 6
         assert stats[":artist/name"] == 2
+
+
+class TestVaetIndex:
+    def test_reverse_lookup(self, spark):
+        from mbrainz_importer_spark.plans.eav import datoms_index
+
+        rows = [
+            ("nation:1", ":nation/n_regionkey", "7", 7.0),
+            ("nation:2", ":nation/n_regionkey", "8", 8.0),
+            ("supplier:5", ":supplier/s_nationkey", "7", 7.0),
+            ("nation:1", ":nation/n_name", "7", None),  # NOT a ref attr
+        ]
+        d = spark.createDataFrame(rows, "e string, a string, v string, v_num double")
+        out = datoms_index(
+            d, "vaet", v="7",
+            ref_attrs={":nation/n_regionkey", ":supplier/s_nationkey"},
+        ).collect()
+        assert {(r["e"], r["a"]) for r in out} == {
+            ("nation:1", ":nation/n_regionkey"),
+            ("supplier:5", ":supplier/s_nationkey"),
+        }
+
+    def test_vaet_requires_ref_attrs(self, spark):
+        import pytest as _pytest
+        from mbrainz_importer_spark.plans.eav import datoms_index
+
+        d = spark.createDataFrame([], "e string, a string, v string, v_num double")
+        with _pytest.raises(ValueError, match="ref_attrs"):
+            datoms_index(d, "vaet")
+
+
+class TestAlterIdent:
+    def test_rename_rewrites_data_and_schema(self, spark):
+        from mbrainz_importer_spark.plans.client import entid
+        from mbrainz_importer_spark.plans.eav import alter_ident
+        from mbrainz_importer_spark.plans.datalog import q
+
+        rows = [
+            ("artist:1", ":artist/name", "Bowie", None),
+            ("db.attr:artist/name", ":db/ident", ":artist/name", None),
+        ]
+        d = spark.createDataFrame(rows, "e string, a string, v string, v_num double")
+        renamed = alter_ident(d, ":artist/name", ":artist/title")
+        got = q(
+            {"find": ["?v"], "where": [["?e", ":artist/title", "?v"]]}, renamed
+        ).collect()
+        assert [r["v"] for r in got] == ["Bowie"]
+        # old name finds nothing; schema ident entity follows the rename
+        assert renamed.where(F.col("a") == ":artist/name").count() == 0
+        assert entid(renamed, ":artist/title") == "db.attr:artist/name"
+        assert entid(renamed, ":artist/name") is None
+
+
+class TestQueryStats:
+    def test_per_clause_rows(self, spark):
+        from mbrainz_importer_spark.plans.client import query_stats
+
+        rows = [
+            ("artist:1", ":artist/name", "Bowie", None),
+            ("artist:2", ":artist/name", "Eno", None),
+            ("artist:1", ":artist/year", "1970", 1970.0),
+        ]
+        d = spark.createDataFrame(rows, "e string, a string, v string, v_num double")
+        st = query_stats(
+            {
+                "find": ["?e"],
+                "where": [["?e", ":artist/name", "?n"], ["?e", ":artist/year", "?y"]],
+            },
+            d,
+        )
+        assert [s["rows_out"] for s in st] == [2, 1]
+        assert st[0]["clause"] == ["?e", ":artist/name", "?n"]
