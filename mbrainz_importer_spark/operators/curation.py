@@ -288,6 +288,66 @@ def weighted_mixture_sample(
     return df.where(u < rate)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "mixture-t-v1",
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-corpus
+    reweighting of mBERT/XLM-R ("Unsupervised Cross-lingual
+    Representation Learning at Scale", §3.1): sample sources with
+    probability p_i ∝ n_i^alpha, flattening the natural distribution
+    (alpha=1 keeps it, alpha→0 approaches uniform). Realized as
+    deterministic per-source KEEP RATES scaled so the smallest source
+    keeps everything:
+
+        rate_i = (n_min / n_i) ** (1 - alpha)
+
+    and a row survives iff its md5-derived uniform < rate_i — the same
+    reproducible membership family as weighted_mixture_sample, but with
+    the rates DERIVED FROM THE DATA rather than hand-specified.
+
+    alpha=0.5 compiles to sqrt(n_min/n_i): IEEE sqrt and division are
+    correctly rounded, so the kept set is bit-identical across engines
+    (the oracle gate pins alpha=0.5); other alphas go through pow(),
+    whose last-ulp rounding is implementation-defined — fine for
+    training pipelines, not for cross-engine hashing.
+
+    Scale: one tiny groupBy (|sources| rows), rates broadcast back onto
+    the corpus — the corpus itself never shuffles."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin") / F.col("__n")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5
+        else F.lit(1.0) if alpha == 1.0
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(F.col(group_col).alias("__grp"), rate.alias("__rate"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.join(F.broadcast(rates), df[group_col] == F.col("__grp"))
+        .where(u < F.col("__rate"))
+        .drop("__grp", "__rate")
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -609,6 +609,180 @@ def _apply_fulltext(
     return plan.crossJoin(scan)
 
 
+def _log_param(clause, bound) -> DataFrame:
+    """Resolve a log fn's first argument (?log) to a datoms-shaped log
+    frame. The var must be an :in param bound to a DataFrame carrying
+    (e, a, tx, added) — a raw history log (e,a,v_num,tx,added) is
+    normalized via history.log_datoms; a log_datoms view passes
+    through. This is Datomic's `:in $ ?log` with `(d/log conn)`."""
+    lvar = clause[1] if len(clause) > 1 else None
+    if not _is_var(lvar):
+        raise DatalogError(f"({clause[0]} ?log ...) needs a log var: {clause}")
+    if lvar not in bound:
+        raise DatalogError(
+            f"({clause[0]} ...) log var {lvar} must be an :in param bound "
+            "to a log DataFrame (Datomic's (d/log conn))"
+        )
+    logf = bound[lvar]
+    if not isinstance(logf, DataFrame):
+        raise DatalogError(
+            f"({clause[0]} ...) log param {lvar} must be a DataFrame, "
+            f"got {type(logf).__name__}"
+        )
+    if "tx" not in logf.columns or "added" not in logf.columns:
+        raise DatalogError(
+            f"({clause[0]} ...) log frame needs tx/added columns; got "
+            f"{logf.columns}"
+        )
+    if "v" in logf.columns:
+        return logf
+    from .history import log_datoms
+
+    return log_datoms(logf)
+
+
+def _log_bound_t(term, bound, what: str):
+    """A tx-boundary operand: an int literal, or a var bound to an int
+    :in param."""
+    if _is_var(term):
+        if term not in bound:
+            raise DatalogError(f"{what} boundary var {term} must be an :in param")
+        term = bound[term]
+    if not isinstance(term, int) or isinstance(term, bool):
+        raise DatalogError(f"{what} boundary must be an int tx: {term!r}")
+    return term
+
+
+def _apply_tx_ids(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    clause: list,
+    out,
+    bound: dict,
+    idx: int,
+    depth: int = 0,
+) -> DataFrame:
+    """[(tx-ids ?log t1 t2) [?tx ...]] — Datomic's Log API range scan
+    (d/tx-range over the log inside query): the distinct transaction
+    ids with t1 <= tx < t2 (half-open, like d/tx-range). Spark-first:
+    a tx-only projection of the log with a range predicate that reaches
+    the scan — on tx-partitioned storage (history.materialize_log) this
+    prunes to the touched range, never a full-log pass. The output is
+    a collection binding, joined into the plan like any relation."""
+    if len(clause) != 4:
+        raise DatalogError(f"(tx-ids ?log t1 t2) expects 3 args: {clause}")
+    logf = _log_param(clause, bound)
+    t1 = _log_bound_t(clause[2], bound, "(tx-ids ...)")
+    t2 = _log_bound_t(clause[3], bound, "(tx-ids ...)")
+    dest = list(out)
+    if len(dest) != 2 or dest[1] != "..." or not _is_var(dest[0]):
+        raise DatalogError(
+            f"(tx-ids ...) output must be a collection [?tx ...]: {out}"
+        )
+    tvar = dest[0]
+    alias = f"txids{idx}_{depth}"
+    rel = (
+        logf.where((F.col("tx") >= t1) & (F.col("tx") < t2))
+        .select("tx")
+        .distinct()
+        .alias(alias)
+    )
+    col = F.col(f"{alias}.tx")
+    if plan is None:
+        if tvar in binding:
+            raise DatalogError("(tx-ids ...) first clause cannot self-reference")
+        binding[tvar] = col
+        num_binding[tvar] = col.cast("double")
+        return rel
+    if tvar in binding:
+        return plan.join(rel, col == binding[tvar])
+    binding[tvar] = col
+    num_binding[tvar] = col.cast("double")
+    return plan.crossJoin(rel)  # unconstrained tx set — legal datalog
+
+
+def _apply_tx_data(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    clause: list,
+    out,
+    bound: dict,
+    idx: int,
+    depth: int = 0,
+) -> DataFrame:
+    """[(tx-data ?log ?tx) [[?e ?a ?v _ ?op]]] — Datomic's Log API
+    datom accessor: the ops of transaction ?tx, destructured
+    positionally as (e, a, v, tx, added); '_' skips a position, a
+    shorter vector takes a prefix. ?tx may be a bound var (the usual
+    tx-ids chain — compiles to an equi-join on tx, NOT a per-tx loop),
+    an :in param / int literal (a pushdown filter), or unbound (binds
+    from the scan). Joins the outer plan exactly like a triple
+    pattern over the history db."""
+    if len(clause) != 3:
+        raise DatalogError(f"(tx-data ?log ?tx) expects 2 args: {clause}")
+    logf = _log_param(clause, bound)
+    txterm = clause[2]
+    dest = out
+    if (
+        isinstance(dest, (tuple, list)) and len(dest) == 1
+        and isinstance(dest[0], (tuple, list))
+    ):
+        dest = list(dest[0])
+    if (
+        not isinstance(dest, (tuple, list))
+        or not 1 <= len(dest) <= 5
+        or not all(x == "_" or _is_var(x) for x in dest)
+    ):
+        raise DatalogError(
+            f"(tx-data ...) output must destructure [[?e ?a ?v ?tx ?op]]: {out}"
+        )
+
+    alias = f"txdata{idx}_{depth}"
+    scan = logf.alias(alias)
+    cols = {"e": F.col(f"{alias}.e"), "a": F.col(f"{alias}.a"),
+            "v": F.col(f"{alias}.v"), "tx": F.col(f"{alias}.tx"),
+            "added": F.col(f"{alias}.added")}
+    join_conds = []
+
+    if _is_var(txterm) and txterm in bound:
+        txterm = bound[txterm]
+    if _is_var(txterm):
+        if txterm in binding:
+            join_conds.append(cols["tx"] == binding[txterm])
+        else:
+            binding[txterm] = cols["tx"]
+            num_binding[txterm] = cols["tx"].cast("double")
+    else:
+        if not isinstance(txterm, int) or isinstance(txterm, bool):
+            raise DatalogError(f"(tx-data ...) tx must be an int or var: {txterm!r}")
+        scan = scan.where(F.col(f"{alias}.tx") == txterm)
+
+    for pos, var in zip(["e", "a", "v", "tx", "added"], dest):
+        if var == "_":
+            continue
+        if var in binding:
+            join_conds.append(cols[pos] == binding[var])
+        else:
+            binding[var] = cols[pos]
+            if pos == "v":
+                num_binding[var] = F.col(f"{alias}.v_num")
+            elif pos == "tx":
+                num_binding[var] = cols["tx"].cast("double")
+
+    if plan is None:
+        if join_conds:
+            raise DatalogError("(tx-data ...) first clause cannot self-reference")
+        return scan
+    if join_conds:
+        cond = join_conds[0]
+        for c in join_conds[1:]:
+            cond = cond & c
+        return plan.join(scan, cond)
+    return plan.crossJoin(scan)
+
+
 def _parse_rules(rules: list) -> dict[str, list[tuple[list, list]]]:
     """Validate rule definitions [[(name ?a ?b), clause...], ...] into
     {name: [(args, body), ...]} — multiple defs per name = OR/union
@@ -1233,10 +1407,20 @@ def _compile_where(
                     el = F.get(src_col, j)
                     binding[o] = el
                     num_binding[o] = el.try_cast("double")
+            elif head == "tx-ids":
+                plan = _apply_tx_ids(
+                    plan, binding, num_binding, clause, pat[1], bound, i,
+                    len(stack),
+                )
+            elif head == "tx-data":
+                plan = _apply_tx_data(
+                    plan, binding, num_binding, clause, pat[1], bound, i,
+                    len(stack),
+                )
             else:
                 raise DatalogError(
                     f"unsupported destructuring function {head!r} "
-                    f"(have: fulltext, get-some, untuple)"
+                    f"(have: fulltext, get-some, untuple, tx-ids, tx-data)"
                 )
             continue
         if len(pat) == 1 and isinstance(pat[0], (tuple, list)):
@@ -1360,6 +1544,12 @@ def _compile_where(
             if term == "_" or term is None:
                 continue
             if _is_var(term) and term in bound:
+                if isinstance(bound[term], DataFrame):
+                    raise DatalogError(
+                        f"log-valued :in param {term} can only feed the log "
+                        f"functions (tx-ids ?log ...) / (tx-data ?log ...), "
+                        f"not a {pos!r} pattern position"
+                    )
                 term = bound[term]  # :in param substitution -> constant
             if _is_var(term):
                 if term in binding:

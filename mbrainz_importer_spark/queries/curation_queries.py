@@ -105,6 +105,20 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at alpha=0.5 (p_i ∝ sqrt(n_i)): per-source
+    keep rates sqrt(n_min/n_i) derived from the corpus itself; certified
+    by per-source survivor counts (sqrt/division are correctly rounded,
+    so the kept SET is bit-identical to the oracle's)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.temperature_mixture_sample(docs, alpha=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: corpus token counts ranked (count DESC,
     token ASC) into contiguous deterministic ids, truncated to 50."""
@@ -162,6 +176,7 @@ QUERIES = {
     "training_shards": training_shards,
     "unigram_lm_scores": unigram_lm_scores,
     "mixture_sample": mixture_sample,
+    "mixture_temperature": mixture_temperature,
     "vocab_top_tokens": vocab_top_tokens,
     "bpe_merge_candidates": bpe_merge_candidates_q,
     "bpe_segment_texts": bpe_segment_texts,
@@ -269,6 +284,22 @@ ORACLES = {
               < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                             WHEN 'src2' THEN 0.25 ELSE 0.0 END
         ORDER BY doc_id
+    """,
+    "mixture_temperature": """
+        WITH counts AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), mn AS (
+            SELECT MIN(n) AS nmin FROM counts
+        ), rates AS (
+            SELECT source, sqrt(CAST(nmin AS DOUBLE) / n) AS rate
+            FROM counts, mn
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST(try_cast('0x' || substr(md5('mixture-t-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < r.rate
+        GROUP BY d.source
+        ORDER BY d.source
     """,
     "vocab_top_tokens": f"""
         WITH counts AS (

@@ -137,6 +137,50 @@ def datalog_history_superseded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a")
 
 
+def datalog_log_tx_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's Log API inside query: the canonical tx-ids → tx-data
+    chain — [(tx-ids ?log t1 t2) [?tx ...]] range-scans the log for the
+    transactions in [100, 200), [(tx-data ?log ?tx) [[?e]]] joins their
+    datoms (an equi-join on tx, never a per-tx loop), and the find
+    aggregates touched transactions per entity. The log rides in as a
+    DataFrame-valued :in param, Datomic's `:in $ ?log` + (d/log conn)."""
+    from ..plans.datalog import q
+    from ..plans.history import log_datoms
+
+    log = _tx_log(spark, sf_dir)
+    db = log_datoms(log)
+    return q(
+        {"find": ["?e", ("count", "?tx")],
+         "in": ["?log", "?t1", "?t2"],
+         "where": [
+             [("tx-ids", "?log", "?t1", "?t2"), ["?tx", "..."]],
+             [("tx-data", "?log", "?tx"), [["?e"]]],
+         ]},
+        db, log, 100, 200,
+    ).orderBy("e")
+
+
+def datalog_log_tx_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log API datom accessor with a seeded tx set: :in binds a
+    collection of transaction ids, (tx-data ?log ?tx) equi-joins the
+    log on the bound ?tx and destructures all five datom positions —
+    'show me exactly what these transactions did', the Datomic log
+    audit idiom. Values certify through the canonical string form."""
+    from ..plans.datalog import q
+    from ..plans.history import log_datoms
+
+    log = _tx_log(spark, sf_dir)
+    db = log_datoms(log)
+    return q(
+        {"find": ["?tx", "?e", "?a", "?v", "?op"],
+         "in": ["?log", ["?tx", "..."]],
+         "where": [
+             [("tx-data", "?log", "?tx"), [["?e", "?a", "?v", "_", "?op"]]],
+         ]},
+        db, log, [100, 105, 150, 199],
+    ).orderBy("tx")
+
+
 def history_cascade_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:db.fn/retractEntity with :db/isComponent cascade: customers own
     their orders through the component attr :cust/order; retracting
@@ -229,6 +273,8 @@ QUERIES = {
     "history_no_history": history_no_history,
     "datalog_history_retractions": datalog_history_retractions,
     "datalog_history_superseded": datalog_history_superseded,
+    "datalog_log_tx_ids": datalog_log_tx_ids,
+    "datalog_log_tx_data": datalog_log_tx_data,
     "history_cascade_retract": history_cascade_retract,
     "tx_fn_transfer": tx_fn_transfer,
 }
@@ -336,6 +382,25 @@ ORACLES = {
             FROM log WHERE a = ':user/click' GROUP BY e, a
         ) WHERE last_added
         ORDER BY e, a, tx, added
+    """,
+    "datalog_log_tx_ids": """
+        SELECT CONCAT('user:', CAST(user_id AS VARCHAR)) AS e,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS count_tx
+        FROM events
+        WHERE event_id >= 100 AND event_id < 200
+        GROUP BY 1
+        ORDER BY e
+    """,
+    "datalog_log_tx_data": """
+        SELECT DISTINCT
+               CAST(event_id AS BIGINT) AS tx,
+               CONCAT('user:', CAST(user_id AS VARCHAR)) AS e,
+               CONCAT(':user/', event_type) AS a,
+               REGEXP_REPLACE(CAST(value AS VARCHAR), '\\.0$', '') AS v,
+               (event_id % 7 <> 0) AS op
+        FROM events
+        WHERE event_id IN (100, 105, 150, 199)
+        ORDER BY tx
     """,
     "history_cascade_retract": """
         WITH facts AS (

@@ -329,6 +329,23 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_scores(docs, "doc_id").orderBy("doc")
 
 
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed-linear quality classifier: md5 feature
+    hashing into 4096 buckets, integer weights (deterministic stand-in
+    for a trained table), order-independent integer score sum, one
+    final division, threshold label. Certified bit-exactly — the gate
+    for the classifier machinery a production pipeline would load
+    trained weights into."""
+    from ..operators.classifier import classify_text
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        classify_text(docs, "text", dim=4096, modulus=997, threshold=0.0)
+        .select("doc_id", "score_int", "n_tokens", "score", "label")
+        .orderBy("doc_id")
+    )
+
+
 def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: per-(lang, split) document
     counts — the whole assignment is certified because a single moved
@@ -361,6 +378,7 @@ QUERIES = {
     "text_repetition_scores": text_repetition_scores,
     "split_assignment": split_assignment,
     "stratified_sample_docs": stratified_sample_docs,
+    "quality_classifier_scores": quality_classifier_scores,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
     "dedup_bloom_novelty": dedup_bloom_novelty,
@@ -1041,5 +1059,26 @@ ORACLES["stratified_sample_docs"] = f"""
     WHERE try_cast('0x' || substr(
               md5('sample-v1|' || lang || '#' || CAST(doc_id AS VARCHAR)),
               1, 6) AS BIGINT) < {_SAMPLE_BOUND}
+    ORDER BY doc_id
+"""
+
+ORACLES["quality_classifier_scores"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(t, tok ->
+                   ((try_cast('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                     % 4096) % 997) - 498
+               )) AS BIGINT) AS score_int,
+               CAST(len(t) AS BIGINT) AS n_tokens
+        FROM toks
+    )
+    SELECT doc_id, score_int, n_tokens,
+           CAST(score_int AS DOUBLE) / (GREATEST(n_tokens, 1) * 498.0) AS score,
+           (CAST(score_int AS DOUBLE) / (GREATEST(n_tokens, 1) * 498.0)) > 0.0
+               AS label
+    FROM scored
     ORDER BY doc_id
 """

@@ -76,4 +76,8 @@ def test_datoms_index_orders_and_filters(spark):
     assert all(r["e"] == "t:1" for r in eavt)
     assert [r["a"] for r in eavt] == sorted(r["a"] for r in eavt)
     with pytest.raises(ValueError, match="index must be"):
+        datoms_index(datoms, "teav")
+    # vaet IS a real index now, but Datomic's VAET only covers
+    # ref-typed attributes — it requires the ref-attr set
+    with pytest.raises(ValueError, match="ref_attrs"):
         datoms_index(datoms, "vaet")

@@ -216,3 +216,32 @@ def test_apply_bpe_merges_roundtrip_and_lm(spark):
     )
     scores = C.unigram_logprob_scores(subword_docs, "doc_id", "text").collect()
     assert len(scores) == 2 and all(r["mean_neg_log2p"] > 0 for r in scores)
+
+
+def test_temperature_mixture_sample(spark):
+    """alpha=0.5: rate_i = sqrt(n_min/n_i) — the smallest source keeps
+    everything, a 4x-larger source keeps ~half; alpha=1 is the natural
+    distribution (all rows); bad alpha raises."""
+    rows = [(i, "small" if i < 1000 else "big") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = C.temperature_mixture_sample(df, alpha=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["small"] == 1000                 # rate 1.0
+    assert 1700 <= by_src["big"] <= 2300           # sqrt(1000/4000)=0.5 of 4000
+
+    # determinism: same kept set on a second run
+    again = C.temperature_mixture_sample(df, alpha=0.5).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+    assert C.temperature_mixture_sample(df, alpha=1.0).count() == 5000
+
+    # generic alpha flattens less than 0.5 (rate between sqrt and 1)
+    n_07 = C.temperature_mixture_sample(df, alpha=0.7).count()
+    assert len(out) < n_07 < 5000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        C.temperature_mixture_sample(df, alpha=0.0)

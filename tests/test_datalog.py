@@ -804,3 +804,112 @@ def test_find_pull_expression(spark):
     with pytest.raises(DatalogError, match="spec-dict"):
         q({"find": [("pull", "?e")],
            "where": [["?e", ":t/grp", "?g"]]}, datoms)
+
+
+def test_log_api_tx_ids_tx_data(spark):
+    """Datomic Log API in query (d/log + tx-ids/tx-data, public API
+    docs): range-scan tx ids, join their datoms, destructure ops."""
+    from mbrainz_importer_spark.plans.history import log_datoms
+
+    log = spark.createDataFrame(
+        [("u1", ":k/a", 1.0, 10, True),
+         ("u1", ":k/a", 2.0, 20, True),
+         ("u2", ":k/b", 3.0, 20, True),
+         ("u1", ":k/a", 2.0, 30, False),
+         ("u3", ":k/c", 4.0, 40, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    db = log_datoms(log)
+
+    # tx-ids alone: distinct txs in [t1, t2) — half-open like d/tx-range
+    out = q(
+        {"find": ["?tx"],
+         "in": ["?log", "?t1", "?t2"],
+         "where": [[("tx-ids", "?log", "?t1", "?t2"), ["?tx", "..."]]]},
+        db, log, 10, 40,
+    ).orderBy("tx").collect()
+    assert [r["tx"] for r in out] == [10, 20, 30]
+
+    # the canonical chain: tx-ids -> tx-data, full destructuring
+    out = q(
+        {"find": ["?tx", "?e", "?v", "?op"],
+         "in": ["?log", "?t1", "?t2"],
+         "where": [
+             [("tx-ids", "?log", "?t1", "?t2"), ["?tx", "..."]],
+             [("tx-data", "?log", "?tx"), [["?e", "_", "?v", "_", "?op"]]],
+         ]},
+        db, log, 20, 31,
+    ).orderBy("tx", "e").collect()
+    assert [(r["tx"], r["e"], r["v"], r["op"]) for r in out] == [
+        (20, "u1", "2", True), (20, "u2", "3", True), (30, "u1", "2", False),
+    ]
+
+    # tx-data with an int literal tx; prefix destructuring
+    out = q(
+        {"find": ["?e"],
+         "in": ["?log"],
+         "where": [[("tx-data", "?log", 20), [["?e"]]]]},
+        db, log,
+    ).orderBy("e").collect()
+    assert [r["e"] for r in out] == ["u1", "u2"]
+
+    # a log_datoms view passes through unnormalized
+    out = q(
+        {"find": ["?e"],
+         "in": ["?log"],
+         "where": [[("tx-data", "?log", 40), [["?e"]]]]},
+        db, db,
+    ).collect()
+    assert [r["e"] for r in out] == ["u3"]
+
+
+def test_log_api_errors(spark):
+    from mbrainz_importer_spark.plans.history import log_datoms
+
+    log = spark.createDataFrame(
+        [("u1", ":k/a", 1.0, 10, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    db = log_datoms(log)
+    with pytest.raises(DatalogError, match=":in param"):
+        q({"find": ["?tx"],
+           "where": [[("tx-ids", "?log", 0, 9), ["?tx", "..."]]]}, db)
+    with pytest.raises(DatalogError, match="DataFrame"):
+        q({"find": ["?tx"], "in": ["?log"],
+           "where": [[("tx-ids", "?log", 0, 9), ["?tx", "..."]]]}, db, 7)
+    with pytest.raises(DatalogError, match="boundary"):
+        q({"find": ["?tx"], "in": ["?log"],
+           "where": [[("tx-ids", "?log", "?t", 9), ["?tx", "..."]]]}, db, log)
+    with pytest.raises(DatalogError, match="collection"):
+        q({"find": ["?tx"], "in": ["?log"],
+           "where": [[("tx-ids", "?log", 0, 9), ["?tx"]]]}, db, log)
+    with pytest.raises(DatalogError, match="log functions"):
+        # a log-valued :in param leaking into a pattern position
+        q({"find": ["?e"], "in": ["?log"],
+           "where": [["?e", ":k/a", "?log"]]}, db, log)
+    with pytest.raises(DatalogError, match="tx/added"):
+        q({"find": ["?tx"], "in": ["?log"],
+           "where": [[("tx-ids", "?log", 0, 9), ["?tx", "..."]]]},
+          db, log.select("e", "a"))
+
+
+def test_log_api_edn_text(spark):
+    """Verbatim Datomic log-query text through the EDN front door."""
+    from mbrainz_importer_spark.plans.history import log_datoms
+    from mbrainz_importer_spark.plans.query_edn import q_edn
+
+    log = spark.createDataFrame(
+        [("u1", ":k/a", 1.0, 10, True),
+         ("u2", ":k/b", 2.0, 20, True),
+         ("u3", ":k/c", 3.0, 30, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    db = log_datoms(log)
+    out = q_edn(
+        """[:find ?tx ?e
+            :in $ ?log ?t1 ?t2
+            :where [(tx-ids ?log ?t1 ?t2) [?tx ...]]
+                   [(tx-data ?log ?tx) [[?e]]]]""",
+        db, log, 10, 30,
+    ).orderBy("tx").collect()
+    assert [(r["tx"], r["e"]) for r in out] == [(10, "u1"), (20, "u2")]
