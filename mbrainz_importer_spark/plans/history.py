@@ -112,6 +112,63 @@ def as_of(
     return _state(frame.where(F.col("tx") <= cut), many_attrs, value_col)
 
 
+def resolve_instant(
+    instants: DataFrame,
+    ts,
+    tx_col: str = "tx",
+    inst_col: str = "inst",
+) -> DataFrame:
+    """Resolve a wall-clock instant to a transaction cutoff — how
+    Datomic's d/as-of / d/since accept a java.util.Date instead of a t:
+    every transaction entity carries :db/txInstant, and the cutoff is
+    the LATEST tx whose instant <= ts. Returns a one-row scalar frame
+    (the shape as_of/since/tx_range already take), so the resolution
+    stays inside the plan — broadcast, no driver collect. `ts` may be
+    a timestamp string (cast to the instant column's type) or a
+    Column."""
+    dt = dict(instants.dtypes)[inst_col]
+    cut = F.lit(ts).cast(dt) if isinstance(ts, str) else ts
+    return instants.where(F.col(inst_col) <= cut).agg(
+        F.max(tx_col).alias("__asof_t")
+    )
+
+
+def as_of_instant(
+    log: DataFrame,
+    instants: DataFrame,
+    ts,
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+    tx_col: str = "tx",
+    inst_col: str = "inst",
+) -> DataFrame:
+    """d/as-of with a Date: database state at the latest transaction
+    whose :db/txInstant <= ts. Datomic assumes txInstants are
+    monotonic in t; if they are not, the max-tx resolution here is
+    still deterministic (the largest qualifying tx wins)."""
+    return as_of(
+        log, resolve_instant(instants, ts, tx_col, inst_col),
+        many_attrs, value_col,
+    )
+
+
+def since_instant(
+    log: DataFrame,
+    instants: DataFrame,
+    ts,
+    many_attrs: frozenset[str] | set[str] = frozenset(),
+    value_col: str = "v_num",
+    tx_col: str = "tx",
+    inst_col: str = "inst",
+) -> DataFrame:
+    """d/since with a Date — same :db/txInstant resolution as
+    as_of_instant, then the since view at that t."""
+    return since(
+        log, resolve_instant(instants, ts, tx_col, inst_col),
+        many_attrs, value_col,
+    )
+
+
 def since(
     log: DataFrame,
     t,

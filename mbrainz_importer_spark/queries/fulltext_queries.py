@@ -65,11 +65,27 @@ def fulltext_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fulltext_bm25_topk(idx, "vector table scan", k=20, mode="any")
 
 
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 top-20 and exact-cosine
+    top-20 (around embedding #7) fused by integer-quantized Reciprocal
+    Rank Fusion — the RAG first-stage retriever, certified bit-exactly
+    because both ranks and the fused score are integers."""
+    from ..operators.retrieval import hybrid_rrf_search
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return hybrid_rrf_search(
+        docs, emb, "vector table scan", query_vec_id=7,
+        n_candidates=20, top_k=10,
+    )
+
+
 QUERIES = {
     "fulltext_and_search": fulltext_and_search,
     "fulltext_any_topk": fulltext_any_topk,
     "fulltext_tfidf_topk": fulltext_tfidf_topk_docs,
     "fulltext_bm25_topk": fulltext_bm25_topk_docs,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
 }
 
 ORACLES = {
@@ -121,6 +137,63 @@ ORACLES = {
         GROUP BY doc
         ORDER BY score DESC, doc ASC
         LIMIT 20
+    """,
+    "hybrid_rrf_topk": f"""
+        WITH {_SQL_POSTINGS},
+        dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc),
+        tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+        dfreq AS (
+            SELECT term,
+                   (1000 * (SELECT n_docs FROM tot)) // COUNT(DISTINCT doc)
+                       AS idf_scaled
+            FROM postings
+            WHERE term IN ('scan', 'table', 'vector')
+            GROUP BY term
+        ),
+        ts AS (
+            SELECT p.doc,
+                   (d.idf_scaled * 44 * p.tf) //
+                   (20 * p.tf + 6 + (18 * dl.dl * (SELECT n_docs FROM tot))
+                        // (SELECT total FROM tot)) AS term_score
+            FROM postings p
+              JOIN dfreq d USING (term)
+              JOIN dl USING (doc)
+        ),
+        bm AS (
+            SELECT doc, SUM(term_score) AS score
+            FROM ts GROUP BY doc
+            ORDER BY score DESC, doc ASC LIMIT 20
+        ),
+        bmr AS (
+            SELECT doc, row_number() OVER (ORDER BY score DESC, doc ASC) AS rank
+            FROM bm
+        ),
+        cos AS (
+            SELECT vec_id AS doc,
+                   ROUND(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings WHERE vec_id = 7)::DOUBLE[]
+                   ), 6) AS cs
+            FROM embeddings WHERE vec_id <> 7
+        ),
+        vr AS (
+            SELECT doc, row_number() OVER (ORDER BY cs DESC, doc ASC) AS rank
+            FROM cos
+            QUALIFY rank <= 20
+        ),
+        u AS (
+            SELECT doc, rank FROM bmr
+            UNION ALL
+            SELECT doc, rank FROM vr
+        )
+        SELECT doc,
+               CAST(SUM(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM u
+        GROUP BY doc
+        ORDER BY rrf_score DESC, doc ASC
+        LIMIT 10
     """,
     "fulltext_tfidf_topk": f"""
         WITH {_SQL_POSTINGS},

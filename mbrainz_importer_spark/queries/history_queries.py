@@ -45,6 +45,25 @@ def history_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     return since(log, _cutoff(log)).orderBy("e", "a")
 
 
+def history_as_of_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/as-of with a DATE: the cutoff t resolves through the
+    transaction-instant table (every event's ts plays :db/txInstant) as
+    the latest tx at or before 2024-01-18 — then the state view is
+    identical to as_of at that t. Resolution happens in-plan (scalar
+    broadcast), certified end-to-end by the oracle recomputing both the
+    resolution and the state."""
+    from ..plans.history import as_of_instant
+
+    ev = load(spark, sf_dir, "events")
+    instants = ev.select(
+        F.col("event_id").alias("tx"), F.col("ts").alias("inst")
+    )
+    log = _tx_log(spark, sf_dir)
+    return as_of_instant(
+        log, instants, "2024-01-18 00:00:00"
+    ).orderBy("e", "a")
+
+
 def history_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d/history-of-entity audit: every assert/retract for one entity
     in tx order."""
@@ -267,6 +286,7 @@ def tx_fn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "history_as_of": history_as_of,
     "history_since": history_since,
+    "history_as_of_instant": history_as_of_instant,
     "history_entity_timeline": history_entity_timeline,
     "history_with_speculative": history_with_speculative,
     "history_tx_range": history_tx_range,
@@ -310,6 +330,19 @@ ORACLES = {
     "history_since": _LOG_CTE + """
         SELECT e, a, v_num, tx FROM latest, cut
         WHERE last_added AND tx > cutoff
+        ORDER BY e, a
+    """,
+    "history_as_of_instant": _LOG_CTE + """
+        , icut AS (
+            SELECT CAST(MAX(event_id) AS BIGINT) AS cutoff
+            FROM events WHERE ts <= TIMESTAMP '2024-01-18 00:00:00'
+        )
+        SELECT e, a, v_num, tx FROM (
+            SELECT e, a, MAX_BY(v_num, tx) AS v_num,
+                   MAX_BY(added, tx) AS last_added,
+                   CAST(MAX(tx) AS BIGINT) AS tx
+            FROM log, icut WHERE tx <= cutoff GROUP BY e, a
+        ) WHERE last_added
         ORDER BY e, a
     """,
     "history_entity_timeline": """

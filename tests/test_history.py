@@ -167,3 +167,55 @@ def test_with_tx_speculative_and_tx_range(spark):
     # tx-range is a half-open window over the op stream
     rng = tx_range(with_db, 12, 20)
     assert [(r["e"], r["tx"]) for r in rng.collect()] == [("u2", 12)]
+
+
+def test_as_of_instant_resolution(spark):
+    """d/as-of with a Date: the instant resolves to the latest tx whose
+    txInstant <= ts; state equals as_of at that t."""
+    from datetime import datetime
+
+    from mbrainz_importer_spark.plans.history import (
+        as_of, as_of_instant, resolve_instant,
+    )
+
+    log = spark.createDataFrame(
+        [("e1", ":a/x", 1.0, 10, True),
+         ("e1", ":a/x", 2.0, 20, True),
+         ("e1", ":a/x", 3.0, 30, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    instants = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1)), (20, datetime(2024, 1, 5)),
+         (30, datetime(2024, 1, 9))],
+        "tx long, inst timestamp",
+    )
+    # ts between tx 20 and 30 -> cutoff resolves to 20
+    t = resolve_instant(instants, "2024-01-07 00:00:00").collect()[0][0]
+    assert t == 20
+    got = as_of_instant(log, instants, "2024-01-07 00:00:00").collect()
+    want = as_of(log, 20).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # exact-boundary instant includes its tx (<=)
+    assert resolve_instant(instants, "2024-01-09 00:00:00").collect()[0][0] == 30
+
+
+def test_since_instant(spark):
+    from datetime import datetime
+
+    from mbrainz_importer_spark.plans.history import since, since_instant
+
+    log = spark.createDataFrame(
+        [("e1", ":a/x", 1.0, 10, True),
+         ("e2", ":a/y", 2.0, 20, True),
+         ("e3", ":a/z", 3.0, 30, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    instants = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1)), (20, datetime(2024, 1, 5)),
+         (30, datetime(2024, 1, 9))],
+        "tx long, inst timestamp",
+    )
+    got = since_instant(log, instants, "2024-01-05 12:00:00").collect()
+    want = since(log, 20).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert {r["e"] for r in got} == {"e3"}
