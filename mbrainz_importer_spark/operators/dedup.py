@@ -600,3 +600,95 @@ def bloom_novelty_filter(
         .join(corpus_hashes, "content_hash", "left_anti")
     )
     return definite_new.unionByName(verified_new.select("id", "content_hash"))
+
+
+# -------------------------------------------------------------------------
+# exact-substring duplication coverage (ExactSubstr-lite)
+# -------------------------------------------------------------------------
+
+def token_window_hashes(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """Every length-`window` token span of every document as
+    (doc, start, wh): start is the 1-based token position, wh the md5 of
+    the space-joined span. Built entirely from array expressions —
+    sequence/transform/slice — then ONE posexplode-equivalent unnest;
+    no UDFs. Documents shorter than `window` contribute no spans
+    (guarded — Spark's sequence(start > stop) would count BACKWARD)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("start"),
+            F.md5(F.array_join(F.slice(toks, i, window), " ")).alias("wh"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(spans).alias("s"))
+        .select("doc", F.col("s.start").alias("start"), F.col("s.wh").alias("wh"))
+    )
+
+
+def exact_substring_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document CROSS-DOC duplicated-span coverage — the decision
+    signal of suffix-array ExactSubstr dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022), re-expressed
+    relationally: a length-`window` token span is DUPLICATED iff its
+    hash occurs in more than one document; a token position is COVERED
+    iff some duplicated span overlaps it; coverage = covered / total.
+
+    Relational shape instead of a suffix array: window hashes (linear
+    in token count), one groupBy(wh) for cross-doc counts, a join back
+    restricted to duplicated hashes, and a distinct over covered
+    positions (fan-out bounded by window × duplicated spans). Every
+    step is a linear shuffle — no pairwise comparison, no cartesian;
+    at 100 TB this is the same three-shuffle budget as MinHash-LSH.
+
+    Returns (doc, n_tokens, n_dup_positions, dup_frac) for EVERY
+    document (0.0 where nothing is duplicated)."""
+    wins = token_window_hashes(df, id_col, text_col, window)
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("wh")
+    )
+    covered = (
+        wins.join(dup_hashes, "wh")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + window - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_positions"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(covered, "doc", "left")
+        .select(
+            "doc",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias(
+                "n_dup_positions"
+            ),
+            (
+                F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -329,6 +329,15 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_scores(docs, "doc_id").orderBy("doc")
 
 
+
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite: per-doc fraction of token positions covered by
+    a cross-document duplicated 8-token span — the removal signal of
+    suffix-array exact-substring dedup, as three linear shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_substring_coverage(docs, "doc_id", "text", window=8).orderBy("doc")
+
+
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed-linear quality classifier: md5 feature
     hashing into 4096 buckets, integer weights (deterministic stand-in
@@ -379,6 +388,7 @@ QUERIES = {
     "split_assignment": split_assignment,
     "stratified_sample_docs": stratified_sample_docs,
     "quality_classifier_scores": quality_classifier_scores,
+    "dedup_substring_coverage": dedup_substring_coverage,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
     "dedup_bloom_novelty": dedup_bloom_novelty,
@@ -1081,4 +1091,32 @@ ORACLES["quality_classifier_scores"] = r"""
                AS label
     FROM scored
     ORDER BY doc_id
+"""
+
+ORACLES["dedup_substring_coverage"] = r"""
+    WITH toks AS (
+        SELECT doc_id AS doc, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), wins AS (
+        SELECT doc, u.s AS start,
+               md5(array_to_string(t[u.s:u.s + 7], ' ')) AS wh
+        FROM toks, UNNEST(
+            CASE WHEN len(t) >= 8 THEN range(1, len(t) - 6) ELSE [] END
+        ) AS u(s)
+    ), dup AS (
+        SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc) > 1
+    ), cov AS (
+        SELECT DISTINCT w.doc, u2.p AS pos
+        FROM wins w JOIN dup USING (wh), UNNEST(range(w.start, w.start + 8)) AS u2(p)
+    ), cnt AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_dup_positions
+        FROM cov GROUP BY doc
+    )
+    SELECT t.doc,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(c.n_dup_positions, 0) AS DOUBLE)
+               / GREATEST(len(t.t), 1) AS dup_frac
+    FROM toks t LEFT JOIN cnt c USING (doc)
+    ORDER BY doc
 """

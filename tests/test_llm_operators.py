@@ -282,3 +282,30 @@ def test_c4_gopher_filters_plan_is_mapside_only(spark):
     plan = c4_gopher_filters(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substring_coverage(spark):
+    """Cross-doc duplicated spans cover their positions; within-doc
+    repeats don't count; short docs yield zero windows."""
+    from mbrainz_importer_spark.operators import dedup as D
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " alpha beta"),
+        (2, "prefix words here " + shared),
+        (3, "totally different content with no overlap at all kept"),
+        (4, "tiny doc"),  # shorter than the window
+        (5, "rep rep rep rep rep rep rep rep rep"),  # within-doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in D.exact_substring_coverage(df, window=8).collect()}
+
+    # doc 1: positions 1..8 of 10 covered
+    assert out[1]["n_tokens"] == 10 and out[1]["n_dup_positions"] == 8
+    assert out[1]["dup_frac"] == 0.8
+    # doc 2: the shared span sits at positions 4..11 of 11
+    assert out[2]["n_dup_positions"] == 8
+    # unique / short / self-repeating docs: zero coverage
+    assert out[3]["n_dup_positions"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_dup_positions"] == 0 and out[4]["n_tokens"] == 2
+    assert out[5]["n_dup_positions"] == 0
