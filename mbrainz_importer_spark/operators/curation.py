@@ -508,6 +508,75 @@ def unigram_logprob_scores(
     ).select(F.col("doc").alias(id_col), "n_tokens", "mean_neg_log2p")
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log2 of the corpus-self BIGRAM model:
+    -log2 P(w_i | w_{i-1}) with P = c(w_{i-1} w_i) / c_ctx(w_{i-1}),
+    averaged over a doc's bigram positions — one order of context up
+    from unigram_logprob_scores, the next rung toward CCNet's KenLM
+    filter. The model is trained on the scored corpus itself, so every
+    document bigram has a nonzero count (no smoothing needed); docs
+    with fewer than 2 tokens score NULL (no bigram positions).
+
+    Context counts come from the bigram table (sum over following
+    tokens), NOT a separate unigram pass — so P is a proper conditional
+    that sums to 1 over the vocabulary for every context.
+
+    Shapes: one groupBy for bigram counts, a derived context rollup,
+    one join back onto the per-doc bigram stream (broadcast while the
+    bigram vocabulary fits — counts, not text; shuffle join otherwise),
+    one mean per doc. Rounded to 6 decimals like the unigram face."""
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = df.select(
+        F.col(id_col).alias("doc"), F.explode(bigrams).alias("bg")
+    )
+    b_counts = stream.groupBy("bg").agg(F.count(F.lit(1)).alias("bc"))
+    ctx = (
+        b_counts.select(
+            F.substring_index(F.col("bg"), " ", 1).alias("ctx"), "bc"
+        )
+        .groupBy("ctx")
+        .agg(F.sum("bc").alias("cc"))
+    )
+    scored = (
+        stream.join(F.broadcast(b_counts), "bg")
+        .join(
+            F.broadcast(ctx),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("ctx"),
+        )
+        .select(
+            "doc",
+            (-F.log2(F.col("bc").cast("double") / F.col("cc"))).alias("__nlp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(
+            scored.groupBy("doc").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.round(F.avg("__nlp"), 6).alias("mean_neg_log2p"),
+            ),
+            "doc",
+            "left",
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "mean_neg_log2p",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic global shuffle + training shards
 # ---------------------------------------------------------------------------

@@ -86,6 +86,13 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.unigram_logprob_scores(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram LM: per-doc mean -log2 P(w_i | w_{i-1}) — one
+    context order above unigram_lm_scores, same certification recipe."""
+    docs = load(spark, sf_dir, "documents")
+    return C.bigram_logprob_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return C.assign_shards(docs, "doc_id", n_shards=8).orderBy("doc_id")
@@ -175,6 +182,7 @@ QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "training_shards": training_shards,
     "unigram_lm_scores": unigram_lm_scores,
+    "bigram_lm_scores": bigram_lm_scores,
     "mixture_sample": mixture_sample,
     "mixture_temperature": mixture_temperature,
     "vocab_top_tokens": vocab_top_tokens,
@@ -434,6 +442,37 @@ ORACLES = {
                round(avg(-log2(CAST(tf AS DOUBLE) / N)), 6) AS mean_neg_log2p
         FROM toks t JOIN totals USING (tok), corpus
         GROUP BY t.doc
+        ORDER BY doc_id
+    """,
+    "bigram_lm_scores": f"""
+        WITH toks AS (
+            SELECT doc_id AS doc, {_SQL_TOKS} AS t FROM documents
+        ),
+        stream AS (
+            SELECT doc, t[u.i] || ' ' || t[u.i + 1] AS bg
+            FROM toks, UNNEST(
+                CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END
+            ) AS u(i)
+        ),
+        bcnt AS (SELECT bg, count(*) AS bc FROM stream GROUP BY bg),
+        ctx AS (
+            SELECT split_part(bg, ' ', 1) AS ctx, SUM(bc) AS cc
+            FROM bcnt GROUP BY 1
+        ),
+        agg AS (
+            SELECT s.doc,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(-log2(CAST(b.bc AS DOUBLE) / c.cc)), 6)
+                       AS mean_neg_log2p
+            FROM stream s
+              JOIN bcnt b USING (bg)
+              JOIN ctx c ON split_part(s.bg, ' ', 1) = c.ctx
+            GROUP BY s.doc
+        )
+        SELECT t.doc AS doc_id,
+               CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               a.mean_neg_log2p
+        FROM toks t LEFT JOIN agg a USING (doc)
         ORDER BY doc_id
     """,
     "training_shards": """

@@ -330,6 +330,18 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (rows-only registry
+    contract: DEFLATE is deterministic but not SQL-expressible; exact
+    unit tests in tests/test_compress.py certify the math on known
+    strings)."""
+    from ..operators.compress import compression_ratios
+
+    docs = load(spark, sf_dir, "documents")
+    return compression_ratios(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-lite: per-doc fraction of token positions covered by
     a cross-document duplicated 8-token span — the removal signal of
@@ -389,6 +401,7 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "quality_classifier_scores": quality_classifier_scores,
     "dedup_substring_coverage": dedup_substring_coverage,
+    "compression_ratio_stats": compression_ratio_stats,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
     "dedup_bloom_novelty": dedup_bloom_novelty,

@@ -245,3 +245,26 @@ def test_temperature_mixture_sample(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="alpha"):
         C.temperature_mixture_sample(df, alpha=0.0)
+
+
+def test_bigram_logprob_scores(spark):
+    """Corpus-self bigram model: P(b|a) from bigram/context counts;
+    sub-2-token docs score null with 0 bigrams."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.bigram_logprob_scores(df).collect()}
+    # corpus bigrams: doc1 -> (a b), (b a), (a b); doc2 -> (a c)
+    # c(a b)=2, c(b a)=1, c(a c)=1; ctx a=3, b=1
+    # doc1 mean = (-log2(2/3) - log2(1/1) - log2(2/3)) / 3
+    want1 = round((2 * -math.log2(2 / 3)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_neg_log2p"] - want1) < 1e-9
+    # doc2: single bigram (a c): -log2(1/3)
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["mean_neg_log2p"] - round(math.log2(3), 6)) < 1e-9
+    # doc3: one token, no bigrams
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_neg_log2p"] is None
