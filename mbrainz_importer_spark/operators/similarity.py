@@ -137,3 +137,82 @@ def lsh_near_pairs(
             F.round(raw, 6).alias("cos_sim"),
         )
     )
+
+
+# -------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via cluster-then-prune
+# -------------------------------------------------------------------------
+
+def semdedup_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment as a shuffle-free array argmax:
+    cosine to every centroid (a plan literal, the offline-training
+    contract of ann.train_centroids_sample) rounded to 6 decimals, max
+    by (sim desc, cell asc). Rounding BEFORE the argmax makes the
+    assignment engine-portable — unrounded ulp differences could flip
+    near-equidistant vectors between cells. Returns (id, cell)."""
+    if not centroids:
+        raise ValueError("semdedup_assign needs centroids")
+    v = F.col(vec_col)
+    sims = F.array(*[
+        F.struct(
+            F.round(cosine(v, F.array(*[F.lit(x) for x in c])), 6).alias("sim"),
+            F.lit(-i).alias("negcell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    best = F.array_max(sims)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        (-best["negcell"]).cast("int").alias("cell"),
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embeddings cluster
+    into k cells, and only WITHIN a cell are pairwise cosines examined
+    — the k-fold candidate reduction that makes semantic dedup feasible
+    where all-pairs never is. A document is dropped iff a smaller-id
+    member of its cell sits above the similarity threshold (the
+    deterministic min-id variant of the paper's keep-one rule).
+
+    Shapes: assignment is a shuffle-free projection; the self-join is
+    keyed on cell, so fan-out is bounded by cell population, never the
+    corpus — with balanced cells this is |corpus|²/k pair work done as
+    an equi-join, the SemDeDup cost model. Returns (doc, cell, keep)
+    for every input row."""
+    assign = semdedup_assign(df, centroids, id_col, vec_col)
+    vecs = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    a = assign.join(vecs, "doc").select(
+        F.col("doc").alias("id_a"), F.col("cell").alias("cell_a"),
+        F.col("v").alias("va"),
+    )
+    b = assign.join(vecs, "doc").select(
+        F.col("doc").alias("id_b"), F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"),
+    )
+    dups = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("doc"))
+        .distinct()
+    )
+    return (
+        assign.join(dups.withColumn("__dup", F.lit(True)), "doc", "left")
+        .select(
+            "doc", "cell",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

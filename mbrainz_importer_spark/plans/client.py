@@ -166,3 +166,47 @@ def query_stats(query: dict, datoms: DataFrame, *params) -> list[dict]:
             {"clause": where[i - 1], "rows_out": plan.count() if plan is not None else 0}
         )
     return out
+
+
+def attribute(datoms: DataFrame, attrid) -> dict | None:
+    """`d/attribute`: the metadata record of one attribute — Datomic
+    returns {:id :ident :value-type :cardinality :unique :is-component
+    :fulltext :no-history}; here the same map is assembled from the
+    schema-as-datoms entity (eav.schema_datoms — absent flag = false,
+    EAV has no nulls). `attrid` is the ident keyword (':table/col') or
+    the schema entity id. Bounded point probe (one attr entity's
+    datoms, <=10 rows), the interactive d/attribute contract — batch
+    introspection goes through datalog over the same datoms."""
+    if isinstance(attrid, str) and attrid.startswith(":"):
+        ids = (
+            datoms.where(
+                (F.col("a") == ":db/ident") & (F.col("v") == attrid)
+            )
+            .select("e")
+            .limit(2)
+            .collect()
+        )
+        if not ids:
+            return None
+        if len(ids) > 1:
+            raise DatalogError(f"ambiguous attribute ident {attrid!r}")
+        eid = ids[0]["e"]
+    else:
+        eid = attrid
+    rows = datoms.where(F.col("e") == eid).select("a", "v").collect()
+    if not rows:
+        return None
+    vals = {r["a"]: r["v"] for r in rows}
+    if ":db/ident" not in vals:
+        raise DatalogError(f"entity {eid!r} is not an attribute (no :db/ident)")
+    return {
+        "id": eid,
+        "ident": vals[":db/ident"],
+        "value_type": vals.get(":db/valueType"),
+        "cardinality": vals.get(":db/cardinality", ":db.cardinality/one"),
+        "unique": vals.get(":db/unique"),
+        "is_component": vals.get(":db/isComponent") == "true",
+        "fulltext": vals.get(":db/fulltext") == "true",
+        "no_history": vals.get(":db/noHistory") == "true",
+        "doc": vals.get(":db/doc"),
+    }

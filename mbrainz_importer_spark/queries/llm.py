@@ -331,6 +331,18 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings into 16 cells, drop any vector with
+    a smaller-id cell-mate above cosine 0.3. The gate pins seeded
+    DATA-INDEPENDENT centroids (so the oracle embeds identical
+    literals); production passes ann.train_centroids_sample output —
+    same operator, same plan shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.hyperplanes(64, 16, seed=7)
+    return S.semdedup(emb, cents, threshold=0.3).orderBy("doc")
+
+
 def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (rows-only registry
     contract: DEFLATE is deterministic but not SQL-expressible; exact
@@ -402,6 +414,7 @@ QUERIES = {
     "quality_classifier_scores": quality_classifier_scores,
     "dedup_substring_coverage": dedup_substring_coverage,
     "compression_ratio_stats": compression_ratio_stats,
+    "semdedup_survivors": semdedup_survivors,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
     "dedup_bloom_novelty": dedup_bloom_novelty,
@@ -1133,3 +1146,39 @@ ORACLES["dedup_substring_coverage"] = r"""
     FROM toks t LEFT JOIN cnt c USING (doc)
     ORDER BY doc
 """
+
+
+def _semdedup_oracle() -> str:
+    cents = S.hyperplanes(64, 16, seed=7)
+    rows = ", ".join(
+        "{'cell': %d, 'c': [%s]::DOUBLE[]}"
+        % (i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH sims AS (
+            SELECT vec_id, u.cell AS cell,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[], u.c), 6) AS sim
+            FROM embeddings, UNNEST([{rows}]) AS t(u)
+        ),
+        assign AS (
+            SELECT vec_id, CAST(cell AS INT) AS cell FROM sims
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1
+        ),
+        dups AS (
+            SELECT DISTINCT b.vec_id AS doc
+            FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                      ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
+        )
+        SELECT a.vec_id AS doc, a.cell, (d.doc IS NULL) AS keep
+        FROM assign a LEFT JOIN dups d ON a.vec_id = d.doc
+        ORDER BY doc
+    """
+
+
+ORACLES["semdedup_survivors"] = _semdedup_oracle()

@@ -167,3 +167,40 @@ class TestQueryStats:
         )
         assert [s["rows_out"] for s in st] == [2, 1]
         assert st[0]["clause"] == ["?e", ":artist/name", "?n"]
+
+
+class TestAttribute:
+    def test_attribute_record(self, spark):
+        from mbrainz_importer_spark.plans.client import attribute
+        from mbrainz_importer_spark.plans.eav import schema_datoms
+
+        df = spark.createDataFrame([(1, "x")], "id int, name string")
+        sch = schema_datoms(
+            spark, {"t": (df, "id")}, fulltext={":t/name"}
+        )
+        rec = attribute(sch, ":t/name")
+        assert rec["ident"] == ":t/name"
+        assert rec["value_type"] == ":db.type/string"
+        assert rec["cardinality"] == ":db.cardinality/one"
+        assert rec["fulltext"] is True
+        assert rec["unique"] is None and rec["is_component"] is False
+
+        rec_id = attribute(sch, ":t/id")
+        assert rec_id["unique"] == ":db.unique/identity"
+        # by entity id too
+        assert attribute(sch, "db.attr:t/id")["ident"] == ":t/id"
+        # missing -> None
+        assert attribute(sch, ":t/nope") is None
+
+    def test_attribute_non_attr_entity(self, spark):
+        import pytest as _pytest
+
+        from mbrainz_importer_spark.plans.client import attribute
+        from mbrainz_importer_spark.plans.datalog import DatalogError
+
+        datoms = spark.createDataFrame(
+            [("e1", ":t/name", "v", None)],
+            "e string, a string, v string, v_num double",
+        )
+        with _pytest.raises(DatalogError, match="not an attribute"):
+            attribute(datoms, "e1")

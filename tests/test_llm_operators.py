@@ -309,3 +309,34 @@ def test_exact_substring_coverage(spark):
     assert out[3]["n_dup_positions"] == 0 and out[3]["dup_frac"] == 0.0
     assert out[4]["n_dup_positions"] == 0 and out[4]["n_tokens"] == 2
     assert out[5]["n_dup_positions"] == 0
+
+
+def test_semdedup_trained_centroids(spark):
+    """Production path: KMeans-trained centroids; near-identical vectors
+    in one cell dedup to the min id, distinct directions survive."""
+    from mbrainz_importer_spark.operators.ann import train_centroids_sample
+    from mbrainz_importer_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.98, 0.05]),    # near-dup of 4
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids_sample(df, n_cells=4, sample_limit=6)
+    out = {r["doc"]: r for r in semdedup(df, cents, threshold=0.9).collect()}
+
+    assert len(out) == 6                       # every row verdicted
+    assert out[1]["keep"] and not out[2]["keep"]   # min-id survives
+    assert out[3]["keep"] and out[6]["keep"]
+    # 4/5 share a cell only if KMeans co-located them; if so, 5 drops
+    if out[4]["cell"] == out[5]["cell"]:
+        assert out[4]["keep"] and not out[5]["keep"]
+
+    import pytest as _pytest
+    from mbrainz_importer_spark.operators.similarity import semdedup_assign
+    with _pytest.raises(ValueError, match="centroids"):
+        semdedup_assign(df, [])
