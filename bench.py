@@ -42,6 +42,8 @@ HEADLINE = [
     "sequence_packing",
     "curation_pipeline",
     "dedup_span_level",
+    "dedup_substring_coverage",
+    "hybrid_rrf_topk",
 ]
 
 

@@ -638,18 +638,23 @@ def _log_param(clause, bound) -> DataFrame:
         return logf
     from .history import log_datoms
 
-    return log_datoms(logf)
+    return log_datoms(logf, keep=("inst",))
 
 
 def _log_bound_t(term, bound, what: str):
-    """A tx-boundary operand: an int literal, or a var bound to an int
-    :in param."""
+    """A tx-boundary operand: an int literal (a t), or a timestamp
+    STRING (a txInstant Date — Datomic's tx-ids accepts either), or a
+    var bound to one via :in."""
     if _is_var(term):
         if term not in bound:
             raise DatalogError(f"{what} boundary var {term} must be an :in param")
         term = bound[term]
+    if isinstance(term, str):
+        return term  # instant boundary — resolved against the inst column
     if not isinstance(term, int) or isinstance(term, bool):
-        raise DatalogError(f"{what} boundary must be an int tx: {term!r}")
+        raise DatalogError(
+            f"{what} boundary must be an int tx or instant string: {term!r}"
+        )
     return term
 
 
@@ -682,8 +687,25 @@ def _apply_tx_ids(
         )
     tvar = dest[0]
     alias = f"txids{idx}_{depth}"
+
+    def bound_pred(t, op):
+        # int t -> tx comparison; timestamp string -> :db/txInstant
+        # comparison (Datomic's Date overload); the log frame must then
+        # carry an inst column
+        if isinstance(t, str):
+            if "inst" not in logf.columns:
+                raise DatalogError(
+                    "(tx-ids ...) instant boundary needs an 'inst' column "
+                    "on the log frame (:db/txInstant); got "
+                    f"{logf.columns}"
+                )
+            inst = F.col("inst")
+            cut = F.lit(t).cast(dict(logf.dtypes)["inst"])
+            return inst >= cut if op == ">=" else inst < cut
+        return F.col("tx") >= t if op == ">=" else F.col("tx") < t
+
     rel = (
-        logf.where((F.col("tx") >= t1) & (F.col("tx") < t2))
+        logf.where(bound_pred(t1, ">=") & bound_pred(t2, "<"))
         .select("tx")
         .distinct()
         .alias(alias)

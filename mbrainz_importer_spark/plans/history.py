@@ -215,7 +215,9 @@ def history(
     return keep.unionByName(current)
 
 
-def log_datoms(log: DataFrame, value_col: str = "v_num") -> DataFrame:
+def log_datoms(
+    log: DataFrame, value_col: str = "v_num", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """The history db as a QUERYABLE DATOMS VIEW: (e, a, v, v_num, tx,
     added). Datalog patterns over this frame may bind the transaction
     and op positions — [?e ?a ?v ?tx ?op] — Datomic's history-db query
@@ -233,7 +235,8 @@ def log_datoms(log: DataFrame, value_col: str = "v_num") -> DataFrame:
         v = F.col(value_col).cast("string")
         vn = F.col(value_col).try_cast("double")
     return log.select(
-        "e", "a", v.alias("v"), vn.alias("v_num"), "tx", "added"
+        "e", "a", v.alias("v"), vn.alias("v_num"), "tx", "added",
+        *[c for c in keep if c in log.columns],
     )
 
 

@@ -913,3 +913,40 @@ def test_log_api_edn_text(spark):
         db, log, 10, 30,
     ).orderBy("tx").collect()
     assert [(r["tx"], r["e"]) for r in out] == [(10, "u1"), (20, "u2")]
+
+
+def test_log_api_instant_boundaries(spark):
+    """tx-ids accepts txInstant Dates as boundaries (Datomic's Date
+    overload): string boundaries compare against the log's inst
+    column; a log without instants raises."""
+    from datetime import datetime
+
+    log = spark.createDataFrame(
+        [("u1", ":k/a", 1.0, 10, True, datetime(2024, 1, 1)),
+         ("u2", ":k/b", 2.0, 20, True, datetime(2024, 1, 5)),
+         ("u3", ":k/c", 3.0, 30, True, datetime(2024, 1, 9))],
+        "e string, a string, v_num double, tx long, added boolean, inst timestamp",
+    )
+    db = spark.createDataFrame(
+        [("x", ":y/z", "1", 1.0)], "e string, a string, v string, v_num double"
+    )
+    out = q(
+        {"find": ["?tx"], "in": ["?log", "?t1", "?t2"],
+         "where": [[("tx-ids", "?log", "?t1", "?t2"), ["?tx", "..."]]]},
+        db, log, "2024-01-02 00:00:00", "2024-01-09 00:00:00",
+    ).orderBy("tx").collect()
+    assert [r["tx"] for r in out] == [20]  # half-open on the instant axis
+
+    # mixed: int start, instant end
+    out = q(
+        {"find": ["?tx"], "in": ["?log"],
+         "where": [[("tx-ids", "?log", 10, "2024-01-06 00:00:00"), ["?tx", "..."]]]},
+        db, log,
+    ).orderBy("tx").collect()
+    assert [r["tx"] for r in out] == [10, 20]
+
+    bare = log.drop("inst")
+    with pytest.raises(DatalogError, match="inst"):
+        q({"find": ["?tx"], "in": ["?log"],
+           "where": [[("tx-ids", "?log", "2024-01-01", "2024-01-09"), ["?tx", "..."]]]},
+          db, bare).collect()
