@@ -256,8 +256,60 @@ def _compile_predicate(clause, binding, num_binding, bound) -> F.Column:
     return fn(operand(lhs), operand(rhs))
 
 
+def _compile_str_predicate(clause, binding, bound) -> F.Column:
+    """The clojure.string / regex predicate pack —
+    [(clojure.string/starts-with? ?s "pre")], [(includes? ?s "mid")],
+    [(re-find "pat" ?s)] (partial match), [(re-matches "pat" ?s)]
+    (whole-string), [(blank? ?s)] — accepted namespaced or bare.
+    Regex forms take the PATTERN FIRST (Clojure's re-find arg order);
+    patterns are string literals (Java regex, compiled by Spark's
+    rlike)."""
+    head, *args = clause
+    short = head.rsplit("/", 1)[-1]
+
+    def sval(x):
+        x = bound.get(x, x) if _is_var(x) else x
+        if _is_var(x):
+            if x not in binding:
+                raise DatalogError(f"unbound predicate var {x}")
+            return binding[x].cast("string")
+        if not isinstance(x, str):
+            raise DatalogError(f"({head} ...) operand must be string: {x!r}")
+        return F.lit(x)
+
+    if short == "blank?":
+        if len(args) != 1:
+            raise DatalogError(f"(blank? s) takes one arg: {clause}")
+        s = sval(args[0])
+        return s.isNull() | (F.trim(s) == "")
+    if len(args) != 2:
+        raise DatalogError(f"({head} a b) takes two args: {clause}")
+    if short in ("re-find", "re-matches"):
+        pat, s = args  # Clojure arg order: pattern first
+        pat = bound.get(pat, pat) if _is_var(pat) else pat
+        if _is_var(pat) or not isinstance(pat, str):
+            raise DatalogError(f"({head} pat s) needs a literal pattern: {clause}")
+        col = sval(s)
+        return col.rlike(pat if short == "re-find" else f"^(?:{pat})$")
+    s, frag = sval(args[0]), sval(args[1])
+    if short == "starts-with?":
+        return s.startswith(frag)
+    if short == "ends-with?":
+        return s.endswith(frag)
+    return s.contains(frag)  # includes?
+
+
 _ARITH_FNS = {"+", "-", "*", "/", "quot", "mod", "abs"}
-_FN_HEADS = _ARITH_FNS | {"str", "ground", "get-else", "get-some", "tuple"}
+_STR_FN_SHORT = {"upper-case", "lower-case", "trim", "subs", "count"}
+_STR_PRED_SHORT = {
+    "starts-with?", "ends-with?", "includes?", "re-find", "re-matches", "blank?",
+}
+_FN_HEADS = (
+    _ARITH_FNS
+    | {"str", "ground", "get-else", "get-some", "tuple"}
+    | _STR_FN_SHORT
+    | {f"clojure.string/{n}" for n in _STR_FN_SHORT if n != "count"}
+)
 
 
 def _canon_const(x) -> str:
@@ -348,6 +400,50 @@ def _apply_fn_binding(
             else:
                 parts.append(F.lit(x if isinstance(x, str) else _canon_const(x)))
         binding[out] = F.concat(*parts)
+        return plan
+
+    short = head.rsplit("/", 1)[-1]
+    if short in _STR_FN_SHORT:
+        # the clojure.string pack Datomic queries reach for —
+        # [(clojure.string/upper-case ?n) ?u], [(subs ?n 0 3) ?p],
+        # [(count ?n) ?len] — accepted namespaced or bare
+        def sval(x):
+            if _is_var(x):
+                if x not in binding:
+                    raise DatalogError(f"unbound ({head} ...) operand {x}")
+                return binding[x].cast("string")
+            return F.lit(x if isinstance(x, str) else _canon_const(x))
+
+        if short in ("upper-case", "lower-case", "trim"):
+            if len(args) != 1:
+                raise DatalogError(f"({head} s) takes one arg: {clause}")
+            fn = {"upper-case": F.upper, "lower-case": F.lower,
+                  "trim": F.trim}[short]
+            binding[out] = fn(sval(args[0]))
+            return plan
+        if short == "count":
+            # clojure.core/count on a string: its length — a NUMERIC
+            # binding (joins/compares through the v_num convention)
+            if len(args) != 1:
+                raise DatalogError(f"(count s) takes one arg: {clause}")
+            expr = F.length(sval(args[0])).cast("bigint")
+            binding[out] = expr
+            num_binding[out] = expr.cast("double")
+            return plan
+        # subs: Clojure 0-based [start, end) — out-of-range truncates
+        # here (Spark substring semantics) where Clojure would throw
+        if len(args) not in (2, 3) or any(
+            _is_var(a) or isinstance(a, bool) or not isinstance(a, int)
+            for a in args[1:]
+        ):
+            raise DatalogError(
+                f"(subs s start [end]) takes int literal bounds: {clause}"
+            )
+        start = args[1]
+        if len(args) == 3:
+            binding[out] = F.substring(sval(args[0]), start + 1, args[2] - start)
+        else:
+            binding[out] = F.substring(sval(args[0]), start + 1, 1 << 30)
         return plan
 
     if head == "tuple":
@@ -1454,6 +1550,15 @@ def _compile_where(
                     raise DatalogError(f"predicate clause before any pattern: {pat}")
                 plan = plan.where(
                     _compile_predicate(clause, binding, num_binding, bound)
+                )
+            elif (
+                isinstance(head, str)
+                and head.rsplit("/", 1)[-1] in _STR_PRED_SHORT
+            ):
+                if plan is None:
+                    raise DatalogError(f"predicate clause before any pattern: {pat}")
+                plan = plan.where(
+                    _compile_str_predicate(clause, binding, bound)
                 )
             elif head == "not":
                 plan = _apply_not(

@@ -149,6 +149,26 @@ def datalog_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("name")
 
 
+def datalog_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clojure.string pack inside datalog — [(starts-with? ?n "A")]
+    / [(includes? ...)] predicates, [(clojure.string/lower-case ?n) ?l]
+    / [(subs ?n 0 3) ?p] / [(count ?n) ?len] bindings — what a user
+    porting real Datomic queries reaches for first beyond arithmetic."""
+    datoms = _datoms_small(spark, sf_dir)
+    query = {
+        "find": ["?name", "?low", "?pre", "?len"],
+        "where": [
+            ["?n", ":nation/n_name", "?name"],
+            [("re-find", "[AEIOU]", "?name")],
+            [("clojure.string/lower-case", "?name"), "?low"],
+            [("subs", "?name", 0, 3), "?pre"],
+            [("count", "?name"), "?len"],
+            [(">", "?len", 4)],
+        ],
+    }
+    return q(query, datoms).orderBy("name")
+
+
 def datalog_in_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:in collection binding ['?rk' '...'] — the input list becomes a
     broadcast seed relation (Datomic `[?rk ...]`)."""
@@ -829,6 +849,7 @@ QUERIES = {
     "datalog_in_relation": datalog_in_relation,
     "datalog_edn_text_query": datalog_edn_text_query,
     "datalog_predicate_filter": datalog_predicate_filter,
+    "datalog_string_fns": datalog_string_fns,
     "datalog_rules_union": datalog_rules_union,
     "datalog_schema_attrs": datalog_schema_attrs,
     "datalog_schema_attr_counts": datalog_schema_attr_counts,
@@ -1144,6 +1165,15 @@ ORACLES = {
         SELECT DISTINCT n_name AS name, r_name AS rname
         FROM nation JOIN region ON n_regionkey = r_regionkey
         WHERE n_nationkey < 3 OR n_nationkey > 20
+        ORDER BY name
+    """,
+    "datalog_string_fns": """
+        SELECT DISTINCT n_name AS name,
+               lower(n_name) AS low,
+               substr(n_name, 1, 3) AS pre,
+               CAST(length(n_name) AS BIGINT) AS len
+        FROM nation
+        WHERE regexp_matches(n_name, '[AEIOU]') AND length(n_name) > 4
         ORDER BY name
     """,
 }

@@ -950,3 +950,67 @@ def test_log_api_instant_boundaries(spark):
         q({"find": ["?tx"], "in": ["?log"],
            "where": [[("tx-ids", "?log", "2024-01-01", "2024-01-09"), ["?tx", "..."]]]},
           db, bare).collect()
+
+
+def test_string_fns_and_predicates(spark):
+    """clojure.string pack: bindings + predicates, namespaced or bare,
+    Clojure arg orders (re-find pattern first, subs 0-based)."""
+    df = spark.createDataFrame(
+        [(1, "Alpha"), (2, "beta"), (3, "  pad  "), (4, None)],
+        "id int, name string",
+    )
+    datoms = build_datoms({"t": (df, "id")})
+
+    out = q(
+        {"find": ["?n", "?u", "?p", "?len"],
+         "where": [
+             ["?e", ":t/name", "?n"],
+             [("clojure.string/upper-case", "?n"), "?u"],
+             [("subs", "?n", 0, 2), "?p"],
+             [("count", "?n"), "?len"],
+         ]},
+        datoms,
+    ).orderBy("n").collect()
+    got = {r["n"]: (r["u"], r["p"], r["len"]) for r in out}
+    assert got["Alpha"] == ("ALPHA", "Al", 5)
+    assert got["beta"] == ("BETA", "be", 4)
+
+    # predicates: starts-with? / includes? / re-matches / blank?-negation
+    names = lambda rows: [r["n"] for r in rows]  # noqa: E731
+    r1 = q({"find": ["?n"], "where": [["?e", ":t/name", "?n"],
+                                      [("starts-with?", "?n", "Al")]]},
+           datoms).collect()
+    assert names(r1) == ["Alpha"]
+    r2 = q({"find": ["?n"], "where": [["?e", ":t/name", "?n"],
+                                      [("clojure.string/includes?", "?n", "et")]]},
+           datoms).collect()
+    assert names(r2) == ["beta"]
+    r3 = q({"find": ["?n"], "where": [["?e", ":t/name", "?n"],
+                                      [("re-matches", "[a-z]+", "?n")]]},
+           datoms).collect()
+    assert names(r3) == ["beta"]  # whole-string anchor: '  pad  ' fails
+    r4 = q({"find": ["?n"], "where": [["?e", ":t/name", "?n"],
+                                      [("blank?", "?n")]]},
+           datoms).collect()
+    assert names(r4) == []  # '  pad  ' trims to 'pad', not blank
+
+    # count is numeric: joins the v_num convention in comparisons
+    r5 = q({"find": ["?n"], "where": [["?e", ":t/name", "?n"],
+                                      [("count", "?n"), "?c"],
+                                      [(">", "?c", 4)]]},
+           datoms).orderBy("n").collect()
+    assert names(r5) == ["  pad  ", "Alpha"]
+
+    # subs without end: suffix from 0-based index
+    r6 = q({"find": ["?s"], "where": [["?e", ":t/name", "?n"],
+                                      [("starts-with?", "?n", "b")],
+                                      [("subs", "?n", 1), "?s"]]},
+           datoms).collect()
+    assert [r["s"] for r in r6] == ["eta"]
+
+    with pytest.raises(DatalogError, match="literal pattern"):
+        q({"find": ["?n"], "where": [["?e", ":t/name", "?n"],
+                                     [("re-find", "?n", "?n")]]}, datoms)
+    with pytest.raises(DatalogError, match="int literal"):
+        q({"find": ["?s"], "where": [["?e", ":t/name", "?n"],
+                                     [("subs", "?n", "?n"), "?s"]]}, datoms)

@@ -85,3 +85,54 @@ def test_bm25_no_cartesian_beyond_scalar_broadcasts(spark, qs):
     not an all-pairs join); no CartesianProduct anywhere."""
     p = plan_of(qs["fulltext_bm25_topk"](spark, SF))
     assert p.count("CartesianProduct") == 0, p
+
+
+def test_classifier_scoring_is_pure_projection(spark):
+    """Hashed-linear scoring compiles to expressions over one scan —
+    zero hash shuffles, zero UDF nodes."""
+    from mbrainz_importer_spark.operators.classifier import linear_text_scores
+    from mbrainz_importer_spark.tables import load
+
+    p = plan_of(linear_text_scores(load(spark, SF, "documents")))
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_semdedup_assign_is_shuffle_free(spark):
+    """Cell assignment is an argmax over plan-literal centroids — a
+    projection, no exchange, no join."""
+    from mbrainz_importer_spark.operators.similarity import (
+        hyperplanes, semdedup_assign,
+    )
+    from mbrainz_importer_spark.tables import load
+
+    emb = load(spark, SF, "embeddings")
+    p = plan_of(semdedup_assign(emb, hyperplanes(64, 8, seed=7)))
+    assert p.count("Exchange") == 0, p
+    assert "Join" not in p, p
+
+
+def test_temperature_mixture_broadcasts_rates(spark):
+    """The corpus side never shuffles: rates ride in as a broadcast;
+    the only hash exchange is the tiny per-source count agg."""
+    from mbrainz_importer_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+    from mbrainz_importer_spark.tables import load
+
+    p = plan_of(temperature_mixture_sample(load(spark, SF, "documents")))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_substring_coverage_no_cartesian(spark):
+    """ExactSubstr-lite is equi-joins only — a cartesian anywhere would
+    be the all-pairs trap the relational shape exists to avoid."""
+    from mbrainz_importer_spark.operators.dedup import (
+        exact_substring_coverage,
+    )
+    from mbrainz_importer_spark.tables import load
+
+    p = plan_of(exact_substring_coverage(load(spark, SF, "documents")))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
