@@ -133,6 +133,25 @@ def resolve_instant(
     )
 
 
+def resolve_instant_after(
+    instants: DataFrame,
+    ts,
+    tx_col: str = "tx",
+    inst_col: str = "inst",
+) -> DataFrame:
+    """The FIRST tx whose :db/txInstant >= ts — the boundary resolution
+    of d/tx-range's Date overloads (a start Date means 'transactions at
+    or after this moment'; an exclusive end Date means 'before the
+    first tx at or after it'). Resolves to Long.MAX when every instant
+    precedes ts, so a start beyond the log is empty and an end beyond
+    the log is unbounded — matching the int-boundary semantics."""
+    dt = dict(instants.dtypes)[inst_col]
+    cut = F.lit(ts).cast(dt) if isinstance(ts, str) else ts
+    return instants.where(F.col(inst_col) >= cut).agg(
+        F.coalesce(F.min(tx_col), F.lit(2**63 - 1)).alias("__after_t")
+    )
+
+
 def as_of_instant(
     log: DataFrame,
     instants: DataFrame,
@@ -434,18 +453,39 @@ def with_tx(
 
 def tx_range(
     log: DataFrame,
-    start: int,
-    end: int | None = None,
+    start,
+    end=None,
     no_history_attrs: frozenset[str] | set[str] = frozenset(),
     value_col: str = "v_num",
+    instants: DataFrame | None = None,
 ) -> DataFrame:
     """`d/tx-range` — the op stream for start <= tx < end (end=None =
-    unbounded), in tx order. On tx-partitioned storage the predicate is
-    a partition-pruned range scan. `no_history_attrs` applies the
-    :db/noHistory trim (see `history`) before the range filter, so
-    superseded ops of flagged attrs never surface in a range either."""
+    unbounded), in tx order. Datomic's boundaries are t's OR Dates:
+    pass timestamp strings with an `instants` frame (tx, inst) and each
+    resolves through :db/txInstant (resolve_instant) as an in-plan
+    broadcast scalar. On tx-partitioned storage the int-boundary
+    predicate is a partition-pruned range scan. `no_history_attrs`
+    applies the :db/noHistory trim (see `history`) before the range
+    filter, so superseded ops of flagged attrs never surface in a
+    range either."""
+    def boundary(t):
+        if isinstance(t, str):
+            if instants is None:
+                raise ValueError(
+                    "tx_range instant boundary needs the instants frame "
+                    "(tx, inst) — pass instants="
+                )
+            return resolve_instant_after(instants, t)
+        return t
+
     out = history(log, no_history_attrs, value_col)
-    out = out.where(F.col("tx") >= start)
+    frame, cut, joined = _with_cutoff(out, boundary(start))
+    out = frame.where(F.col("tx") >= cut)
+    if joined:
+        out = out.drop(joined)
     if end is not None:
-        out = out.where(F.col("tx") < end)
+        frame, cut, joined = _with_cutoff(out, boundary(end))
+        out = frame.where(F.col("tx") < cut)
+        if joined:
+            out = out.drop(joined)
     return out.orderBy("tx", "e", "a")

@@ -219,3 +219,37 @@ def test_since_instant(spark):
     want = since(log, 20).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert {r["e"] for r in got} == {"e3"}
+
+
+def test_tx_range_instant_boundaries(spark):
+    """d/tx-range Date overloads: boundaries resolve to the FIRST tx at
+    or after the instant; an end past the log is unbounded, a start
+    past the log is empty; mixed int/instant boundaries compose."""
+    from datetime import datetime
+
+    from mbrainz_importer_spark.plans.history import tx_range
+
+    log = spark.createDataFrame(
+        [("e1", ":a/x", 1.0, 10, True),
+         ("e2", ":a/y", 2.0, 20, True),
+         ("e3", ":a/z", 3.0, 30, True)],
+        "e string, a string, v_num double, tx long, added boolean",
+    )
+    instants = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1)), (20, datetime(2024, 1, 5)),
+         (30, datetime(2024, 1, 9))],
+        "tx long, inst timestamp",
+    )
+    txs = lambda df: [r["tx"] for r in df.collect()]  # noqa: E731
+
+    got = tx_range(log, "2024-01-02 00:00:00", "2024-01-09 00:00:00",
+                   instants=instants)
+    assert txs(got) == [20]  # end resolves to tx 30, exclusive
+
+    assert txs(tx_range(log, "2024-01-02 00:00:00", instants=instants)) == [20, 30]
+    assert txs(tx_range(log, "2025-01-01 00:00:00", instants=instants)) == []
+    assert txs(tx_range(log, 15, "2024-12-31 00:00:00", instants=instants)) == [20, 30]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="instants"):
+        tx_range(log, "2024-01-02 00:00:00")
