@@ -272,7 +272,28 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return datoms_index(datoms, "avet", a=":nation/n_regionkey")
 
 
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (24h gap): per-(user, session) bounds
+    and event counts — the batch twin of the streaming session window,
+    one shuffle on the user key."""
+    from ..operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=1440).orderBy("user", "session_id")
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order first-touch funnel signup -> view -> purchase: one
+    timestamp per step per user, chained comparisons, in-plan unpivot."""
+    from ..operators.sessions import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "view", "purchase"]).orderBy("step")
+
+
 QUERIES = {
+    "session_stats": session_stats,
+    "funnel_steps": funnel_steps,
     "cas_conditional_update": cas_conditional_update,
     "datoms_index_scan": datoms_index_scan,
     "q7_nation_volume": q7_nation_volume,
@@ -428,4 +449,57 @@ ORACLES = {
         GROUP BY 1 ORDER BY 1
     """,
     # approx_distinct_users: no oracle (sketches differ) -> rows-only check
+    "session_stats": """
+        WITH flagged AS (
+            SELECT user_id AS user, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 1440 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT "user", ts,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY "user" ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - 1 AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT "user", session_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered
+        GROUP BY "user", session_id
+        ORDER BY "user", session_id
+    """,
+    "funnel_steps": """
+        WITH f AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (WHERE event_type = 'signup') AS s1,
+                   MIN(ts) FILTER (WHERE event_type = 'view') AS s2,
+                   MIN(ts) FILTER (WHERE event_type = 'purchase') AS s3
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'purchase')
+            GROUP BY user_id
+        ), fl AS (
+            SELECT (s1 IS NOT NULL) AS r1,
+                   (s1 IS NOT NULL AND s2 IS NOT NULL AND s2 > s1) AS r2,
+                   (s1 IS NOT NULL AND s2 IS NOT NULL AND s2 > s1
+                    AND s3 IS NOT NULL AND s3 > s2) AS r3
+            FROM f
+        )
+        SELECT 1 AS step, 'signup' AS step_name,
+               CAST(COALESCE(SUM(CASE WHEN r1 THEN 1 END), 0) AS BIGINT) AS n_users
+        FROM fl
+        UNION ALL
+        SELECT 2, 'view',
+               CAST(COALESCE(SUM(CASE WHEN r2 THEN 1 END), 0) AS BIGINT)
+        FROM fl
+        UNION ALL
+        SELECT 3, 'purchase',
+               CAST(COALESCE(SUM(CASE WHEN r3 THEN 1 END), 0) AS BIGINT)
+        FROM fl
+        ORDER BY step
+    """,
 }
