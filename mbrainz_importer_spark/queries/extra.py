@@ -272,6 +272,21 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return datoms_index(datoms, "avet", a=":nation/n_regionkey")
 
 
+
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys for orders over (custkey, order-date-days): the
+    integer bit-interleave behind ZORDER BY clustering, certified
+    bit-exactly (layout itself is physical; the key is the contract)."""
+    from ..operators.layout import zvalue
+
+    orders = load(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    return orders.select(
+        "o_orderkey",
+        zvalue([F.col("o_custkey"), days], bits=16).alias("z"),
+    ).orderBy("o_orderkey")
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (24h gap): per-(user, session) bounds
     and event counts — the batch twin of the streaming session window,
@@ -292,6 +307,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "zorder_keys": zorder_keys,
     "session_stats": session_stats,
     "funnel_steps": funnel_steps,
     "cas_conditional_update": cas_conditional_update,
@@ -503,3 +519,10 @@ ORACLES = {
         ORDER BY step
     """,
 }
+
+ORACLES["zorder_keys"] = """
+    SELECT o_orderkey,
+           CAST((((o_custkey & 65535) >> 0) & 1) * 1 + (((o_custkey & 65535) >> 1) & 1) * 4 + (((o_custkey & 65535) >> 2) & 1) * 16 + (((o_custkey & 65535) >> 3) & 1) * 64 + (((o_custkey & 65535) >> 4) & 1) * 256 + (((o_custkey & 65535) >> 5) & 1) * 1024 + (((o_custkey & 65535) >> 6) & 1) * 4096 + (((o_custkey & 65535) >> 7) & 1) * 16384 + (((o_custkey & 65535) >> 8) & 1) * 65536 + (((o_custkey & 65535) >> 9) & 1) * 262144 + (((o_custkey & 65535) >> 10) & 1) * 1048576 + (((o_custkey & 65535) >> 11) & 1) * 4194304 + (((o_custkey & 65535) >> 12) & 1) * 16777216 + (((o_custkey & 65535) >> 13) & 1) * 67108864 + (((o_custkey & 65535) >> 14) & 1) * 268435456 + (((o_custkey & 65535) >> 15) & 1) * 1073741824 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 0) & 1) * 2 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 1) & 1) * 8 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 2) & 1) * 32 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 3) & 1) * 128 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 4) & 1) * 512 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 5) & 1) * 2048 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 6) & 1) * 8192 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 7) & 1) * 32768 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 8) & 1) * 131072 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 9) & 1) * 524288 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 10) & 1) * 2097152 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 11) & 1) * 8388608 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 12) & 1) * 33554432 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 13) & 1) * 134217728 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 14) & 1) * 536870912 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 15) & 1) * 2147483648 AS BIGINT) AS z
+    FROM orders
+    ORDER BY o_orderkey
+"""
