@@ -273,6 +273,26 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-shaped expectations on orders: completeness, uniqueness,
+    bounds, set membership, pattern — ALL metrics in one aggregation
+    pass, verdicts via in-plan unpivot."""
+    from ..operators.expectations import Rule, check
+
+    orders = load(spark, sf_dir, "orders")
+    rules = [
+        Rule("complete", "o_orderkey"),
+        Rule("unique", "o_orderkey"),
+        Rule("min", "o_totalprice", 0.0),
+        Rule("in_set", "o_orderstatus", ("O", "F", "P")),
+        Rule("matches", "o_orderpriority", "^[1-5]-"),
+        Rule("non_negative", "o_custkey"),
+        Rule("complete", "o_orderdate", threshold=0.5),
+    ]
+    return check(orders, rules)
+
+
 def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys for orders over (custkey, order-date-days): the
     integer bit-interleave behind ZORDER BY clustering, certified
@@ -307,6 +327,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "data_quality_checks": data_quality_checks,
     "zorder_keys": zorder_keys,
     "session_stats": session_stats,
     "funnel_steps": funnel_steps,
@@ -525,4 +546,35 @@ ORACLES["zorder_keys"] = """
            CAST((((o_custkey & 65535) >> 0) & 1) * 1 + (((o_custkey & 65535) >> 1) & 1) * 4 + (((o_custkey & 65535) >> 2) & 1) * 16 + (((o_custkey & 65535) >> 3) & 1) * 64 + (((o_custkey & 65535) >> 4) & 1) * 256 + (((o_custkey & 65535) >> 5) & 1) * 1024 + (((o_custkey & 65535) >> 6) & 1) * 4096 + (((o_custkey & 65535) >> 7) & 1) * 16384 + (((o_custkey & 65535) >> 8) & 1) * 65536 + (((o_custkey & 65535) >> 9) & 1) * 262144 + (((o_custkey & 65535) >> 10) & 1) * 1048576 + (((o_custkey & 65535) >> 11) & 1) * 4194304 + (((o_custkey & 65535) >> 12) & 1) * 16777216 + (((o_custkey & 65535) >> 13) & 1) * 67108864 + (((o_custkey & 65535) >> 14) & 1) * 268435456 + (((o_custkey & 65535) >> 15) & 1) * 1073741824 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 0) & 1) * 2 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 1) & 1) * 8 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 2) & 1) * 32 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 3) & 1) * 128 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 4) & 1) * 512 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 5) & 1) * 2048 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 6) & 1) * 8192 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 7) & 1) * 32768 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 8) & 1) * 131072 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 9) & 1) * 524288 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 10) & 1) * 2097152 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 11) & 1) * 8388608 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 12) & 1) * 33554432 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 13) & 1) * 134217728 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 14) & 1) * 536870912 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 15) & 1) * 2147483648 AS BIGINT) AS z
     FROM orders
     ORDER BY o_orderkey
+"""
+
+ORACLES["data_quality_checks"] = """
+    WITH s AS (
+        SELECT GREATEST(COUNT(*), 1) AS n,
+               ROUND(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                     / GREATEST(COUNT(*), 1), 9) AS m0,
+               ROUND(COUNT(DISTINCT o_orderkey)
+                     / GREATEST(COUNT(*), 1), 9) AS m1,
+               ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 9) AS m2,
+               ROUND(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                              THEN 1 ELSE 0 END)
+                     / GREATEST(COUNT(*), 1), 9) AS m3,
+               ROUND(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                              THEN 1 ELSE 0 END)
+                     / GREATEST(COUNT(*), 1), 9) AS m4,
+               ROUND(SUM(CASE WHEN o_custkey >= 0 THEN 1 ELSE 0 END)
+                     / GREATEST(COUNT(*), 1), 9) AS m5,
+               ROUND(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+                     / GREATEST(COUNT(*), 1), 9) AS m6
+        FROM orders
+    )
+    SELECT 0 AS rule_id, 'complete' AS kind, 'o_orderkey' AS column,
+           m0 AS metric, m0 >= 1.0 AS passed FROM s
+    UNION ALL SELECT 1, 'unique', 'o_orderkey', m1, m1 >= 1.0 FROM s
+    UNION ALL SELECT 2, 'min', 'o_totalprice', m2, m2 >= 0.0 FROM s
+    UNION ALL SELECT 3, 'in_set', 'o_orderstatus', m3, m3 >= 1.0 FROM s
+    UNION ALL SELECT 4, 'matches', 'o_orderpriority', m4, m4 >= 1.0 FROM s
+    UNION ALL SELECT 5, 'non_negative', 'o_custkey', m5, m5 >= 1.0 FROM s
+    UNION ALL SELECT 6, 'complete', 'o_orderdate', m6, m6 >= 0.5 FROM s
+    ORDER BY rule_id
 """
