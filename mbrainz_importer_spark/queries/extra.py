@@ -274,6 +274,39 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: customers' market segment versioned through three
+    deterministic change waves (a real change, a chained second change,
+    and a NO-OP repeat that must collapse) — the warehouse twin of the
+    engine's datom history. One shuffle on the key."""
+    from ..operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        d("2024-01-01").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+    )
+    waves = [
+        (3, "SEG-A", "2024-02-01"),
+        (6, "SEG-B", "2024-03-01"),
+        (6, "SEG-B", "2024-04-01"),  # no-op: collapses
+    ]
+    changes = None
+    for mod, seg, eff in waves:
+        w = cust.where(F.col("c_custkey") % mod == 0).select(
+            "c_custkey", F.lit(seg).alias("segment"),
+            d(eff).alias("effective_from"),
+        )
+        changes = w if changes is None else changes.unionByName(w)
+    return scd2_apply(dim, changes, "c_custkey", ["segment"]).orderBy(
+        "c_custkey", "effective_from"
+    )
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-shaped expectations on orders: completeness, uniqueness,
     bounds, set membership, pattern — ALL metrics in one aggregation
@@ -327,6 +360,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "scd2_dimension": scd2_dimension,
     "data_quality_checks": data_quality_checks,
     "zorder_keys": zorder_keys,
     "session_stats": session_stats,
@@ -577,4 +611,34 @@ ORACLES["data_quality_checks"] = """
     UNION ALL SELECT 5, 'non_negative', 'o_custkey', m5, m5 >= 1.0 FROM s
     UNION ALL SELECT 6, 'complete', 'o_orderdate', m6, m6 >= 0.5 FROM s
     ORDER BY rule_id
+"""
+
+ORACLES["scd2_dimension"] = """
+    WITH cur AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, DATE '2024-01-01' AS eff
+        FROM customer
+    ), ch AS (
+        SELECT c_custkey, 'SEG-A', DATE '2024-02-01'
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'SEG-B', DATE '2024-03-01'
+        FROM customer WHERE c_custkey % 6 = 0
+        UNION ALL
+        SELECT c_custkey, 'SEG-B', DATE '2024-04-01'
+        FROM customer WHERE c_custkey % 6 = 0
+    ), cand AS (
+        SELECT * FROM cur UNION ALL SELECT * FROM ch
+    ), kept AS (
+        SELECT k, seg, eff FROM (
+            SELECT k, seg, eff,
+                   LAG(seg) OVER (PARTITION BY k ORDER BY eff) AS prev_seg,
+                   LAG(eff) OVER (PARTITION BY k ORDER BY eff) AS prev_eff
+            FROM cand
+        )
+        WHERE prev_eff IS NULL OR seg IS DISTINCT FROM prev_seg
+    )
+    SELECT k AS c_custkey, seg AS segment, eff AS effective_from,
+           LEAD(eff) OVER (PARTITION BY k ORDER BY eff) AS effective_to
+    FROM kept
+    ORDER BY c_custkey, effective_from
 """
