@@ -275,6 +275,24 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def feature_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature conditioning: z-score + min-max + exact-percentile
+    winsorization over a bounded lineitem slice — stats in one pass,
+    broadcast into a pure projection (the corpus never shuffles)."""
+    from ..operators.features import minmax_normalize, winsorize, zscore_normalize
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    out = zscore_normalize(li, ["l_quantity"])
+    out = minmax_normalize(out, ["l_extendedprice"])
+    out = winsorize(out, "l_quantity", 0.05, 0.95)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity_z", "l_extendedprice_mm",
+        F.round(F.col("l_quantity_w"), 6).alias("l_quantity_w"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 merge: customers' market segment versioned through three
     deterministic change waves (a real change, a chained second change,
@@ -360,6 +378,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "feature_normalization": feature_normalization,
     "scd2_dimension": scd2_dimension,
     "data_quality_checks": data_quality_checks,
     "zorder_keys": zorder_keys,
@@ -641,4 +660,25 @@ ORACLES["scd2_dimension"] = """
            LEAD(eff) OVER (PARTITION BY k ORDER BY eff) AS effective_to
     FROM kept
     ORDER BY c_custkey, effective_from
+"""
+
+ORACLES["feature_normalization"] = """
+    WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
+    s AS (
+        SELECT AVG(l_quantity) AS m, STDDEV_SAMP(l_quantity) AS sd,
+               MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+               quantile_cont(l_quantity, 0.05) AS wlo,
+               quantile_cont(l_quantity, 0.95) AS whi
+        FROM li
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN sd IS NOT NULL AND sd <> 0
+                      THEN (l_quantity - m) / sd END, 6) AS l_quantity_z,
+           ROUND(CASE WHEN hi <> lo
+                      THEN (l_extendedprice - lo) / (hi - lo) END, 6)
+               AS l_extendedprice_mm,
+           ROUND(LEAST(GREATEST(CAST(l_quantity AS DOUBLE), wlo), whi), 6)
+               AS l_quantity_w
+    FROM li, s
+    ORDER BY l_orderkey, l_linenumber
 """
