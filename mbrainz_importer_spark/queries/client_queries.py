@@ -89,9 +89,35 @@ def schema_rename_ident(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("e")
 
 
+
+def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG first stage end-to-end: chunk documents into overlapping
+    token windows, build the postings index OVER THE CHUNKS, rank with
+    quantized BM25, return the top chunks with their (doc, chunk)
+    provenance — a pure composition of chunk_documents +
+    build_fulltext_index + fulltext_bm25_topk, certified as one plan."""
+    from ..operators.chunking import chunk_documents
+    from ..operators.fulltext import build_fulltext_index, fulltext_bm25_topk
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, stride=24)
+    ch = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "chunk_text",
+    )
+    idx = build_fulltext_index(ch, "cid", "chunk_text")
+    top = fulltext_bm25_topk(idx, "vector table scan", k=15, mode="any")
+    return top.select(
+        F.expr("doc DIV 1000").cast("bigint").alias("doc_id"),
+        F.expr("doc % 1000").cast("bigint").alias("chunk_idx"),
+        "n_matched", "score",
+    )
+
+
 QUERIES = {
     "heavy_hitters_topk": heavy_hitters_topk,
     "doc_chunk_windows": doc_chunk_windows,
+    "chunk_retrieval_topk": chunk_retrieval_topk,
     "db_stats_attrs": db_stats_attrs,
     "squuid_events": squuid_events,
     "datoms_vaet_reverse": datoms_vaet_reverse,
@@ -176,3 +202,62 @@ ORACLES = {
         FROM h ORDER BY event_id
     """,
 }
+
+ORACLES["chunk_retrieval_topk"] = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter({_SQL_TOKS}, x -> x <> '') AS t
+        FROM documents WHERE doc_id < 200
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               CAST(u.s AS BIGINT) AS start_token,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.s)
+                    - 1 AS BIGINT) AS chunk_idx
+        FROM toks, UNNEST(range(0, len(t), 24)) AS u(s)
+    ),
+    chunks AS (
+        SELECT doc_id * 1000 + chunk_idx AS doc,
+               list_slice(t, start_token + 1, start_token + 32) AS ct
+        FROM starts
+    ),
+    postings AS (
+        SELECT doc, u.term, COUNT(*) AS tf
+        FROM chunks, UNNEST(ct) AS u(term)
+        GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc),
+    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    dfreq AS (
+        SELECT term,
+               (1000 * (SELECT n_docs FROM tot)) // COUNT(DISTINCT doc)
+                   AS idf_scaled
+        FROM postings
+        WHERE term IN ('scan', 'table', 'vector')
+        GROUP BY term
+    ),
+    ts AS (
+        SELECT p.doc,
+               (d.idf_scaled * 44 * p.tf) //
+               (20 * p.tf + 6 + (18 * dl.dl * (SELECT n_docs FROM tot))
+                    // (SELECT total FROM tot)) AS term_score
+        FROM postings p
+          JOIN dfreq d USING (term)
+          JOIN dl USING (doc)
+    ),
+    top AS (
+        SELECT doc,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(term_score) AS BIGINT) AS score
+        FROM ts
+        GROUP BY doc
+        ORDER BY score DESC, doc ASC
+        LIMIT 15
+    )
+    SELECT CAST(doc // 1000 AS BIGINT) AS doc_id,
+           CAST(doc % 1000 AS BIGINT) AS chunk_idx,
+           n_matched, score
+    FROM top
+    ORDER BY score DESC, doc_id ASC, chunk_idx ASC
+"""
