@@ -92,6 +92,15 @@ def mg_partials(df: DataFrame, text_col: str, capacity: int) -> DataFrame:
                     "err": err,
                 }
             )
+        elif err:
+            # every counter was evicted, but the partition's decrement
+            # total must still reach the merge — dropping it would
+            # UNDERSTATE the error bound (count_upper could fall below
+            # the true count). A null-token sentinel carries err only;
+            # mergers exclude it from token counts.
+            yield pd.DataFrame(
+                {"pid": [pid], "token": [None], "cnt": [0], "err": [err]}
+            )
 
     return toks.mapInPandas(summarize, schema=_PARTIAL_SCHEMA)
 
@@ -110,7 +119,11 @@ def heavy_hitters(
     total_err = partials.groupBy("pid").agg(F.max("err").alias("d")).agg(
         F.coalesce(F.sum("d"), F.lit(0)).alias("total_err")
     )
-    merged = partials.groupBy("token").agg(F.sum("cnt").alias("count_lower"))
+    merged = (
+        partials.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("count_lower"))
+    )
     out = merged.join(F.broadcast(total_err))
     out = out.withColumn(
         "count_upper", (F.col("count_lower") + F.col("total_err")).cast("bigint")
