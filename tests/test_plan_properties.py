@@ -136,3 +136,35 @@ def test_substring_coverage_no_cartesian(spark):
     p = plan_of(exact_substring_coverage(load(spark, SF, "documents")))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Sessionization is two LINEAR shuffles — the user-key window and
+    the (user, session) aggregate — never a join or cartesian."""
+    from mbrainz_importer_spark.operators.sessions import sessionize
+    from mbrainz_importer_spark.tables import load
+
+    p = plan_of(sessionize(load(spark, SF, "events")))
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+
+
+def test_scd2_no_cartesian_one_key_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.operators.scd import scd2_apply
+    from mbrainz_importer_spark.tables import load
+
+    cust = load(spark, SF, "customer")
+    dim = cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01").cast("date").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+    )
+    ch = cust.select(
+        "c_custkey", F.lit("X").alias("seg"),
+        F.lit("2024-02-01").cast("date").alias("effective_from"),
+    )
+    p = plan_of(scd2_apply(dim, ch, "c_custkey", ["seg"]))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
