@@ -351,6 +351,38 @@ def pull_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("e", "name", "balance", "segment", "nation_name").orderBy("e")
 
 
+def pull_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull OVER THE DATOM STORE: the nation/region profile projection
+    reading materialize_datoms -> read_datoms (attribute-partitioned
+    parquet), so each pulled attribute is a partition-pruned scan —
+    certifying that pull, like datalog, runs against durable storage
+    with the same hash as the in-memory view."""
+    import os
+
+    from ..plans.eav import materialize_datoms, read_datoms
+    from ..plans.pull import pull_entities, pull_ref
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_nr",
+    )
+    materialize_datoms(_datoms_small(spark, sf_dir), path)
+    store = read_datoms(spark, path)
+    prof = pull_entities(store, {
+        "name": ":nation/n_name",
+        "rk": ":nation/n_regionkey",
+    })
+    out = pull_ref(
+        prof, store, "rk", ":region/r_regionkey",
+        {"region_name": ":region/r_name"},
+    )
+    return (
+        out.where(F.col("name").isNotNull())
+        .select("e", "name", "region_name")
+        .orderBy("e")
+    )
+
+
 def pull_reverse_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse ref navigation (:nation/_regionkey analog): per region
     key, the sorted set of referencing nation entities, serialized for
@@ -833,6 +865,7 @@ QUERIES = {
     "datalog_not_clause": datalog_not_clause,
     "datalog_or_clause": datalog_or_clause,
     "pull_customer_profile": pull_customer_profile,
+    "pull_from_store": pull_from_store,
     "pull_reverse_refs": pull_reverse_refs,
     "pull_wildcard_attrs": pull_wildcard_attrs,
     "pull_recursive_parents": pull_recursive_parents,
@@ -997,6 +1030,13 @@ ORACLES = {
                c_mktsegment AS segment,
                n_name AS nation_name
         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY e
+    """,
+    "pull_from_store": """
+        SELECT CONCAT('nation:', CAST(n_nationkey AS VARCHAR)) AS e,
+               n_name AS name,
+               r_name AS region_name
+        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
         ORDER BY e
     """,
     "pull_reverse_refs": """
