@@ -105,14 +105,47 @@ def query_main(argv: list[str]) -> int:
     return 0
 
 
+def curate_main(argv: list[str]) -> int:
+    """`cli curate IN_PARQUET OUT_DIR [threshold]` — score a document
+    corpus (hashed-linear quality + compression band), write
+    `OUT_DIR/verdicts` (every doc's scores + keep flag) and
+    `OUT_DIR/kept` (surviving documents). The batch face of
+    streaming/quality_stream — identical scoring code."""
+    if len(argv) not in (2, 3):
+        print("usage: cli curate IN_PARQUET OUT_DIR [threshold]", file=sys.stderr)
+        return 2
+    in_path, out_dir = argv[0], argv[1]
+    threshold = float(argv[2]) if len(argv) == 3 else 0.0
+
+    from .session import get_spark
+    from .streaming.quality_stream import score_batch
+
+    spark = get_spark("curate")
+    docs = spark.read.parquet(in_path)
+    verdicts = score_batch(docs, threshold=threshold)
+    verdicts.write.mode("overwrite").parquet(f"{out_dir}/verdicts")
+    kept = docs.join(
+        verdicts.where("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    kept.write.mode("overwrite").parquet(f"{out_dir}/kept")
+    n_all = docs.count()
+    n_kept = spark.read.parquet(f"{out_dir}/kept").count()
+    print(f"kept {n_kept}/{n_all} documents (threshold={threshold})")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "query":
         return query_main(argv[1:])
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:])
     if len(argv) != 1:
         print(
             "usage: python -m mbrainz_importer_spark.cli MANIFEST\n"
             "       python -m mbrainz_importer_spark.cli query WAREHOUSE "
-            "QUERY_EDN [param ...]",
+            "QUERY_EDN [param ...]\n"
+            "       python -m mbrainz_importer_spark.cli curate IN_PARQUET "
+            "OUT_DIR [threshold]",
             file=sys.stderr,
         )
         return 2

@@ -72,3 +72,22 @@ def test_link_tables_skipped(spark, warehouse):
     attrs = {r["a"] for r in datoms.select("a").distinct().collect()}
     assert ":artist/name" in attrs and ":label/name" in attrs
     assert not any(a.startswith(":release_artists/") for a in attrs)
+
+
+def test_cli_curate(spark, tmp_path):
+    from mbrainz_importer_spark.cli import curate_main
+
+    docs = spark.createDataFrame(
+        [(1, "a sensible document of ordinary varied prose right here"),
+         (2, "spam " * 400)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "curated")
+    assert curate_main([src, out, "-1.0"]) == 0
+    kept = spark.read.parquet(f"{out}/kept")
+    assert [r["doc_id"] for r in kept.collect()] == [1]  # spam fails the band
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.count() == 2
+    assert curate_main(["too-few"]) == 2

@@ -183,3 +183,23 @@ def test_history_pattern_verbatim_edn(spark):
         log_datoms(log),
     )
     assert [(r["e"], r["tx"]) for r in out.collect()] == [("u:1", 3)]
+
+
+def test_edn_string_fns(spark):
+    """Verbatim Datomic text with clojure.string fns and predicates."""
+    from mbrainz_importer_spark.plans.eav import build_datoms
+    from mbrainz_importer_spark.plans.query_edn import q_edn
+
+    df = spark.createDataFrame(
+        [(1, "Alpha"), (2, "beta")], "id int, name string"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q_edn(
+        """[:find ?n ?u ?len
+            :where [?e :t/name ?n]
+                   [(clojure.string/starts-with? ?n "A")]
+                   [(clojure.string/upper-case ?n) ?u]
+                   [(count ?n) ?len]]""",
+        datoms,
+    ).collect()
+    assert [(r["n"], r["u"], r["len"]) for r in out] == [("Alpha", "ALPHA", 5)]
