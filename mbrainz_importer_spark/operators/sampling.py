@@ -15,7 +15,7 @@ operators add zero exchanges to whatever plan they feed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 6 hex digits = 24 bits -> bucket in [0, 2^24); plenty of resolution
@@ -82,3 +82,30 @@ def stratified_sample(
         salt,
     )
     return df.where(bucket < F.lit(int(fraction * _BUCKETS)))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "sample-k-v1",
+) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, deterministically: rank
+    each group's keys by their salted md5 (a reproducible random order)
+    and keep the first k — the per-source quota sampler (cap every
+    crawl domain at k documents) where rate-based sampling can't hit an
+    exact count. One shuffle on the group key; the window ranks within
+    groups only (never a global window). Ties are impossible: the
+    md5 rank key includes the key itself."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    rank_key = F.md5(
+        F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -362,6 +362,21 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_coverage(docs, "doc_id", "text", window=8).orderBy("doc")
 
 
+
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: exactly 30 documents per source,
+    chosen by deterministic salted-md5 rank — the crawl-domain cap
+    rate-based sampling cannot hit exactly."""
+    from ..operators.sampling import sample_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sample_k_per_group(docs, "doc_id", "source", k=30)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed-linear quality classifier: md5 feature
     hashing into 4096 buckets, integer weights (deterministic stand-in
@@ -411,6 +426,7 @@ QUERIES = {
     "text_repetition_scores": text_repetition_scores,
     "split_assignment": split_assignment,
     "stratified_sample_docs": stratified_sample_docs,
+    "sample_k_per_source": sample_k_per_source,
     "quality_classifier_scores": quality_classifier_scores,
     "dedup_substring_coverage": dedup_substring_coverage,
     "compression_ratio_stats": compression_ratio_stats,
@@ -1182,3 +1198,17 @@ def _semdedup_oracle() -> str:
 
 
 ORACLES["semdedup_survivors"] = _semdedup_oracle()
+
+ORACLES["sample_k_per_source"] = """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('sample-k-v1#' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 30
+    ORDER BY doc_id
+"""

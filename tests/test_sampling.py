@@ -85,3 +85,26 @@ def test_repetition_scores_degenerate_doc(spark):
     assert rows[1]["top_fraction"] == 1.0
     assert rows[2]["dup_fraction"] == 0.0
     assert rows[2]["top_fraction"] == 0.25   # 4 unique trigrams
+
+
+def test_sample_k_per_group_exact_and_deterministic(spark):
+    from mbrainz_importer_spark.operators.sampling import sample_k_per_group
+
+    rows = [(i, "big" if i < 100 else "small") for i in range(103)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_k_per_group(df, "doc_id", "source", k=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by["big"]) == 10           # exact quota
+    assert sorted(by["small"]) == [100, 101, 102]  # undersized group kept whole
+
+    again = sample_k_per_group(df, "doc_id", "source", k=10).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+    # a different salt picks a different subset
+    other = sample_k_per_group(df, "doc_id", "source", k=10, salt="v2").collect()
+    assert sorted(r["doc_id"] for r in other) != sorted(r["doc_id"] for r in out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        sample_k_per_group(df, "doc_id", "source", k=0)
