@@ -276,6 +276,33 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event type, the 3-day moving sum/count of
+    daily event value (range between 2 preceding days and current) —
+    decimal-exact sums so the frame aggregation hashes across engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"),
+            F.count(F.lit(1)).alias("day_events"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-2, 0)
+    )
+    return daily.select(
+        "event_type", "day",
+        F.sum("day_value").over(w).cast("double").alias("rolling_value"),
+        F.sum("day_events").over(w).cast("bigint").alias("rolling_events"),
+    ).orderBy("event_type", "day")
+
+
 def feature_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature conditioning: z-score + min-max + exact-percentile
     winsorization over a bounded lineitem slice — stats in one pass,
@@ -378,6 +405,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rolling_daily_value": rolling_daily_value,
     "feature_normalization": feature_normalization,
     "scd2_dimension": scd2_dimension,
     "data_quality_checks": data_quality_checks,
@@ -681,4 +709,24 @@ ORACLES["feature_normalization"] = """
                AS l_quantity_w
     FROM li, s
     ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLES["rolling_daily_value"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS day_value,
+               COUNT(*) AS day_events
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, day,
+           CAST(SUM(day_value) OVER w AS DOUBLE) AS rolling_value,
+           CAST(SUM(day_events) OVER w AS BIGINT) AS rolling_events
+    FROM daily
+    WINDOW w AS (
+        PARTITION BY event_type
+        ORDER BY datediff('day', DATE '1970-01-01', day)
+        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_type, day
 """
