@@ -116,6 +116,11 @@ from pyspark.sql import functions as F
 AGGS = {
     "count", "count-distinct", "sum", "min", "max",
     "avg", "median", "variance", "stddev", "distinct",
+    # engine extension: EAV dynamic typing gives plain min/max the
+    # NUMERIC projection (null over string-typed attrs); min-str /
+    # max-str compare the canonical string value instead — what
+    # Datomic's typed (min ?x) does on a string attribute
+    "min-str", "max-str",
 }
 # aggregates that consume the numeric v_num projection
 _NUM_AGGS = {"sum", "min", "max", "avg", "median", "variance", "stddev"}
@@ -1829,6 +1834,9 @@ def q(query: dict, datoms: DataFrame, *params) -> DataFrame:
                 agg_cols.append(F.countDistinct(col).alias(name))
             elif agg == "distinct":
                 agg_cols.append(F.sort_array(F.collect_set(col)).alias(name))
+            elif agg in ("min-str", "max-str"):
+                fn = F.min if agg == "min-str" else F.max
+                agg_cols.append(fn(col).alias(name))
             elif "-" in agg and agg.split("-")[0] in ("min", "max"):
                 base, n_s = agg.rsplit("-", 1)
                 arr = F.sort_array(F.collect_set(col), asc=(base == "min"))

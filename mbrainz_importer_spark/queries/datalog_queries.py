@@ -169,6 +169,23 @@ def datalog_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("name")
 
 
+
+def datalog_minmax_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-valued min/max aggregates (min-str/max-str): per region
+    key, the lexically first and last nation name — the typed-attr
+    min/max Datomic gives on strings, as an explicit engine extension
+    over the EAV numeric-projection convention."""
+    datoms = _datoms_small(spark, sf_dir)
+    return q(
+        {"find": ["?rk", ("min-str", "?n"), ("max-str", "?n")],
+         "where": [
+             ["?e", ":nation/n_regionkey", "?rk"],
+             ["?e", ":nation/n_name", "?n"],
+         ]},
+        datoms,
+    ).orderBy("rk")
+
+
 def datalog_in_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:in collection binding ['?rk' '...'] — the input list becomes a
     broadcast seed relation (Datomic `[?rk ...]`)."""
@@ -883,6 +900,7 @@ QUERIES = {
     "datalog_edn_text_query": datalog_edn_text_query,
     "datalog_predicate_filter": datalog_predicate_filter,
     "datalog_string_fns": datalog_string_fns,
+    "datalog_minmax_str": datalog_minmax_str,
     "datalog_rules_union": datalog_rules_union,
     "datalog_schema_attrs": datalog_schema_attrs,
     "datalog_schema_attr_counts": datalog_schema_attr_counts,
@@ -1217,3 +1235,12 @@ ORACLES = {
         ORDER BY name
     """,
 }
+
+ORACLES["datalog_minmax_str"] = """
+    SELECT CAST(n_regionkey AS VARCHAR) AS rk,
+           MIN(n_name) AS min_str_n,
+           MAX(n_name) AS max_str_n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY rk
+"""

@@ -1014,3 +1014,32 @@ def test_string_fns_and_predicates(spark):
     with pytest.raises(DatalogError, match="int literal"):
         q({"find": ["?s"], "where": [["?e", ":t/name", "?n"],
                                      [("subs", "?n", "?n"), "?s"]]}, datoms)
+
+
+def test_min_max_str_aggregates(spark):
+    """(min-str ?x)/(max-str ?x): lexical min/max over the canonical
+    string value — the engine extension covering string-typed attrs
+    where plain (min ?x)'s numeric projection is null."""
+    df = spark.createDataFrame(
+        [(1, "banana"), (2, "apple"), (3, "cherry")], "id int, name string"
+    )
+    datoms = build_datoms({"t": (df, "id")})
+    out = q(
+        {"find": [("min-str", "?n"), ("max-str", "?n")],
+         "where": [["?e", ":t/name", "?n"]]},
+        datoms,
+    ).collect()[0]
+    assert out["min_str_n"] == "apple" and out["max_str_n"] == "cherry"
+
+    # grouped form
+    df2 = spark.createDataFrame(
+        [(1, "g1", "b"), (2, "g1", "a"), (3, "g2", "z")],
+        "id int, grp string, name string",
+    )
+    d2 = build_datoms({"t": (df2, "id")})
+    rows = q(
+        {"find": ["?g", ("min-str", "?n")],
+         "where": [["?e", ":t/grp", "?g"], ["?e", ":t/name", "?n"]]},
+        d2,
+    ).orderBy("g").collect()
+    assert [(r["g"], r["min_str_n"]) for r in rows] == [("g1", "a"), ("g2", "z")]
