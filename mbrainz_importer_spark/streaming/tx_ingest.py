@@ -1,0 +1,75 @@
+"""Streaming transactor — a stream of datom operations ingested into
+the DURABLE tx log, with time-travel reads over the accumulating
+store: the streaming face of plans/history.py's (d/with / as-of /
+since / tx-range) world, completing the loop that tx_watch.py reads
+reports FROM.
+
+Shape:
+- the incoming stream carries (e, a, v_num, tx, added) ops — a
+  transaction id stamped upstream (the import pipeline's batch ids, or
+  any monotonic epoch counter);
+- each micro-batch appends through the idempotent epoch sink, so a
+  replayed epoch never double-writes ops (exactly-once, the same
+  batch-id recipe as every sink here);
+- the accumulated parquet IS a history log: read_tx_log hands it to
+  as_of / since / history / tx_range unchanged, so a query at any t
+  sees exactly the transactions ingested up to t — stream==batch
+  equality is structural (same log rows, same operators) and pinned in
+  tests/test_tx_ingest.py.
+
+At scale the sink appends epoch-sized parquet files; compact_log
+rewrites the accumulated log attribute-partitioned (materialize_log's
+layout) so attribute-scoped reads prune — the background "indexing
+job" of the reference's transactor, run on whatever cadence suits the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.idempotency import BATCH_ID_COL, IdempotentParquetSink
+
+LOG_COLS = ["e", "a", "v_num", "tx", "added"]
+
+
+def tx_foreach_batch(sink: IdempotentParquetSink, prefix: str = "tx"):
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        ops = batch_df.select(*LOG_COLS).withColumn(
+            BATCH_ID_COL, F.concat_ws("-", F.lit(prefix), F.lit(epoch_id))
+        )
+        sink.load(ops, batch_df.sparkSession)
+
+    return write
+
+
+def start_tx_ingest(
+    op_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Wire an op stream into the durable log (availableNow)."""
+    sink = IdempotentParquetSink(out_path)
+    return (
+        op_stream.writeStream.foreachBatch(tx_foreach_batch(sink))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_tx_log(spark: SparkSession, out_path: str) -> DataFrame:
+    """The accumulated log, history-operator-shaped: feed to as_of /
+    since / history / tx_range / log_datoms directly."""
+    return spark.read.parquet(out_path).select(*LOG_COLS)
+
+
+def compact_log(spark: SparkSession, out_path: str, store_path: str) -> None:
+    """Rewrite the accumulated epoch files attribute-partitioned
+    (history.materialize_log layout) — the periodic index job that
+    turns append-order storage into pruned attribute scans."""
+    from ..plans.history import materialize_log
+
+    materialize_log(read_tx_log(spark, out_path), store_path)
