@@ -142,9 +142,43 @@ def edn_query(text: str) -> dict:
 
     if ":find" not in sections or ":where" not in sections:
         raise DatalogError("query needs :find and :where")
+
+    # Datomic find SPECIFICATIONS: [:find ?x .] scalar, [:find [?x ...]]
+    # collection, [:find [?x ?y]] single tuple — the spec shapes how a
+    # CLIENT materializes the relation (q_edn_spec); the compiled plan
+    # is the same relation either way. A single bracketed group of
+    # plain vars is a spec; a parenthesized call like (min ?x) has a
+    # non-var head and stays an aggregate term.
+    raw_find = list(sections[":find"])
+    find_spec = "rel"
+    if len(raw_find) >= 2 and raw_find[-1] == ".":
+        find_spec = "scalar"
+        raw_find = raw_find[:-1]
+        if len(raw_find) != 1:
+            raise DatalogError("[:find ?x .] takes exactly one find term")
+    elif (
+        len(raw_find) == 1
+        and isinstance(raw_find[0], list)
+        and raw_find[0]
+        and all(isinstance(x, str) for x in raw_find[0])
+        and raw_find[0][0].startswith("?")
+    ):
+        group = raw_find[0]
+        if group[-1] == "...":
+            if len(group) != 2:
+                raise DatalogError("[:find [?x ...]] takes one var")
+            find_spec = "coll"
+            raw_find = [group[0]]
+        else:
+            if not all(x.startswith("?") for x in group):
+                raise DatalogError(f"find tuple spec must be vars: {group}")
+            find_spec = "tuple"
+            raw_find = list(group)
+
     out: dict = {
-        "find": [_conv_find(t) for t in sections[":find"]],
+        "find": [_conv_find(t) for t in raw_find],
         "where": [_conv_entry(c) for c in sections[":where"]],
+        "find_spec": find_spec,
     }
     if ":in" in sections:
         out["in"] = [s for s in (_conv_in(x) for x in sections[":in"]) if s is not None]
@@ -192,3 +226,38 @@ def q_edn(
     if rules is not None:
         qd["rules"] = edn_rules(rules)
     return q(qd, datoms, *params)
+
+
+def q_edn_spec(
+    query: str,
+    datoms: DataFrame,
+    *params,
+    rules: str | None = None,
+):
+    """`d/q` with Datomic find-specification materialization:
+
+      [:find ?x ?y]       -> DataFrame (relation, as q_edn)
+      [:find ?x .]        -> the single scalar value (None if empty)
+      [:find [?x ...]]    -> a Python list of values
+      [:find [?x ?y]]     -> one tuple (None if empty)
+
+    Datomic picks an ARBITRARY row for `.` and tuple specs; a
+    distributed engine must not — here the relation orders by its
+    output columns first, so the scalar/tuple pick is deterministic.
+    Scalar/tuple fetch LIMIT 1 (bounded); the collection spec collects
+    one column of the full relation — a client materialization, sized
+    accordingly (use q_edn for a DataFrame at scale)."""
+    qd = edn_query(query)
+    spec = qd.pop("find_spec", "rel")
+    if rules is not None:
+        qd["rules"] = edn_rules(rules)
+    out = q(qd, datoms, *params)
+    if spec == "rel":
+        return out
+    ordered = out.orderBy(*out.columns)
+    if spec == "coll":
+        return [r[0] for r in ordered.collect()]
+    rows = ordered.limit(1).collect()
+    if not rows:
+        return None
+    return rows[0][0] if spec == "scalar" else tuple(rows[0])

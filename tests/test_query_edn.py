@@ -203,3 +203,44 @@ def test_edn_string_fns(spark):
         datoms,
     ).collect()
     assert [(r["n"], r["u"], r["len"]) for r in out] == [("Alpha", "ALPHA", 5)]
+
+
+def test_find_specifications(spark):
+    """Datomic find specs: scalar '.', collection [?x ...], single
+    tuple [?x ?y] — deterministic materialization (ordered pick)."""
+    from mbrainz_importer_spark.plans.eav import build_datoms
+    from mbrainz_importer_spark.plans.query_edn import q_edn, q_edn_spec
+
+    df = spark.createDataFrame(
+        [(1, "b", 10), (2, "a", 20), (3, "c", 30)],
+        "id int, name string, v int",
+    )
+    datoms = build_datoms({"t": (df, "id")})
+
+    # scalar: lexically first name (deterministic, not arbitrary)
+    assert q_edn_spec(
+        "[:find ?n . :where [?e :t/name ?n]]", datoms
+    ) == "a"
+    # collection
+    assert q_edn_spec(
+        "[:find [?n ...] :where [?e :t/name ?n]]", datoms
+    ) == ["a", "b", "c"]
+    # single tuple
+    assert q_edn_spec(
+        "[:find [?n ?v] :where [?e :t/name ?n] [?e :t/v ?v]]", datoms
+    ) == ("a", "20")
+    # relation spec passes through as a DataFrame
+    rel = q_edn_spec("[:find ?n :where [?e :t/name ?n]]", datoms)
+    assert hasattr(rel, "collect") and rel.count() == 3
+    # empty relation -> None scalar, [] collection
+    assert q_edn_spec(
+        '[:find ?n . :where [?e :t/name ?n] [(= ?n "zz")]]', datoms
+    ) is None
+    assert q_edn_spec(
+        '[:find [?n ...] :where [?e :t/name ?n] [(= ?n "zz")]]', datoms
+    ) == []
+    # plain q_edn ignores the spec metadata and stays columnar
+    assert q_edn("[:find ?n :where [?e :t/name ?n]]", datoms).count() == 3
+    # an aggregate call in a single bracketed group is NOT a tuple spec
+    out = q_edn("[:find (min ?v) :where [?e :t/v ?v]]", datoms).collect()
+    assert out[0]["min_v"] == 10.0
