@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_span_level",
     "dedup_substring_coverage",
     "hybrid_rrf_topk",
+    "quality_classifier_scores",
+    "semdedup_survivors",
 ]
 
 
