@@ -216,3 +216,36 @@ def semdedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    seed: int = LSH_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: multiply each embedding
+    by a seeded Gaussian matrix (out_dim x in_dim, a PLAN LITERAL —
+    the same offline-artifact contract as IVF centroids and LSH
+    hyperplanes) and scale by 1/sqrt(out_dim), preserving pairwise
+    distances in expectation. The standard cheap dimensionality
+    reduction before ANN indexing / clustering at corpus scale — a pure
+    per-row projection, zero shuffles, no UDF (out_dim dot products via
+    aggregate/zip_with). Rounded for engine-portable certification."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1: {out_dim}")
+    planes = hyperplanes(in_dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    comps = [
+        F.round(
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) * scale,
+            round_to,
+        )
+        for p in planes
+    ]
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*comps).alias("projected")
+    )

@@ -363,6 +363,17 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 8 dims (seeded plan-literal matrix),
+    long form for a representation-stable hash."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = S.random_projection(emb, out_dim=8, in_dim=64, seed=11)
+    return proj.select(
+        "id", F.posexplode("projected").alias("dim", "val")
+    ).orderBy("id", "dim")
+
+
 def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota sampling: exactly 30 documents per source,
     chosen by deterministic salted-md5 rank — the crawl-domain cap
@@ -426,6 +437,7 @@ QUERIES = {
     "text_repetition_scores": text_repetition_scores,
     "split_assignment": split_assignment,
     "stratified_sample_docs": stratified_sample_docs,
+    "embedding_random_projection": embedding_random_projection,
     "sample_k_per_source": sample_k_per_source,
     "quality_classifier_scores": quality_classifier_scores,
     "dedup_substring_coverage": dedup_substring_coverage,
@@ -1212,3 +1224,21 @@ ORACLES["sample_k_per_source"] = """
     WHERE rk <= 30
     ORDER BY doc_id
 """
+
+
+def _random_projection_oracle() -> str:
+    import math
+    planes = S.hyperplanes(64, 8, seed=11)
+    scale = repr(1.0 / math.sqrt(8.0))
+    selects = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        selects.append(
+            f"SELECT vec_id AS id, {i} AS dim, "
+            f"ROUND(list_inner_product(embedding::DOUBLE[], {lit}) * {scale}, 6) AS val "
+            "FROM embeddings"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY id, dim"
+
+
+ORACLES["embedding_random_projection"] = _random_projection_oracle()

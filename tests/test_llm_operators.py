@@ -340,3 +340,34 @@ def test_semdedup_trained_centroids(spark):
     from mbrainz_importer_spark.operators.similarity import semdedup_assign
     with _pytest.raises(ValueError, match="centroids"):
         semdedup_assign(df, [])
+
+
+def test_random_projection_distance_preservation(spark):
+    """JL property sanity: projected distances correlate with original
+    (identical vectors project identically; distinct directions stay
+    distinct); deterministic across runs; plan is a pure projection."""
+    from mbrainz_importer_spark.operators.similarity import random_projection
+
+    rows = [
+        (1, [1.0] * 16), (2, [1.0] * 16),            # identical pair
+        (3, [(-1.0) ** i for i in range(16)]),        # very different
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: list(r["projected"])
+           for r in random_projection(df, 4, 16, seed=3).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    again = {r["id"]: list(r["projected"])
+             for r in random_projection(df, 4, 16, seed=3).collect()}
+    assert again == out
+    # different seed, different projection
+    other = {r["id"]: list(r["projected"])
+             for r in random_projection(df, 4, 16, seed=4).collect()}
+    assert other[1] != out[1]
+
+    plan = random_projection(df, 4, 16)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, 0, 16)
