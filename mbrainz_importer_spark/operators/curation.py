@@ -577,6 +577,84 @@ def bigram_logprob_scores(
     )
 
 
+def interpolated_logprob_scores(
+    df: DataFrame,
+    lam: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jelinek–Mercer interpolated LM — the smoothing step between the
+    corpus-self bigram and unigram models:
+
+        P(w_i | w_{i-1}) = lam * P_bi(w_i | w_{i-1}) + (1-lam) * P_uni(w_i)
+
+    scored as the per-doc mean of -log2 P over bigram positions. With
+    both components trained on the scored corpus itself the bigram is
+    never zero, but interpolation still matters: it damps the
+    overconfidence of rare contexts (a count-1 context gives its only
+    continuation P_bi = 1), which is exactly why production KenLM
+    filters smooth. Same certification recipe as the other LM faces
+    (round 6 on the mean)."""
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = df.select(
+        F.col(id_col).alias("doc"), F.explode(bigrams).alias("bg")
+    ).withColumn("w", F.substring_index(F.col("bg"), " ", -1))
+    b_counts = stream.groupBy("bg").agg(F.count(F.lit(1)).alias("bc"))
+    ctx = (
+        b_counts.select(
+            F.substring_index(F.col("bg"), " ", 1).alias("ctx"), "bc"
+        )
+        .groupBy("ctx")
+        .agg(F.sum("bc").alias("cc"))
+    )
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    n_tok = uni.agg(F.sum("tf").cast("double").alias("N"))
+    p_bi = F.col("bc").cast("double") / F.col("cc")
+    p_uni = F.col("tf").cast("double") / F.col("N")
+    scored = (
+        stream.join(F.broadcast(b_counts), "bg")
+        .join(
+            F.broadcast(ctx),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("ctx"),
+        )
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "doc",
+            (-F.log2(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)).alias(
+                "__nlp"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(
+            scored.groupBy("doc").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.round(F.avg("__nlp"), 6).alias("mean_neg_log2p"),
+            ),
+            "doc",
+            "left",
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "mean_neg_log2p",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic global shuffle + training shards
 # ---------------------------------------------------------------------------

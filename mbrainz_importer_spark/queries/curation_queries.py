@@ -93,6 +93,14 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bigram_logprob_scores(docs, "doc_id", "text").orderBy("doc_id")
 
 
+
+def interpolated_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer smoothed LM (0.75 bigram + 0.25 unigram) — the
+    smoothing rung between the bigram and unigram faces."""
+    docs = load(spark, sf_dir, "documents")
+    return C.interpolated_logprob_scores(docs, 0.75, "doc_id", "text").orderBy("doc_id")
+
+
 def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return C.assign_shards(docs, "doc_id", n_shards=8).orderBy("doc_id")
@@ -183,6 +191,7 @@ QUERIES = {
     "training_shards": training_shards,
     "unigram_lm_scores": unigram_lm_scores,
     "bigram_lm_scores": bigram_lm_scores,
+    "interpolated_lm_scores": interpolated_lm_scores,
     "mixture_sample": mixture_sample,
     "mixture_temperature": mixture_temperature,
     "vocab_top_tokens": vocab_top_tokens,
@@ -485,3 +494,43 @@ ORACLES = {
         ORDER BY doc_id
     """,
 }
+
+ORACLES["interpolated_lm_scores"] = rf"""
+    WITH toks AS (
+        SELECT doc_id AS doc, {_SQL_TOKS} AS t FROM documents
+    ),
+    stream AS (
+        SELECT doc, t[u.i] || ' ' || t[u.i + 1] AS bg, t[u.i + 1] AS w
+        FROM toks, UNNEST(
+            CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END
+        ) AS u(i)
+    ),
+    bcnt AS (SELECT bg, count(*) AS bc FROM stream GROUP BY bg),
+    ctx AS (
+        SELECT split_part(bg, ' ', 1) AS ctx, SUM(bc) AS cc
+        FROM bcnt GROUP BY 1
+    ),
+    uni AS (
+        SELECT u.w AS w, count(*) AS tf
+        FROM toks, UNNEST(t) AS u(w) GROUP BY u.w
+    ),
+    ntok AS (SELECT CAST(SUM(tf) AS DOUBLE) AS N FROM uni),
+    agg AS (
+        SELECT s.doc,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-log2(
+                   0.75 * (CAST(b.bc AS DOUBLE) / c.cc)
+                   + 0.25 * (CAST(un.tf AS DOUBLE) / (SELECT N FROM ntok))
+               )), 6) AS mean_neg_log2p
+        FROM stream s
+          JOIN bcnt b USING (bg)
+          JOIN ctx c ON split_part(s.bg, ' ', 1) = c.ctx
+          JOIN uni un ON s.w = un.w
+        GROUP BY s.doc
+    )
+    SELECT t.doc AS doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.mean_neg_log2p
+    FROM toks t LEFT JOIN agg a USING (doc)
+    ORDER BY doc_id
+"""

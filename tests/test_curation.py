@@ -268,3 +268,31 @@ def test_bigram_logprob_scores(spark):
     assert abs(out[2]["mean_neg_log2p"] - round(math.log2(3), 6)) < 1e-9
     # doc3: one token, no bigrams
     assert out[3]["n_bigrams"] == 0 and out[3]["mean_neg_log2p"] is None
+
+
+def test_interpolated_logprob_scores(spark):
+    """JM smoothing: lam=1 equals the pure bigram face; lam must damp a
+    count-1 context's P_bi=1 certainty (score > 0 where bigram gives 0)."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    pure = {r["doc_id"]: r["mean_neg_log2p"]
+            for r in C.bigram_logprob_scores(df).collect()}
+    lam1 = {r["doc_id"]: r["mean_neg_log2p"]
+            for r in C.interpolated_logprob_scores(df, lam=1.0).collect()}
+    assert lam1 == pure
+
+    # doc with a unique context: bigram alone is overconfident
+    df2 = spark.createDataFrame(
+        [(1, "x y"), (2, "z w")], "doc_id long, text string"
+    )
+    bi = {r["doc_id"]: r["mean_neg_log2p"]
+          for r in C.bigram_logprob_scores(df2).collect()}
+    jm = {r["doc_id"]: r["mean_neg_log2p"]
+          for r in C.interpolated_logprob_scores(df2, lam=0.75).collect()}
+    assert bi[1] == 0.0          # P_bi(y|x) = 1 -> -log2(1) = 0
+    assert jm[1] > 0.0           # smoothing injects unigram mass
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lam"):
+        C.interpolated_logprob_scores(df, lam=1.5)
