@@ -193,19 +193,29 @@ def semdedup(
     an equi-join, the SemDeDup cost model. Returns (doc, cell, keep)
     for every input row."""
     assign = semdedup_assign(df, centroids, id_col, vec_col)
-    vecs = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    # norms precompute PER SIDE before the pair join — a per-pair
+    # cosine() would re-fold each 64-element norm once per pair
+    # (|cell|^2/2 times per vector), the exact waste brute_force_topk's
+    # layout avoids; only the dot product is genuinely per-pair work
+    vecs = df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    )
     a = assign.join(vecs, "doc").select(
         F.col("doc").alias("id_a"), F.col("cell").alias("cell_a"),
-        F.col("v").alias("va"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
     )
     b = assign.join(vecs, "doc").select(
         F.col("doc").alias("id_b"), F.col("cell").alias("cell_b"),
-        F.col("v").alias("vb"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     dups = (
         a.join(b, (F.col("cell_a") == F.col("cell_b"))
                & (F.col("id_a") < F.col("id_b")))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(sim >= threshold)
         .select(F.col("id_b").alias("doc"))
         .distinct()
     )
