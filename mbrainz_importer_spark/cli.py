@@ -134,9 +134,30 @@ def curate_main(argv: list[str]) -> int:
     return 0
 
 
+def explain_main(argv: list[str]) -> int:
+    """`cli explain WAREHOUSE QUERY_EDN [param...]` — print the
+    PHYSICAL plan Catalyst chose for a verbatim Datomic query (the
+    .explain("formatted") a performance reviewer asks for: broadcasts,
+    exchanges, pushed filters), without executing it."""
+    if len(argv) < 2:
+        print("usage: cli explain WAREHOUSE QUERY_EDN [param ...]", file=sys.stderr)
+        return 2
+    warehouse, text, *params = argv
+
+    from .plans.query_edn import q_edn
+    from .session import get_spark
+
+    spark = get_spark("explain")
+    out = q_edn(text, warehouse_datoms(spark, warehouse), *params)
+    out.explain(mode="formatted")  # prints the formatted physical plan
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if argv and argv[0] == "query":
         return query_main(argv[1:])
+    if argv and argv[0] == "explain":
+        return explain_main(argv[1:])
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
     if len(argv) != 1:

@@ -364,6 +364,28 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus report card in ONE aggregation pass: sizes, token
+    totals, source/language diversity, length-band share — the summary
+    a pipeline run prints before and after curation."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.token_count(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.min(toks).cast("bigint").alias("min_tokens"),
+        F.max(toks).cast("bigint").alias("max_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum((toks >= 100).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("frac_long_docs"),
+    )
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64 -> 8 dims (seeded plan-literal matrix),
     long form for a representation-stable hash."""
@@ -437,6 +459,7 @@ QUERIES = {
     "text_repetition_scores": text_repetition_scores,
     "split_assignment": split_assignment,
     "stratified_sample_docs": stratified_sample_docs,
+    "corpus_report": corpus_report,
     "embedding_random_projection": embedding_random_projection,
     "sample_k_per_source": sample_k_per_source,
     "quality_classifier_scores": quality_classifier_scores,
@@ -1242,3 +1265,22 @@ def _random_projection_oracle() -> str:
 
 
 ORACLES["embedding_random_projection"] = _random_projection_oracle()
+
+ORACLES["corpus_report"] = r"""
+    WITH t AS (
+        SELECT source, lang, text,
+               len(regexp_split_to_array(lower(trim(text)), '\s+')) AS nt
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(AVG(nt), 4) AS avg_tokens,
+           CAST(MIN(nt) AS BIGINT) AS min_tokens,
+           CAST(MAX(nt) AS BIGINT) AS max_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           ROUND(SUM(CASE WHEN nt >= 100 THEN 1 ELSE 0 END) / COUNT(*), 6)
+               AS frac_long_docs
+    FROM t
+"""

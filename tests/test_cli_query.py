@@ -91,3 +91,17 @@ def test_cli_curate(spark, tmp_path):
     verdicts = spark.read.parquet(f"{out}/verdicts")
     assert verdicts.count() == 2
     assert curate_main(["too-few"]) == 2
+
+
+def test_cli_explain(spark, warehouse, capsys):
+    from mbrainz_importer_spark.cli import explain_main
+
+    rc = explain_main([
+        warehouse,
+        "[:find ?attr :where [?e :db/unique] [?e :db/ident ?attr]]",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "Scan" in out  # a real plan, not a stringified logical tree
+    assert explain_main(["only-one-arg"]) == 2
