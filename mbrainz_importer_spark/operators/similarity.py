@@ -259,3 +259,59 @@ def random_projection(
     return df.select(
         F.col(id_col).alias("id"), F.array(*comps).alias("projected")
     )
+
+
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """The Arrow/numpy face of brute_force_topk — same contract, same
+    (rounded) scores, same deterministic ranking. The bounded query set
+    (the interactive-search contract: queries are few, the corpus is
+    big) collects to a literal matrix; the corpus streams through
+    mapInPandas in Arrow batches and each batch scores ALL queries with
+    one BLAS matmul. Per-pair cost drops from an interpreted
+    higher-order fold (expression aggregate/zip_with never enters
+    whole-stage codegen) to a vectorized multiply — the documented
+    "drop to pandas UDF when built-ins can't express it FAST" path.
+    Rounding to 6 absorbs the summation-order difference between numpy
+    pairwise sums and sequential folds, so the two faces agree
+    (asserted in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = queries.select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("brute_force_topk_arrow needs a non-empty query set")
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            sims = np.round((C @ Q.T) / np.outer(cn, qn), 6)  # b x q
+            b, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(qids, b),
+                    "nid": np.repeat(nid, q),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+
+    pairs = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="qid long, nid long, cos_sim double"
+    ).where(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
