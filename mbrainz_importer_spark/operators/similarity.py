@@ -172,12 +172,53 @@ def semdedup_assign(
     )
 
 
+
+def semdedup_assign_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow face of semdedup_assign: one matmul against the centroid
+    matrix per batch instead of k interpreted cosine folds per row.
+    HALF_UP rounding emulated (numpy rounds half-even) and np.argmax's
+    first-max tie-break IS the expression face's (sim desc, cell asc),
+    so assignments match bit-for-bit (asserted in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    if not centroids:
+        raise ValueError("semdedup_assign_arrow needs centroids")
+    C = np.array(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            S = (V @ C.T) / np.outer(vn, cn)
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "doc": pdf[id_col].to_numpy(),
+                    "cell": S.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema="doc long, cell int"
+    )
+
+
 def semdedup(
     df: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): embeddings cluster
@@ -201,24 +242,30 @@ def semdedup(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
     )
-    a = assign.join(vecs, "doc").select(
-        F.col("doc").alias("id_a"), F.col("cell").alias("cell_a"),
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = assign.join(vecs, "doc").select(
-        F.col("doc").alias("id_b"), F.col("cell").alias("cell_b"),
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
-    )
-    sim = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
-    dups = (
-        a.join(b, (F.col("cell_a") == F.col("cell_b"))
-               & (F.col("id_a") < F.col("id_b")))
-        .where(sim >= threshold)
-        .select(F.col("id_b").alias("doc"))
-        .distinct()
-    )
+    if use_arrow:
+        assign = semdedup_assign_arrow(df, centroids, id_col, vec_col)
+        dups = _semdedup_dups_arrow(
+            assign.join(vecs, "doc"), threshold
+        )
+    else:
+        a = assign.join(vecs, "doc").select(
+            F.col("doc").alias("id_a"), F.col("cell").alias("cell_a"),
+            F.col("v").alias("va"), F.col("n").alias("na"),
+        )
+        b = assign.join(vecs, "doc").select(
+            F.col("doc").alias("id_b"), F.col("cell").alias("cell_b"),
+            F.col("v").alias("vb"), F.col("n").alias("nb"),
+        )
+        sim = F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        )
+        dups = (
+            a.join(b, (F.col("cell_a") == F.col("cell_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .where(sim >= threshold)
+            .select(F.col("id_b").alias("doc"))
+            .distinct()
+        )
     return (
         assign.join(dups.withColumn("__dup", F.lit(True)), "doc", "left")
         .select(
@@ -226,6 +273,36 @@ def semdedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+
+def _semdedup_dups_arrow(cells: DataFrame, threshold: float) -> DataFrame:
+    """Vectorized within-cell duplicate detection: applyInPandas per
+    cell, one Gram matmul per cell instead of |cell|² interpreted
+    higher-order dot folds. Rounding emulates Spark's HALF_UP (numpy's
+    round is banker's) so the kept set matches the expression face
+    bit-for-bit. Per-cell memory is |cell|² doubles — the same bounded-
+    cell contract as the paper (cap cluster sizes upstream if a cell
+    could exceed executor memory)."""
+    import numpy as np
+    import pandas as pd
+
+    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"doc": []}).astype({"doc": "int64"})
+        order = np.argsort(pdf["doc"].to_numpy())
+        ids = pdf["doc"].to_numpy()[order]
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        n = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(n, n)
+        S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6  # HALF_UP
+        hit = S >= threshold
+        np.fill_diagonal(hit, False)
+        # doc j is a dup iff any SMALLER-id cell-mate i<j is similar
+        dup = np.triu(hit, k=1).any(axis=0)
+        return pd.DataFrame({"doc": ids[dup].astype("int64")})
+
+    return cells.groupBy("cell").applyInPandas(find_dups, schema="doc long")
 
 
 def random_projection(

@@ -401,3 +401,21 @@ def test_brute_force_topk_arrow_equals_expression_face(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         brute_force_topk_arrow(emb.where("vec_id < 0"), emb)
+
+
+def test_semdedup_arrow_faces_equal(spark):
+    """Arrow assignment + verification match the expression face
+    bit-for-bit (HALF_UP emulation, first-max tie-break)."""
+    from mbrainz_importer_spark.operators.similarity import (
+        hyperplanes, semdedup, semdedup_assign, semdedup_assign_arrow,
+    )
+    from mbrainz_importer_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = hyperplanes(64, 8, seed=7)
+    ae = sorted(map(tuple, semdedup_assign(emb, cents).collect()))
+    aa = sorted(map(tuple, semdedup_assign_arrow(emb, cents).collect()))
+    assert ae == aa
+    expr = sorted(map(tuple, semdedup(emb, cents, 0.3).collect()))
+    arrow = sorted(map(tuple, semdedup(emb, cents, 0.3, use_arrow=True).collect()))
+    assert expr == arrow
