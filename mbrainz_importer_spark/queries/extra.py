@@ -277,6 +277,28 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over each user's event sequence:
+    counts and conditional probabilities P(next | prev) from per-user
+    lag pairs ordered by (ts, event_id) — the behavioral-sequence
+    analytics every event warehouse runs; one shuffle on the user key
+    plus a tiny (|types|^2) aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(totals), 6).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
+
+
 def rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per event type, the 3-day moving sum/count of
     daily event value (range between 2 preceding days and current) —
@@ -405,6 +427,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
     "rolling_daily_value": rolling_daily_value,
     "feature_normalization": feature_normalization,
     "scd2_dimension": scd2_dimension,
@@ -729,4 +752,21 @@ ORACLES["rolling_daily_value"] = """
         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
     )
     ORDER BY event_type, day
+"""
+
+ORACLES["event_transition_matrix"] = """
+    WITH pairs AS (
+        SELECT LAG(event_type) OVER w AS prev_type,
+               event_type AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), counts AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p_next
+    FROM counts
+    ORDER BY prev_type, next_type
 """
