@@ -278,6 +278,31 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted as active in each subsequent week offset — the canonical
+    product-analytics rollup. Week index is an integer day-diff
+    division (engine-portable; no date_trunc('week') locale edges).
+    Two linear shuffles: per-user cohort, then the (cohort, offset)
+    count."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+    ).cast("bigint")
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions over each user's event sequence:
     counts and conditional probabilities P(next | prev) from per-user
@@ -427,6 +452,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "cohort_retention": cohort_retention,
     "event_transition_matrix": event_transition_matrix,
     "rolling_daily_value": rolling_daily_value,
     "feature_normalization": feature_normalization,
@@ -769,4 +795,21 @@ ORACLES["event_transition_matrix"] = """
            ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p_next
     FROM counts
     ORDER BY prev_type, next_type
+"""
+
+ORACLES["cohort_retention"] = """
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                    AS BIGINT) AS week
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_week, a.week - c.cohort_week
+    ORDER BY cohort_week, week_offset
 """
