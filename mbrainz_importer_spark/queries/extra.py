@@ -279,6 +279,44 @@ def datoms_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types over user
+    'documents': PMI(a,b) = log2(P(a,b) / (P(a)P(b))) with P the
+    fraction of users exhibiting the type(s) — the association measure
+    behind co-occurrence analysis. Distinct user-type pairs self-join
+    on user (bounded fan-out: |types| per user), tiny aggregates."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("ta"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("tb"))
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        both.join(F.broadcast(singles.withColumnRenamed("event_type", "ta")
+                              .withColumnRenamed("n1", "na")), "ta")
+        .join(F.broadcast(singles.withColumnRenamed("event_type", "tb")
+                          .withColumnRenamed("n1", "nb")), "tb")
+        .select(
+            "ta", "tb", "n_both",
+            F.round(
+                F.log2(
+                    (F.col("n_both") * F.lit(float(n_users)))
+                    / (F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-activity week,
     counted as active in each subsequent week offset — the canonical
@@ -452,6 +490,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "event_type_pmi": event_type_pmi,
     "cohort_retention": cohort_retention,
     "event_transition_matrix": event_transition_matrix,
     "rolling_daily_value": rolling_daily_value,
@@ -812,4 +851,24 @@ ORACLES["cohort_retention"] = """
     FROM activity a JOIN cohorts c USING (user_id)
     GROUP BY c.cohort_week, a.week - c.cohort_week
     ORDER BY cohort_week, week_offset
+"""
+
+ORACLES["event_type_pmi"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM ut),
+    singles AS (SELECT event_type, COUNT(*) AS n1 FROM ut GROUP BY event_type),
+    pairs2 AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+        WHERE a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT ta, tb, n_both,
+           ROUND(log2((n_both * (SELECT n FROM nu)) / (sa.n1 * sb.n1)), 6)
+               AS pmi
+    FROM pairs2
+      JOIN singles sa ON sa.event_type = ta
+      JOIN singles sb ON sb.event_type = tb
+    ORDER BY ta, tb
 """
