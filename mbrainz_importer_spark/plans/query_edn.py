@@ -4,10 +4,13 @@ engine (`q_edn`), so queries from the reference's examples
 
 Built on the repo's EDN reader (edn.py), which collapses vectors and
 lists into Python lists; clause shapes are therefore recovered by
-CONTEXT, exactly one ambiguity remains and is documented: a bare
-3-element list in :where is always read as a triple pattern, so rule
-invocations must use the (also valid Datomic) wrapped form
-`[(rule ?a ?b)]` rather than bare `(rule ?a ?b)`.
+CONTEXT. Rule invocations work in BOTH Datomic spellings: the wrapped
+form `[(rule ?a ?b)]` and the bare form `(rule ?a ?b)` — a :where
+entry whose head is a plain symbol (not ?var / :keyword / $db / _) is
+compiled as an invocation when the symbol names a declared rule, and
+REJECTED with a DatalogError otherwise (never silently scanned as a
+triple pattern; Datomic entity positions are vars/eids/idents, so a
+plain-symbol head can only mean a rule call).
 
 Supported surface (delegating to plans/datalog.py):
   - vector queries `[:find ... :in ... :with ... :where ...]` and map
@@ -35,35 +38,60 @@ _SECTIONS = {
 }
 
 
-def _conv_call(form: list):
+def _is_plain_symbol(head) -> bool:
+    """A head that can only be a rule name (or a mistake): a string
+    that is not a ?var, :keyword, $db marker, or _ wildcard. Datomic
+    entity positions are vars / numeric eids / :idents / lookup-ref
+    vectors — never a bare symbol — so this is unambiguous."""
+    return isinstance(head, str) and not head.startswith(("?", ":", "$", "_"))
+
+
+def _conv_call(form: list, rule_names: frozenset = frozenset()):
     """A call form (predicate / fn / rule / not / or / and) -> tuple."""
     if not form:
         raise DatalogError("empty call form in query")
     head = form[0]
     if head == "not":
-        return tuple(["not"] + [_conv_inner(c) for c in form[1:]])
+        return tuple(["not"] + [_conv_inner(c, rule_names) for c in form[1:]])
     if head == "not-join":
-        return tuple(["not-join", list(form[1])] + [_conv_inner(c) for c in form[2:]])
+        return tuple(
+            ["not-join", list(form[1])]
+            + [_conv_inner(c, rule_names) for c in form[2:]]
+        )
     if head == "or":
-        return tuple(["or"] + [_conv_leg(c) for c in form[1:]])
+        return tuple(["or"] + [_conv_leg(c, rule_names) for c in form[1:]])
     if head == "or-join":
-        return tuple(["or-join", list(form[1])] + [_conv_leg(c) for c in form[2:]])
+        return tuple(
+            ["or-join", list(form[1])]
+            + [_conv_leg(c, rule_names) for c in form[2:]]
+        )
     if head == "and":
-        return tuple(["and"] + [_conv_inner(c) for c in form[1:]])
+        return tuple(["and"] + [_conv_inner(c, rule_names) for c in form[1:]])
     return tuple(form)
 
 
-def _conv_entry(cl) -> list:
+def _conv_entry(cl, rule_names: frozenset = frozenset()) -> list:
     """One :where entry -> the dict-mirror entry shape."""
     if not isinstance(cl, list) or not cl:
         raise DatalogError(f"unrecognized :where clause {cl!r}")
     if cl[0] in ("not", "or", "not-join", "or-join"):
         # Datomic writes (not ...) / (or ...) directly in :where
-        return [_conv_call(cl)]
+        return [_conv_call(cl, rule_names)]
+    if _is_plain_symbol(cl[0]):
+        # Bare rule invocation `(ancestor ?x ?y)` — the EDN reader
+        # flattens the parens, so it arrives shaped like a pattern;
+        # the plain-symbol head disambiguates (see module docstring).
+        if cl[0] in rule_names:
+            return [_conv_call(cl, rule_names)]
+        raise DatalogError(
+            f"unknown head symbol {cl[0]!r} in :where clause {cl!r} — "
+            "not a declared rule name; patterns start with a ?var, "
+            "numeric eid, :ident, or $db marker"
+        )
     if len(cl) == 1 and isinstance(cl[0], list):
-        return [_conv_call(cl[0])]  # [(pred ...)] / [(rule ...)]
+        return [_conv_call(cl[0], rule_names)]  # [(pred ...)] / [(rule ...)]
     if len(cl) == 2 and isinstance(cl[0], list):
-        return [_conv_call(cl[0]), cl[1]]  # [(fn ...) ?out]
+        return [_conv_call(cl[0], rule_names), cl[1]]  # [(fn ...) ?out]
     if len(cl) == 2 and not any(isinstance(x, list) for x in cl):
         return list(cl)  # [e a] attribute-presence pattern
     if len(cl) == 3 and not any(isinstance(x, list) for x in cl):
@@ -91,20 +119,20 @@ def _conv_entry(cl) -> list:
     raise DatalogError(f"unrecognized :where clause {cl!r}")
 
 
-def _conv_inner(c):
+def _conv_inner(c, rule_names: frozenset = frozenset()):
     """Inner clause of not/and: pattern stays a list, a call becomes a
     bare tuple (the compiler re-wraps it)."""
-    e = _conv_entry(c)
+    e = _conv_entry(c, rule_names)
     if len(e) == 1 and isinstance(e[0], tuple):
         return e[0]
     return e
 
 
-def _conv_leg(c):
+def _conv_leg(c, rule_names: frozenset = frozenset()):
     """(or ...) leg: an (and ...) group, a pattern, or a single call."""
     if isinstance(c, list) and c and c[0] == "and":
-        return _conv_call(c)
-    return _conv_inner(c)
+        return _conv_call(c, rule_names)
+    return _conv_inner(c, rule_names)
 
 
 def _conv_find(term):
@@ -117,9 +145,11 @@ def _conv_in(spec):
     return spec  # scalar str, '$2'-style extra-db marker, or shaped list
 
 
-def edn_query(text: str) -> dict:
+def edn_query(text: str, rule_names: frozenset = frozenset()) -> dict:
     """Parse EDN query text (vector or map form) into the compiler's
-    dict mirror."""
+    dict mirror. `rule_names` are the declared rule heads (from the
+    :in % rules argument) so bare `(rule ?a ?b)` invocations compile
+    as calls, not triple patterns."""
     form = loads(text)
     sections: dict[str, list] = {}
     if isinstance(form, dict):
@@ -177,7 +207,7 @@ def edn_query(text: str) -> dict:
 
     out: dict = {
         "find": [_conv_find(t) for t in raw_find],
-        "where": [_conv_entry(c) for c in sections[":where"]],
+        "where": [_conv_entry(c, rule_names) for c in sections[":where"]],
         "find_spec": find_spec,
     }
     if ":in" in sections:
@@ -201,16 +231,30 @@ def edn_query(text: str) -> dict:
 
 def edn_rules(text: str) -> list:
     """Parse an EDN rule set "[[(name ?a ?b) clause ...] ...]" into the
-    compiler's rules shape."""
+    compiler's rules shape. Two passes: collect every defined rule name
+    first, so recursive bodies may invoke rules bare (`(ancestor ?z
+    ?y)`) as well as wrapped (`[(ancestor ?z ?y)]`)."""
     form = loads(text)
     if not isinstance(form, list):
         raise DatalogError(f"rules must be a vector of definitions: {form!r}")
-    defs = []
     for rd in form:
         if not isinstance(rd, list) or not rd or not isinstance(rd[0], list):
             raise DatalogError(f"rule needs a (name ?args...) head: {rd!r}")
-        defs.append([tuple(rd[0])] + [_conv_entry(c) for c in rd[1:]])
-    return defs
+    names = rule_set_names(form)
+    return [
+        [tuple(rd[0])] + [_conv_entry(c, names) for c in rd[1:]]
+        for rd in form
+    ]
+
+
+def rule_set_names(rules) -> frozenset:
+    """Declared rule-head names from either the parsed-EDN shape or the
+    compiler's dict-mirror rules shape (both are [[head, clause...]])."""
+    names = set()
+    for rd in rules or ():
+        if isinstance(rd, list) and rd and isinstance(rd[0], (list, tuple)) and rd[0]:
+            names.add(rd[0][0])
+    return frozenset(names)
 
 
 def q_edn(
@@ -222,9 +266,10 @@ def q_edn(
     """Run EDN query text against a datoms view. `params` bind :in
     (scalars / collections / tuples / relations as Python values);
     `rules` is EDN rule-set text (the :in % argument)."""
-    qd = edn_query(query)
-    if rules is not None:
-        qd["rules"] = edn_rules(rules)
+    parsed_rules = edn_rules(rules) if rules is not None else None
+    qd = edn_query(query, rule_set_names(parsed_rules))
+    if parsed_rules is not None:
+        qd["rules"] = parsed_rules
     return q(qd, datoms, *params)
 
 
@@ -247,10 +292,11 @@ def q_edn_spec(
     Scalar/tuple fetch LIMIT 1 (bounded); the collection spec collects
     one column of the full relation — a client materialization, sized
     accordingly (use q_edn for a DataFrame at scale)."""
-    qd = edn_query(query)
+    parsed_rules = edn_rules(rules) if rules is not None else None
+    qd = edn_query(query, rule_set_names(parsed_rules))
     spec = qd.pop("find_spec", "rel")
-    if rules is not None:
-        qd["rules"] = edn_rules(rules)
+    if parsed_rules is not None:
+        qd["rules"] = parsed_rules
     out = q(qd, datoms, *params)
     if spec == "rel":
         return out

@@ -345,6 +345,33 @@ def datalog_recursive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, datoms).orderBy("y")
 
 
+def datalog_edn_bare_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARE rule invocation through the verbatim EDN front door —
+    `(ancestor ?x ?y)` unwrapped in :where AND inside the recursive rule
+    body, exactly as Datomic accepts it (reference examples write both
+    spellings). Same closure as datalog_recursive_ancestors, so the
+    DuckDB WITH RECURSIVE oracle is shared; what this gate certifies is
+    the parser path: a plain-symbol head compiles as an invocation, not
+    a triple pattern (plans/query_edn._conv_entry)."""
+    from ..plans.query_edn import q_edn
+
+    datoms = _tree_datoms(spark, sf_dir)
+    return q_edn(
+        """[:find ?x ?y
+            :in $ %
+            :where
+            (ancestor ?x ?y)]""",
+        datoms,
+        rules="""[[(ancestor ?x ?y)
+                   [?e :node/id ?x]
+                   [?e :node/parent ?y]]
+                  [(ancestor ?x ?y)
+                   [?e :node/id ?x]
+                   [?e :node/parent ?z]
+                   (ancestor ?z ?y)]]""",
+    ).orderBy("x", "y")
+
+
 def pull_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datomic pull analog: typed attribute projection per entity plus
     forward ref navigation ({:customer/nation [:nation/name]}) — one
@@ -898,6 +925,7 @@ QUERIES = {
     "datalog_in_collection": datalog_in_collection,
     "datalog_in_relation": datalog_in_relation,
     "datalog_edn_text_query": datalog_edn_text_query,
+    "datalog_edn_bare_rule": datalog_edn_bare_rule,
     "datalog_predicate_filter": datalog_predicate_filter,
     "datalog_string_fns": datalog_string_fns,
     "datalog_minmax_str": datalog_minmax_str,
@@ -1101,6 +1129,9 @@ ORACLES = {
         ORDER BY root
     """,
     "datalog_recursive_ancestors": _ANC_CTE + """
+        SELECT x, y FROM anc ORDER BY x, y
+    """,
+    "datalog_edn_bare_rule": _ANC_CTE + """
         SELECT x, y FROM anc ORDER BY x, y
     """,
     "datalog_recursive_counts": _ANC_CTE + """

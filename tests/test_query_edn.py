@@ -244,3 +244,65 @@ def test_find_specifications(spark):
     # an aggregate call in a single bracketed group is NOT a tuple spec
     out = q_edn("[:find (min ?v) :where [?e :t/v ?v]]", datoms).collect()
     assert out[0]["min_v"] == 10.0
+
+
+def test_bare_rule_invocation(spark):
+    """Datomic's unwrapped rule-call spelling `(rule ?a ?b)` in :where
+    and inside recursive rule bodies — compiled as an invocation, not
+    a triple pattern (plans/query_edn._conv_entry head check)."""
+    df = spark.createDataFrame(
+        [("1", None), ("2", "1"), ("3", "2"), ("4", "2")],
+        "id string, parent string",
+    )
+    datoms = table_datoms(df, "node", "id")
+    rules = """[[(ancestor ?x ?y)
+                 [?e :node/id ?x] [?e :node/parent ?y]]
+                [(ancestor ?x ?y)
+                 [?e :node/id ?x] [?e :node/parent ?z]
+                 (ancestor ?z ?y)]]"""
+    bare = q_edn(
+        "[:find ?x ?y :in $ % :where (ancestor ?x ?y)]",
+        datoms, rules=rules,
+    )
+    got = sorted((r["x"], r["y"]) for r in bare.collect())
+    assert got == [("2", "1"), ("3", "1"), ("3", "2"), ("4", "1"), ("4", "2")]
+    # wrapped spelling gives the identical relation
+    wrapped = q_edn(
+        "[:find ?x ?y :in $ % :where [(ancestor ?x ?y)]]",
+        datoms, rules=rules,
+    )
+    assert sorted((r["x"], r["y"]) for r in wrapped.collect()) == got
+
+
+def test_bare_rule_inside_not_and_or(spark):
+    """Bare invocations nested under (not ...) and (or ...) convert
+    through the same rule-aware path."""
+    df = spark.createDataFrame(
+        [("1", None), ("2", "1"), ("3", "2")], "id string, parent string"
+    )
+    datoms = table_datoms(df, "node", "id")
+    rules = """[[(child-of ?x ?y)
+                 [?e :node/id ?x] [?e :node/parent ?y]]]"""
+    out = q_edn(
+        """[:find ?x
+            :in $ %
+            :where
+            [?e :node/id ?x]
+            (not (child-of ?x "1"))]""",
+        datoms, rules=rules,
+    )
+    assert sorted(r["x"] for r in out.collect()) == ["1", "3"]
+
+
+def test_unknown_head_symbol_errors(datoms):
+    """A plain-symbol head that names no declared rule must raise, not
+    silently scan as a triple pattern."""
+    with pytest.raises(DatalogError, match="unknown head symbol"):
+        q_edn("[:find ?x :where (ancestor ?x ?y)]", datoms)
+    # same inside a rules context that declares a DIFFERENT rule
+    with pytest.raises(DatalogError, match="unknown head symbol"):
+        q_edn(
+            "[:find ?x :in $ % :where (ancestro ?x ?y)]",
+            datoms,
+            rules="[[(ancestor ?x ?y) [?e :t/id ?x] [?e :t/tag ?y]]]",
+        )
