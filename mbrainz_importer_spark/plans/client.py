@@ -34,6 +34,14 @@ def qseq(query: dict, datoms: DataFrame, *params) -> Iterator:
     return q(query, datoms, *params).toLocalIterator()
 
 
+def qseq_edn(text: str, datoms: DataFrame, *params, rules: str | None = None) -> Iterator:
+    """`d/qseq` over verbatim EDN query text — the lazy face of
+    `q_edn`, same bounded-driver-memory contract as `qseq`."""
+    from .query_edn import q_edn
+
+    return q_edn(text, datoms, *params, rules=rules).toLocalIterator()
+
+
 def entid(datoms: DataFrame, ref) -> str | None:
     """`d/entid`: resolve an entity identifier to an entity id.
 

@@ -204,3 +204,42 @@ class TestAttribute:
         )
         with _pytest.raises(DatalogError, match="not an attribute"):
             attribute(datoms, "e1")
+
+
+class TestQseqChunked:
+    def test_chunk_boundaries_and_laziness(self, spark):
+        """Partial consumption across partition boundaries: a 200-row
+        relation spread over 8 result partitions, consumed 7 rows at a
+        time through a plain generator protocol — islice stops inside a
+        chunk, resumes, and the full drain equals the eager q() set.
+        Laziness is the toLocalIterator contract (partitions fetched
+        on demand); what we certify here is that the iterator is NOT a
+        pre-materialized list and survives boundary-straddling reads."""
+        import itertools
+
+        from mbrainz_importer_spark.plans.eav import table_datoms
+
+        df = spark.range(200).selectExpr(
+            "cast(id as string) as id", "cast(id % 17 as string) as grp"
+        )
+        d = table_datoms(df, "row", "id")
+        query = {
+            "find": ["?i", "?g"],
+            "where": [["?e", ":row/id", "?i"], ["?e", ":row/grp", "?g"]],
+        }
+        it = qseq(query, d)
+        assert iter(it) is it and not isinstance(it, (list, tuple))
+        first = list(itertools.islice(it, 7))          # stop mid-chunk
+        second = list(itertools.islice(it, 190))       # straddle many chunks
+        rest = list(it)                                # drain
+        assert len(first) + len(second) + len(rest) == 200
+        got = {(r["i"], r["g"]) for r in first + second + rest}
+        want = {(r["i"], r["g"]) for r in q(query, d).collect()}
+        assert got == want and len(got) == 200
+
+    def test_qseq_edn_text_face(self, spark):
+        from mbrainz_importer_spark.plans.client import qseq_edn
+
+        d = _datoms(spark)
+        it = qseq_edn("[:find ?n :where [?e :artist/name ?n]]", d)
+        assert sorted(r["n"] for r in it) == ["Bowie", "Eno"]
