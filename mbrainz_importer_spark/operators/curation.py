@@ -361,10 +361,14 @@ def build_vocab(
 
     The ranking is a global row_number, which is exactly the
     operators/batching two-phase problem; vocabularies are count-bounded
-    (10^5..10^6 rows), so here a single window over the count key is the
-    honest choice at ANY corpus size — the aggregate, not the corpus,
-    bounds the window input. Returns (token, token_id, count)."""
-    from pyspark.sql import Window
+    (10^5..10^6 rows), so a declared single-partition rank over the
+    aggregate is the honest choice at ANY corpus size — the aggregate,
+    not the corpus, bounds the rank input (operators/ranks contract).
+    With `max_size` the plan is even tighter: orderBy().limit() compiles
+    to TakeOrdered (per-partition top-k + driver merge — no single-
+    partition exchange of the full vocabulary) and the rank then sees
+    only max_size rows. Returns (token, token_id, count)."""
+    from .ranks import bounded_global_rank
 
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -372,10 +376,10 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("token"))
-    ranked = counts.withColumn("token_id", F.row_number().over(w).cast("long") - 1)
+    order = [F.col("count").desc(), F.col("token")]
     if max_size is not None:
-        ranked = ranked.where(F.col("token_id") < max_size)
+        counts = counts.orderBy(*order).limit(max_size)
+    ranked = bounded_global_rank(counts, order, alias="token_id", start=0)
     return ranked.select("token", "token_id", "count")
 
 
@@ -390,10 +394,13 @@ def bpe_merge_candidates(
     and rank merge candidates by frequency with a deterministic
     (count DESC, pair ASC) tie-break.
 
-    One explode + one groupBy (map-side combined); the rank window's
-    input is the aggregated pair vocabulary (alphabet², bounded), never
-    the corpus. Returns (pair, count, rank) for the top_k candidates."""
-    from pyspark.sql import Window
+    One explode + one groupBy (map-side combined); the top_k selection
+    is orderBy().limit() — a TakeOrdered plan (per-partition top-k +
+    driver merge), so the full pair vocabulary never moves to a single
+    partition — and the rank runs over exactly top_k rows on a declared
+    Coalesce(1) (operators/ranks). Returns (pair, count, rank) for the
+    top_k candidates."""
+    from .ranks import bounded_global_rank
 
     words = df.select(F.explode(tokens(F.col(text_col))).alias("w")).where(
         F.length("w") >= 2
@@ -407,11 +414,10 @@ def bpe_merge_candidates(
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("count"))
-    w = Window.orderBy(F.col("count").desc(), F.col("pair"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= top_k)
-        .select("pair", "count", "rank")
+    order = [F.col("count").desc(), F.col("pair")]
+    top = counts.orderBy(*order).limit(top_k)
+    return bounded_global_rank(top, order, alias="rank").select(
+        "pair", "count", "rank"
     )
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RRF_K = 60
@@ -36,11 +36,14 @@ RRF_SCALE = 1_000_000_000_000
 
 def ranked(df: DataFrame, id_col: str, order_cols: list, alias: str = "rank") -> DataFrame:
     """Attach a dense 1-based rank by the given (already deterministic)
-    ordering — for score frames that don't carry ranks yet. The window
-    is global but runs over an already top-N-limited frame (bounded
-    rows), never the corpus."""
-    w = Window.orderBy(*order_cols)
-    return df.withColumn(alias, F.row_number().over(w).cast("bigint"))
+    ordering — for score frames that don't carry ranks yet. The rank is
+    global but runs over an already top-N-limited frame (bounded rows),
+    never the corpus — computed by operators/ranks.bounded_global_rank,
+    so the single partition is a declared Coalesce(1), not a silent
+    no-partition WindowExec."""
+    from .ranks import bounded_global_rank
+
+    return bounded_global_rank(df, list(order_cols), alias=alias)
 
 
 def rrf_fuse(
