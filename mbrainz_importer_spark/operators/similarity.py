@@ -212,6 +212,72 @@ def semdedup_assign_arrow(
     )
 
 
+def _split_hot_cells(
+    cells: DataFrame,
+    max_cell_size: int,
+    in_dim: int,
+    seed: int = LSH_SEED,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Enforce the SemDeDup bounded-cell contract: recursively split
+    any cell larger than `max_cell_size` by a seeded secondary
+    hyperplane, until every cell fits or `max_depth` is reached. The
+    split is MEAN-CENTERED: side = (w·v > avg over the cell of w·v) —
+    a raw sign split is useless on a tight cluster (every member of a
+    cell near a centroid projects to the same sign), while thresholding
+    at the cell mean separates any cell whose members differ at all.
+    Exact-duplicate vectors project identically and always stay
+    co-celled; near-duplicates separate only in the thin band around
+    the cell mean — the recall trade every hyperplane split makes
+    (paper-consistent: SemDeDup caps cluster sizes).
+
+    Input/output: (doc, cell, v, n) -> same plus `pcell` (the PAIR
+    cell used for candidate generation; `cell` keeps the original
+    assignment for reporting). The id remap each round is injective:
+    hot cells map to 2c/2c+1 by plane side, cold cells to 2c — parity
+    separates children of hot cells from everything else.
+
+    Per round: one cell-size aggregate and one per-cell-mean aggregate,
+    both bounded by the NUMBER OF CELLS (the bounded .collect /
+    broadcast contract — the corpus itself never moves), one
+    projection, one eager localCheckpoint so round r+1 doesn't replay
+    rounds 1..r. A cell of identical vectors can never split (all
+    projections equal the mean); the depth cap stops the recursion and
+    the cell stays oversized — correct, since those pairs must be
+    compared anyway."""
+    out = cells.withColumn("pcell", F.col("cell").cast("long"))
+    for depth in range(max_depth):
+        sizes = out.groupBy("pcell").agg(F.count(F.lit(1)).alias("cnt"))
+        hot = [
+            r["pcell"]
+            for r in sizes.where(F.col("cnt") > max_cell_size).collect()
+        ]
+        if not hot:
+            break
+        plane = hyperplanes(in_dim, 1, seed + depth + 1)[0]
+        proj = dot(F.col("v"), F.array(*[F.lit(x) for x in plane]))
+        projected = out.withColumn("__proj", proj)
+        means = (
+            projected.where(F.col("pcell").isin(hot))
+            .groupBy("pcell")
+            .agg(F.avg("__proj").alias("__thr"))
+        )
+        out = (
+            projected.join(F.broadcast(means), "pcell", "left")
+            .withColumn(
+                "pcell",
+                F.when(
+                    F.col("__thr").isNotNull(),
+                    F.col("pcell") * 2
+                    + (F.col("__proj") > F.col("__thr")).cast("long"),
+                ).otherwise(F.col("pcell") * 2),
+            )
+            .drop("__proj", "__thr")
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
 def semdedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -219,6 +285,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): embeddings cluster
@@ -231,9 +298,18 @@ def semdedup(
     Shapes: assignment is a shuffle-free projection; the self-join is
     keyed on cell, so fan-out is bounded by cell population, never the
     corpus — with balanced cells this is |corpus|²/k pair work done as
-    an equi-join, the SemDeDup cost model. Returns (doc, cell, keep)
-    for every input row."""
-    assign = semdedup_assign(df, centroids, id_col, vec_col)
+    an equi-join, the SemDeDup cost model. `max_cell_size` ENFORCES
+    that bound: cells above it are recursively split by secondary
+    hyperplanes before pair generation (_split_hot_cells), so one
+    skewed cluster can neither blow up the join fan-out nor OOM the
+    Arrow face's per-cell |cell|² Gram matrix; the reported `cell`
+    stays the original assignment. Returns (doc, cell, keep) for every
+    input row."""
+    assign = (
+        semdedup_assign_arrow(df, centroids, id_col, vec_col)
+        if use_arrow
+        else semdedup_assign(df, centroids, id_col, vec_col)
+    )
     # norms precompute PER SIDE before the pair join — a per-pair
     # cosine() would re-fold each 64-element norm once per pair
     # (|cell|^2/2 times per vector), the exact waste brute_force_topk's
@@ -242,18 +318,20 @@ def semdedup(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
     )
-    if use_arrow:
-        assign = semdedup_assign_arrow(df, centroids, id_col, vec_col)
-        dups = _semdedup_dups_arrow(
-            assign.join(vecs, "doc"), threshold
-        )
+    cells = assign.join(vecs, "doc")
+    if max_cell_size is not None:
+        cells = _split_hot_cells(cells, max_cell_size, len(centroids[0]))
     else:
-        a = assign.join(vecs, "doc").select(
-            F.col("doc").alias("id_a"), F.col("cell").alias("cell_a"),
+        cells = cells.withColumn("pcell", F.col("cell").cast("long"))
+    if use_arrow:
+        dups = _semdedup_dups_arrow(cells, threshold)
+    else:
+        a = cells.select(
+            F.col("doc").alias("id_a"), F.col("pcell").alias("cell_a"),
             F.col("v").alias("va"), F.col("n").alias("na"),
         )
-        b = assign.join(vecs, "doc").select(
-            F.col("doc").alias("id_b"), F.col("cell").alias("cell_b"),
+        b = cells.select(
+            F.col("doc").alias("id_b"), F.col("pcell").alias("cell_b"),
             F.col("v").alias("vb"), F.col("n").alias("nb"),
         )
         sim = F.round(
@@ -278,12 +356,12 @@ def semdedup(
 
 def _semdedup_dups_arrow(cells: DataFrame, threshold: float) -> DataFrame:
     """Vectorized within-cell duplicate detection: applyInPandas per
-    cell, one Gram matmul per cell instead of |cell|² interpreted
+    pair-cell, one Gram matmul per cell instead of |cell|² interpreted
     higher-order dot folds. Rounding emulates Spark's HALF_UP (numpy's
     round is banker's) so the kept set matches the expression face
-    bit-for-bit. Per-cell memory is |cell|² doubles — the same bounded-
-    cell contract as the paper (cap cluster sizes upstream if a cell
-    could exceed executor memory)."""
+    bit-for-bit. Per-cell memory is |pcell|² doubles — bounded when the
+    caller passes max_cell_size to semdedup (the `pcell` key is the
+    hot-cell-split assignment from _split_hot_cells)."""
     import numpy as np
     import pandas as pd
 
@@ -302,7 +380,7 @@ def _semdedup_dups_arrow(cells: DataFrame, threshold: float) -> DataFrame:
         dup = np.triu(hit, k=1).any(axis=0)
         return pd.DataFrame({"doc": ids[dup].astype("int64")})
 
-    return cells.groupBy("cell").applyInPandas(find_dups, schema="doc long")
+    return cells.groupBy("pcell").applyInPandas(find_dups, schema="doc long")
 
 
 def random_projection(
