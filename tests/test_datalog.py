@@ -1043,3 +1043,22 @@ def test_min_max_str_aggregates(spark):
         d2,
     ).orderBy("g").collect()
     assert [(r["g"], r["min_str_n"]) for r in rows] == [("g1", "a"), ("g2", "z")]
+
+
+def test_single_recursion_skips_clique_machinery(spark, monkeypatch):
+    """A directly-recursive rule (no mutual recursion) must evaluate on
+    the direct semi-naive path — the mutual-recursion clique evaluator
+    is strictly more bookkeeping per round, and the round-7 bench
+    regression suspicion was exactly that the fixpoint refactor had
+    routed single recursion through it. Pin the dispatch."""
+    from mbrainz_importer_spark.plans import datalog as dl
+
+    def boom(*a, **kw):
+        raise AssertionError("single recursion dispatched to _compile_clique")
+
+    monkeypatch.setattr(dl, "_compile_clique", boom)
+    datoms = _chain_datoms(spark, [("a", "b"), ("b", "c")])
+    out = q({"find": ["?x", "?y"], "rules": _ANC,
+             "where": [[("anc", "?x", "?y")]]}, datoms)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
