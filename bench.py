@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_stats",
     "sim_topk_bruteforce",
+    "sim_topk_arrow",
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",
@@ -46,6 +47,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "quality_classifier_scores",
     "semdedup_survivors",
+    "semdedup_survivors_arrow",
 ]
 
 

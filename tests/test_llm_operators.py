@@ -416,7 +416,7 @@ def test_semdedup_arrow_faces_equal(spark):
     ae = sorted(map(tuple, semdedup_assign(emb, cents).collect()))
     aa = sorted(map(tuple, semdedup_assign_arrow(emb, cents).collect()))
     assert ae == aa
-    expr = sorted(map(tuple, semdedup(emb, cents, 0.3).collect()))
+    expr = sorted(map(tuple, semdedup(emb, cents, 0.3, use_arrow=False).collect()))
     arrow = sorted(map(tuple, semdedup(emb, cents, 0.3, use_arrow=True).collect()))
     assert expr == arrow
 
@@ -454,12 +454,14 @@ def test_semdedup_hot_cell_cap(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = [[1.0] + [0.0] * 7, [-1.0] + [0.0] * 7]
 
-    ref = sorted(map(tuple, semdedup(df, cents, 0.95).collect()))
+    ref = sorted(map(tuple, semdedup(df, cents, 0.95, use_arrow=False).collect()))
     keep_ref = {t[0] for t in ref if t[2]}
     # every pair deduped to its min id; all singles survive
     assert keep_ref == {2 * i for i in range(20)} | {100, 101, 102, 103}
 
-    capped = sorted(map(tuple, semdedup(df, cents, 0.95, max_cell_size=6).collect()))
+    capped = sorted(map(tuple, semdedup(
+        df, cents, 0.95, use_arrow=False, max_cell_size=6
+    ).collect()))
     assert capped == ref
     arrow = sorted(map(tuple, semdedup(
         df, cents, 0.95, use_arrow=True, max_cell_size=6
