@@ -39,6 +39,7 @@ HEADLINE = [
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",
+    "pull_from_store",
     "datalog_recursive_ancestors",
     "sequence_packing",
     "curation_pipeline",

@@ -114,10 +114,14 @@ def materialize_datoms(datoms: DataFrame, path: str) -> None:
     datoms.write.mode("overwrite").partitionBy("a").parquet(path)
 
 
-def read_datoms(spark, path: str) -> DataFrame:
+def read_datoms(spark, path: str, columns: tuple = ("e", "a", "v", "v_num")) -> DataFrame:
     """Read a materialized datom store; `.where(a == ...)` prunes to the
-    attribute's partition directory (PartitionFilters in the scan)."""
-    return spark.read.parquet(path).select("e", "a", "v", "v_num")
+    attribute's partition directory (PartitionFilters in the scan).
+    `columns` selects the stored projection — the default is the EAV
+    view; a HISTORY log store carries (e, a, v_num, tx, added)
+    (plans/history schema) through the same attribute-partitioned
+    layout."""
+    return spark.read.parquet(path).select(*columns)
 
 
 def index_range(

@@ -37,6 +37,28 @@ def history_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of(log, _cutoff(log)).orderBy("e", "a")
 
 
+def history_as_of_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/as-of OVER THE DATOM STORE: the same state-at-60% view as
+    history_as_of, but the tx log round-trips through
+    materialize_datoms -> read_datoms (plans/eav.py) — the attribute-
+    partitioned parquet layout, carrying the history projection
+    (e, a, v_num, tx, added). Certifies that the time-travel operators,
+    like datalog and pull, run against durable storage with the same
+    hash as the in-memory view; an attribute-constrained as-of is then
+    a partition-pruned scan (asserted in test_plan_properties)."""
+    import os
+
+    from ..plans.eav import materialize_datoms, read_datoms
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_txlog",
+    )
+    materialize_datoms(_tx_log(spark, sf_dir), path)
+    log = read_datoms(spark, path, columns=("e", "a", "v_num", "tx", "added"))
+    return as_of(log, _cutoff(log)).orderBy("e", "a")
+
+
 def history_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d/since analog: current facts whose deciding tx is after the
     cutoff. Facts retracted after the cutoff stay gone; facts current
@@ -285,6 +307,7 @@ def tx_fn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "history_as_of": history_as_of,
+    "history_as_of_from_store": history_as_of_from_store,
     "history_since": history_since,
     "history_as_of_instant": history_as_of_instant,
     "history_entity_timeline": history_entity_timeline,
@@ -465,3 +488,6 @@ ORACLES = {
         ORDER BY e
     """,
 }
+
+# the store round-trip must hash-equal the in-memory view — same oracle
+ORACLES["history_as_of_from_store"] = ORACLES["history_as_of"]
