@@ -69,6 +69,19 @@ def main() -> None:
     for n in sorted(queries):
         if n.startswith("bench_") and n not in names:
             names.append(n)
+    # scale-tier runs: SPARK_GRAFT_ONLY=a,b keeps a subset;
+    # SPARK_GRAFT_SKIP=c,d drops entries (e.g. the documented O(n*q)
+    # exact-oracle faces that are not meant for large corpora)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+    skip = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",")
+        if s.strip()
+    }
+    names = [n for n in names if n not in skip]
 
     # warm-up: JVM + parquet footer caches, one trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

@@ -482,3 +482,46 @@ def test_semdedup_hot_cell_cap(spark):
         F.count(F.lit(1)).alias("cnt")).collect()]
     assert max(sizes) <= 6
     assert split.select("doc", "cell").distinct().count() == 44
+
+
+def test_semdedup_collapse_identical_exact(spark):
+    """`collapse_identical` (the sf10 scale fix: quadratic core over
+    DISTINCT vectors only) is EXACT: on a corpus where every vector has
+    several byte-identical copies — hyperplane splits cannot separate
+    them — the collapsed path returns the same (doc, cell, keep) rows
+    as the uncollapsed evaluation, on both faces."""
+    from mbrainz_importer_spark.operators.similarity import hyperplanes, semdedup
+    from mbrainz_importer_spark.tables import load
+    from pyspark.sql import functions as F
+
+    base = load(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    # 5 key-shifted copies of each vector (the make_scale replication
+    # shape), with copy 0 NOT holding the min id for every group
+    copies = [
+        base.select(
+            (F.col("vec_id") * 10 + F.lit((i * 3) % 5)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(5)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    cents = hyperplanes(64, 4, seed=7)
+
+    ref = sorted(map(tuple, semdedup(
+        df, cents, 0.3, use_arrow=False, collapse_identical=False
+    ).collect()))
+    for arrow in (False, True):
+        got = sorted(map(tuple, semdedup(
+            df, cents, 0.3, use_arrow=arrow, collapse_identical=True
+        ).collect()))
+        assert got == ref
+    # exactly one survivor per identical group at most, and it is the
+    # group min id whenever it survives
+    keep = {t[0] for t in ref if t[2]}
+    for g in range(40):
+        members = {g * 10 + j for j in range(5)}
+        assert len(keep & members) <= 1
+        if keep & members:
+            assert min(members) in keep
