@@ -944,6 +944,16 @@ def _rule_branch(
     plan, binding, num_binding = _compile_where(
         body, datoms, {}, rules, stack + (name,), impl, dbs=dbs
     )
+    return _project_head(plan, binding, num_binding, name, args)
+
+
+def _project_head(
+    plan: DataFrame | None,
+    binding: dict,
+    num_binding: dict,
+    name: str,
+    args: list,
+) -> DataFrame:
     if plan is None:
         raise DatalogError(f"rule {name} has an empty body")
     proj = []
@@ -1012,32 +1022,88 @@ def _compile_rule(
             f"recursive rule {name!r} has no non-recursive def to seed the fixpoint"
         )
     key_cols = [f"a{j}" for j in range(len(defs[0][0]))]
-    total = (
-        _union_all([branch(a, b, rec_impl) for a, b in base_defs])
-        .distinct()
-        .localCheckpoint()
-    )
-    delta = total
-    for _ in range(MAX_FIXPOINT_ITERS):
-        rounds = []
-        for args, body in rec_defs:
-            impl = dict(rec_impl)
-            impl[name] = delta if _self_calls(body, name) == 1 else total
-            rounds.append(branch(args, body, impl))
-        new = (
-            _union_all(rounds)
+
+    # Semi-naive PREFIX CACHE: a recursive def whose single self-call is
+    # a top-level clause splits as [static prefix][self-call + tail] —
+    # every clause before the call is delta-independent, so its subplan
+    # (for transitive closure, the edge relation) compiles ONCE and
+    # persists across rounds instead of re-deriving from the source scan
+    # every iteration. This is the textbook semi-naive implementation
+    # choice: the per-round join against the EDB touches a materialized
+    # relation the fixpoint needs every round anyway, so persistence is
+    # strictly less work (MEMORY_AND_DISK — spills rather than OOMs when
+    # the prefix relation is large). Defs with several self-calls, a
+    # nested (not/or) self-call, or a leading self-call keep the full
+    # per-round recompile. Cached frames unpersist when the fixpoint
+    # returns (the totals are localCheckpointed — independent of them).
+    def _prefix_split(body: list) -> int | None:
+        for j, cl in enumerate(body):
+            if (
+                len(cl) == 1
+                and isinstance(cl[0], (tuple, list))
+                and cl[0]
+                and cl[0][0] == name
+            ):
+                return j if j > 0 else None
+        return None
+
+    from pyspark import StorageLevel
+
+    cached: list[DataFrame] = []
+    runners: list = []  # one per rec_def: callable(impl) -> branch frame
+    for args, body in rec_defs:
+        k = _prefix_split(body) if _self_calls(body, name) == 1 else None
+        if k is None:
+            runners.append(
+                lambda impl, a=args, b=body: branch(a, b, impl)
+            )
+            continue
+        pre_plan, pre_b, pre_nb = _compile_where(
+            body[:k], datoms, {}, rules, stack + (name,), rec_impl, dbs=dbs
+        )
+        if pre_plan is not None:
+            pre_plan = pre_plan.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(pre_plan)
+
+        def run(impl, a=args, b=body, k=k, pp=pre_plan, pb=pre_b, pn=pre_nb):
+            plan, bind, nbind = _compile_where(
+                b[k:], datoms, {}, rules, stack + (name,), impl,
+                init=(pp, dict(pb), dict(pn)), dbs=dbs, idx0=k,
+            )
+            return _project_head(plan, bind, nbind, name, a)
+
+        runners.append(run)
+
+    try:
+        total = (
+            _union_all([branch(a, b, rec_impl) for a, b in base_defs])
             .distinct()
-            .join(total, on=key_cols, how="left_anti")
             .localCheckpoint()
         )
-        if not new.take(1):
-            return total
-        # total is a union of already-checkpointed frames (base + each
-        # round's delta): lineage stays shallow without re-materializing
-        # the WHOLE relation every round (which would make round cost
-        # O(|total|) instead of O(|delta| + anti-join))
-        total = total.unionByName(new)
-        delta = new
+        delta = total
+        for _ in range(MAX_FIXPOINT_ITERS):
+            rounds = []
+            for (args, body), run in zip(rec_defs, runners):
+                impl = dict(rec_impl)
+                impl[name] = delta if _self_calls(body, name) == 1 else total
+                rounds.append(run(impl))
+            new = (
+                _union_all(rounds)
+                .distinct()
+                .join(total, on=key_cols, how="left_anti")
+                .localCheckpoint()
+            )
+            if not new.take(1):
+                return total
+            # total is a union of already-checkpointed frames (base + each
+            # round's delta): lineage stays shallow without re-materializing
+            # the WHOLE relation every round (which would make round cost
+            # O(|total|) instead of O(|delta| + anti-join))
+            total = total.unionByName(new)
+            delta = new
+    finally:
+        for c in cached:
+            c.unpersist()
     raise DatalogError(
         f"rule {name!r} did not reach a fixpoint within {MAX_FIXPOINT_ITERS} "
         "iterations (raise datalog.MAX_FIXPOINT_ITERS for deeper graphs)"
@@ -1452,17 +1518,20 @@ def _compile_where(
     rec_impl: dict[str, DataFrame] | None = None,
     init: tuple[DataFrame | None, dict, dict] | None = None,
     dbs: dict[str, DataFrame] | None = None,
+    idx0: int = 0,
 ) -> tuple[DataFrame | None, dict, dict]:
     """Compile a clause list (triple patterns, predicates, rule
     invocations) to (plan, binding, num_binding). Shared by the top-level
     query and by rule bodies (which recurse here). `init` seeds the plan
-    with :in input relations."""
+    with :in input relations. `idx0` offsets clause numbering so a body
+    compiled in two calls (the semi-naive prefix cache) keeps scan
+    aliases p{i}_{depth} collision-free."""
     plan: DataFrame | None
     binding: dict[str, F.Column]
     num_binding: dict[str, F.Column]
     plan, binding, num_binding = init if init is not None else (None, {}, {})
 
-    for i, pat in enumerate(where):
+    for i, pat in enumerate(where, idx0):
         if (
             len(pat) == 2
             and isinstance(pat[0], (tuple, list))
