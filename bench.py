@@ -39,6 +39,7 @@ HEADLINE = [
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",
+    "datalog_fact_store_scan",
     "pull_from_store",
     "datalog_recursive_ancestors",
     "sequence_packing",

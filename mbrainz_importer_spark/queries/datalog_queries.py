@@ -75,6 +75,43 @@ def datalog_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, store).orderBy("rname")
 
 
+def datalog_fact_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT-SCALE datom store: orders unpivots into an
+    attribute-partitioned store with one datom per (order, attribute) —
+    unlike the dim-backed store gates (which stay region/nation-sized
+    at every scale tier), this store GROWS with the fact table, so the
+    bench's scale tiers measure the pruned pattern scan at data scale.
+    The store materializes ONCE per sf_dir (the build-once import
+    shape: a re-run measures the two partition-pruned attribute scans
+    and the entity self-join, not the write). Aggregates are
+    order-independent (count/min/max), keeping the hash stable across
+    partitionings; values certified by the DuckDB oracle."""
+    import os
+
+    from ..plans.eav import materialize_datoms, read_datoms, table_datoms
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        materialize_datoms(
+            table_datoms(orders, "orders", "o_orderkey"), path
+        )
+    store = read_datoms(spark, path)
+    query = {
+        "find": ["?st", ("count", "?o"), ("min", "?tp"), ("max", "?tp")],
+        "where": [
+            ["?o", ":orders/o_orderstatus", "?st"],
+            ["?o", ":orders/o_totalprice", "?tp"],
+        ],
+    }
+    return q(query, store).orderBy("st")
+
+
 def datalog_filtered_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`d/filter` — the query runs against a predicate-filtered DATABASE
     VALUE (plans/eav.filtered): the :region namespace is trimmed out, so
@@ -946,6 +983,7 @@ QUERIES = {
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_from_store": datalog_from_store,
+    "datalog_fact_store_scan": datalog_fact_store_scan,
     "datalog_recursive_from_store": datalog_recursive_from_store,
     "datalog_filtered_db": datalog_filtered_db,
     "datalog_param_in": datalog_param_in,
@@ -1226,6 +1264,13 @@ ORACLES = {
         SELECT r_name AS rname, COUNT(*) AS count_n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY rname
+    """,
+    "datalog_fact_store_scan": """
+        SELECT o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS count_o,
+               MIN(CAST(o_totalprice AS DOUBLE)) AS min_tp,
+               MAX(CAST(o_totalprice AS DOUBLE)) AS max_tp
+        FROM orders GROUP BY o_orderstatus ORDER BY st
     """,
     "datalog_keys_results": """
         SELECT r_name AS region, COUNT(*) AS nations
