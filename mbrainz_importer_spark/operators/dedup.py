@@ -235,6 +235,7 @@ def lsh_verified_pairs(
     bands: int = 4,
     rows_per_band: int = 3,
     threshold: float = 0.2,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """The production near-dup pipeline: LSH candidate generation followed
     by EXACT Jaccard verification, both fed by ONE cached shingle
@@ -244,14 +245,77 @@ def lsh_verified_pairs(
     At 100 TB this is the shape that matters: LSH bounds the pair count
     (collision-driven), the verify intersection join is RESTRICTED to
     candidate pairs (not the full shared-shingle fan-out), and the corpus
-    is shingled exactly once."""
+    is shingled exactly once.
+
+    `collapse_identical` (default on) additionally runs the whole
+    LSH+verify over DISTINCT texts only, then expands pairs back to
+    members: byte-identical texts have identical shingle sets, hence
+    identical signatures, candidacy, and jaccards — so cross-group
+    pairs inherit the representative pair's jaccard and every within-
+    group pair of a shingle-bearing group (>= n tokens) is a
+    jaccard-1.0 candidate by construction. EXACT, and the difference
+    between finishing and OOM on duplicate-heavy corpora: the verify
+    intersection fan-out is |pairs| x shingles/doc, and true-duplicate
+    mass grows pairs quadratically in copies (the sf10 tier's 27M-pair
+    corpus OOMed the uncollapsed path; collapsed it runs at
+    distinct-text cost plus the output-sized expansion join)."""
+    if collapse_identical:
+        from pyspark.sql import Window
+
+        members = df.select(
+            F.col(id_col).alias("__m_id"), F.col(text_col).alias("__m_t")
+        ).withColumn("__rep", F.min("__m_id").over(Window.partitionBy("__m_t")))
+        reps = members.where(F.col("__m_id") == F.col("__rep")).select(
+            F.col("__m_id").alias(id_col), F.col("__m_t").alias(text_col)
+        )
+        base = lsh_verified_pairs(
+            reps, id_col, text_col, n, bands, rows_per_band, threshold,
+            collapse_identical=False,
+        )
+        mem = members.select("__m_id", "__rep")
+        cross = (
+            base.hint("merge")
+            .join(mem.alias("ma"), F.col("doc_a") == F.col("ma.__rep"))
+            .join(mem.alias("mb"), F.col("doc_b") == F.col("mb.__rep"))
+            .select(
+                F.least("ma.__m_id", "mb.__m_id").alias("doc_a"),
+                F.greatest("ma.__m_id", "mb.__m_id").alias("doc_b"),
+                F.col("jaccard"),
+            )
+        )
+        # within-group pairs exist in the uncollapsed semantics iff the
+        # group's text shingles at all (>= n tokens: shorter docs have
+        # no signature, hence no candidacy)
+        eligible = members.where(
+            F.size(tokens(F.col("__m_t"))) >= F.lit(n)
+        ).select("__m_id", "__rep")
+        within = (
+            eligible.alias("wa")
+            .join(
+                eligible.alias("wb"),
+                (F.col("wa.__rep") == F.col("wb.__rep"))
+                & (F.col("wa.__m_id") < F.col("wb.__m_id")),
+            )
+            .select(
+                F.col("wa.__m_id").alias("doc_a"),
+                F.col("wb.__m_id").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+            .where(F.lit(1.0) >= F.lit(threshold))
+        )
+        return cross.unionByName(within)
     sh = shingle_rows(df, id_col, text_col, n).cache()
     candidates = minhash_lsh_pairs(
         df, id_col, text_col, n, bands, rows_per_band, shingles=sh
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # merge-join hints: the candidate-pair frame is collision-driven and
+    # can reach hundreds of millions of NARROW rows — small compressed,
+    # huge deserialized — so an AQE runtime broadcast of it is an OOM,
+    # not an optimization (observed at the sf10 tier). SMJ is the plan
+    # that survives every tier; the hint pins it.
     inter = (
-        candidates
+        candidates.hint("merge")
         .join(sh.alias("a"), F.col("doc_a") == F.col("a.doc"))
         .join(
             sh.alias("b"),
@@ -267,7 +331,8 @@ def lsh_verified_pairs(
         / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
     )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        inter.hint("merge")
+        .join(sa, F.col("doc_a") == F.col("sa.doc"))
         .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .where(raw >= threshold)
         .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard"))

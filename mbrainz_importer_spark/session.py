@@ -41,8 +41,32 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # partition-sizing contract: shuffle partitions default to the
+        # core count (right for the sf0.1 test tier) and scale up via
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS so per-task shuffle blocks stay
+        # memory-sized at larger tiers — the knob a cluster deployment
+        # turns with data volume (brief: "size spark.sql.shuffle.partitions
+        # so partitions fit in executor memory at the target SF")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(
+                shuffle_partitions
+                or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE's RUNTIME broadcast switch sees post-shuffle COMPRESSED
+        # sizes; narrow-row frames (candidate pairs: two longs) expand
+        # 10-20x when deserialized into a broadcast relation, so a
+        # 64 MB runtime threshold can hand the executor heap a
+        # multi-GB build (measured: dedup_lsh_verified's 27M-pair
+        # frame OOMed the sf10 refresh). 16 MB keeps runtime switches
+        # within heap at every tier; dimension broadcasts are explicit
+        # F.broadcast calls and unaffected.
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(16 * 1024 * 1024),
+        )
         # runtime bloom-filter pruning: a selective join side injects a
         # bloom filter into the probe-side scan (row-level runtime
         # filtering) — irrelevant at sf0.1, a large win on 100 TB facts

@@ -525,3 +525,42 @@ def test_semdedup_collapse_identical_exact(spark):
         assert len(keep & members) <= 1
         if keep & members:
             assert min(members) in keep
+
+
+def test_lsh_verified_collapse_identical_exact(spark):
+    """lsh_verified_pairs(collapse_identical=True) is EXACT on a corpus
+    with byte-identical copies: same (doc_a, doc_b, jaccard) rows as the
+    uncollapsed evaluation, including jaccard-1.0 within-group pairs and
+    the exclusion of shingle-less (< n tokens) duplicate groups."""
+    from mbrainz_importer_spark.operators.dedup import lsh_verified_pairs
+    from mbrainz_importer_spark.tables import load
+    from pyspark.sql import functions as F
+
+    base = load(spark, "/root/testdata/sf0.001", "documents").limit(25)
+    copies = [
+        base.select(
+            (F.col("doc_id") * 10 + F.lit((i * 7) % 3)).alias("doc_id"), "text"
+        )
+        for i in range(3)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    # two duplicated SHORT docs (< n tokens): no shingles, so the
+    # uncollapsed semantics emit no pair for them
+    short = spark.createDataFrame(
+        [(9001, "tiny doc"), (9002, "tiny doc")], "doc_id long, text string"
+    )
+    df = df.unionByName(short)
+
+    ref = sorted(map(tuple, lsh_verified_pairs(
+        df, "doc_id", "text", threshold=0.2, collapse_identical=False
+    ).collect()))
+    got = sorted(map(tuple, lsh_verified_pairs(
+        df, "doc_id", "text", threshold=0.2, collapse_identical=True
+    ).collect()))
+    assert got == ref
+    assert not any(a in (9001, 9002) or b in (9001, 9002) for a, b, _ in got)
+    # every identical pair of one group is present at jaccard 1.0
+    g0 = sorted(t for t in got if t[0] // 10 == t[1] // 10 == base.first()["doc_id"])
+    assert all(j == 1.0 for _, _, j in g0) and len(g0) == 3
