@@ -24,6 +24,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q5_region_revenue_bucketed",
     "broadcast_dim_join",
     "upsert_merge",
     "batch_numbering",
@@ -40,6 +41,7 @@ HEADLINE = [
     "datalog_region_nations",
     "datalog_from_store",
     "datalog_fact_store_scan",
+    "datalog_fact_store_bucketed",
     "pull_from_store",
     "datalog_recursive_ancestors",
     "sequence_packing",

@@ -25,6 +25,8 @@ by `a` so each triple pattern becomes a partition-pruned scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -112,6 +114,53 @@ def materialize_datoms(datoms: DataFrame, path: str) -> None:
     Attribute names (':table/col') are hive-escaped by the writer and
     restored on read."""
     datoms.write.mode("overwrite").partitionBy("a").parquet(path)
+
+
+def materialize_datoms_bucketed(
+    datoms: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """Attribute-partitioned AND entity-bucketed datom store — the EAVT
+    locality contract as Spark storage metadata. partitionBy(a) keeps
+    the pruning contract of `materialize_datoms` (a known-attribute
+    pattern reads one directory); bucketBy(e)+sortBy(e) additionally
+    makes every ENTITY SELF-JOIN between patterns of the same store
+    co-located: both scan sides report compatible hash partitioning on
+    e, so Catalyst plans the join with no Exchange on either fact side.
+    The sf100 tier measured why this matters: two 150M-datom pattern
+    scans joined on the string entity key shuffled hundreds of seconds
+    of I/O that this layout simply removes (datalog_fact_store_bucketed
+    vs datalog_fact_store_scan; no-Exchange plan-asserted in
+    test_plan_properties). Bucket metadata lives in the session catalog
+    (saveAsTable) — paths alone cannot carry it; the matching reader is
+    `spark.table(table)`."""
+    _drop_stale_table(datoms.sparkSession, table)
+    (
+        datoms.write.mode("overwrite")
+        .partitionBy("a")
+        .bucketBy(n_buckets, "e")
+        .sortBy("e")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def _drop_stale_table(spark, table: str) -> None:
+    """Build-once tables under the IN-MEMORY catalog: a new process
+    forgets the catalog entry but the managed location survives in the
+    warehouse, and `saveAsTable` then fails with LOCATION_ALREADY_EXISTS
+    even in overwrite mode. Drop the entry if registered; remove a
+    stale orphaned location otherwise."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    stale = os.path.join(wh, table.lower())
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
 
 
 def read_datoms(spark, path: str, columns: tuple = ("e", "a", "v", "v_num")) -> DataFrame:

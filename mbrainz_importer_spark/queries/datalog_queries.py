@@ -112,6 +112,38 @@ def datalog_fact_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, store).orderBy("st")
 
 
+def datalog_fact_store_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-scale store query over the ENTITY-BUCKETED layout
+    (eav.materialize_datoms_bucketed): same datoms, same query, same
+    oracle as datalog_fact_store_scan — but the e-join between the two
+    pattern scans is co-located (bucketBy(e) within the attribute
+    partitions), so neither fact side shuffles. Build-once per session
+    (bucket metadata lives in the session catalog); a bench re-run
+    measures the Exchange-free join."""
+    import os
+
+    from ..plans.eav import materialize_datoms_bucketed, table_datoms
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"datoms_orders_{tag}"
+    if not spark.catalog.tableExists(table):
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        materialize_datoms_bucketed(
+            table_datoms(orders, "orders", "o_orderkey"), table
+        )
+    store = spark.table(table).select("e", "a", "v", "v_num")
+    query = {
+        "find": ["?st", ("count", "?o"), ("min", "?tp"), ("max", "?tp")],
+        "where": [
+            ["?o", ":orders/o_orderstatus", "?st"],
+            ["?o", ":orders/o_totalprice", "?tp"],
+        ],
+    }
+    return q(query, store).orderBy("st")
+
+
 def datalog_filtered_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`d/filter` — the query runs against a predicate-filtered DATABASE
     VALUE (plans/eav.filtered): the :region namespace is trimmed out, so
@@ -984,6 +1016,7 @@ QUERIES = {
     "datalog_region_nations": datalog_region_nations,
     "datalog_from_store": datalog_from_store,
     "datalog_fact_store_scan": datalog_fact_store_scan,
+    "datalog_fact_store_bucketed": datalog_fact_store_bucketed,
     "datalog_recursive_from_store": datalog_recursive_from_store,
     "datalog_filtered_db": datalog_filtered_db,
     "datalog_param_in": datalog_param_in,
@@ -1266,6 +1299,13 @@ ORACLES = {
         GROUP BY r_name ORDER BY rname
     """,
     "datalog_fact_store_scan": """
+        SELECT o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS count_o,
+               MIN(CAST(o_totalprice AS DOUBLE)) AS min_tp,
+               MAX(CAST(o_totalprice AS DOUBLE)) AS max_tp
+        FROM orders GROUP BY o_orderstatus ORDER BY st
+    """,
+    "datalog_fact_store_bucketed": """
         SELECT o_orderstatus AS st,
                CAST(COUNT(*) AS BIGINT) AS count_o,
                MIN(CAST(o_totalprice AS DOUBLE)) AS min_tp,

@@ -24,6 +24,9 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed+sorted managed table keyed for co-located
     merges. Sorting within buckets additionally lets SMJ skip its sort."""
+    from ..plans.eav import _drop_stale_table
+
+    _drop_stale_table(df.sparkSession, table)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_key)

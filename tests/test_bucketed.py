@@ -44,3 +44,33 @@ def test_plain_parquet_join_does_exchange(spark, bucketed_tables):
     j = orders.join(li, "o_orderkey")
     j.count()
     assert count_exchanges(j) >= 1, "unbucketed join should shuffle (control)"
+
+
+def test_stale_managed_location_is_replaced(spark, tmp_path):
+    """Build-once across processes: the in-memory catalog forgets a
+    managed table between sessions while its warehouse directory
+    survives; a rebuild must replace the orphaned location instead of
+    failing with LOCATION_ALREADY_EXISTS (hit live at the sf100 tier)."""
+    import os
+
+    from mbrainz_importer_spark.plans.eav import (
+        materialize_datoms_bucketed, table_datoms,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+    # simulate the orphan: a location on disk with no catalog entry
+    stale = os.path.join(wh, "stale_datoms_tbl")
+    os.makedirs(stale, exist_ok=True)
+    open(os.path.join(stale, "junk"), "w").write("stale")
+    assert not spark.catalog.tableExists("stale_datoms_tbl")
+
+    materialize_datoms_bucketed(
+        table_datoms(df, "t", "id"), "stale_datoms_tbl", n_buckets=2
+    )
+    got = spark.table("stale_datoms_tbl")
+    assert got.where("a = ':t/s'").count() == 2
+    assert not os.path.exists(os.path.join(stale, "junk"))

@@ -272,3 +272,46 @@ def test_store_backed_paths_partition_pruned(spark, tmp_path):
     p = plan_of(state)
     assert "PartitionFilters: [" in p
     assert ":u/click" in p.split("PartitionFilters")[1][:300]
+
+
+def test_bucketed_store_entity_self_join_no_exchange(spark):
+    """eav.materialize_datoms_bucketed: two pattern scans of the same
+    entity-bucketed store join on e with NO Exchange on either fact
+    side (bucketBy(e) inside the attribute partitions — the EAVT
+    locality contract). The unbucketed path-based store plans shuffles
+    for the same join; here the only hash Exchange left is the
+    :find aggregation's."""
+    from mbrainz_importer_spark.plans.datalog import q as dq
+    from mbrainz_importer_spark.plans.eav import (
+        materialize_datoms_bucketed, table_datoms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(1, 40)],
+        "id long, status string, total double",
+    )
+    materialize_datoms_bucketed(
+        table_datoms(df, "t", "id"), "b_datoms_test", n_buckets=4
+    )
+    store = spark.table("b_datoms_test").select("e", "a", "v", "v_num")
+    rel = dq(
+        {
+            "find": ["?st", ("count", "?o")],
+            "where": [
+                ["?o", ":t/status", "?st"],
+                ["?o", ":t/total", "?tp"],
+            ],
+        },
+        store,
+    )
+    p = plan_of(rel)
+    exchanges = [
+        ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # the e-join itself must be exchange-free: no hash exchange may
+    # partition on the entity column; the aggregation exchange remains
+    assert not any("e#" in ln for ln in exchanges), exchanges
+    assert "PartitionFilters: [" in p  # pruning contract intact
+    # values survive the layout: 3 statuses x 13 ids
+    got = {(r["st"], r["count_o"]) for r in rel.collect()}
+    assert got == {("s0", 13), ("s1", 13), ("s2", 13)}
