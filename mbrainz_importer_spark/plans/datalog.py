@@ -974,6 +974,70 @@ def _union_all(branches: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _cached_runner(
+    name: str,
+    args: list,
+    body: list,
+    call_names: set,
+    datoms: DataFrame,
+    rules: dict,
+    stack: tuple[str, ...],
+    rec_impl: dict,
+    dbs: dict | None,
+    cached: list,
+):
+    """Semi-naive PREFIX CACHE: when a recursive def's single recursive
+    call (into `call_names` — the rule itself, or its whole mutual
+    clique) is a top-level clause at index k>0, the body splits as
+    [static prefix][call + tail]. Every prefix clause is
+    delta-independent, so its subplan (for transitive closure, the edge
+    relation) compiles ONCE and persists across fixpoint rounds instead
+    of re-deriving from the source scan every iteration — the textbook
+    semi-naive implementation choice, and the part that matters when
+    the prefix is a real store scan. MEMORY_AND_DISK (spills rather
+    than OOMs on a large prefix relation); the frame is appended to
+    `cached` for the caller to unpersist when its fixpoint returns
+    (totals are localCheckpointed — independent of the cache). Returns
+    a callable(impl) producing the def's branch frame, or None when the
+    shape doesn't qualify (leading call, nested call, several
+    top-level calls) — caller falls back to per-round recompile.
+    Clause numbering offsets (idx0) keep scan aliases collision-free
+    across the two-call compile; bindings copy per round so later
+    rounds don't see earlier rounds' suffix vars as already bound."""
+    k = None
+    top_calls = 0
+    for j, cl in enumerate(body):
+        if (
+            len(cl) == 1
+            and isinstance(cl[0], (tuple, list))
+            and cl[0]
+            and cl[0][0] in call_names
+        ):
+            if k is None:
+                k = j
+            top_calls += 1
+    if k is None or k == 0 or top_calls != 1:
+        return None
+
+    from pyspark import StorageLevel
+
+    pre_plan, pre_b, pre_nb = _compile_where(
+        body[:k], datoms, {}, rules, stack + (name,), rec_impl, dbs=dbs
+    )
+    if pre_plan is not None:
+        pre_plan = pre_plan.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(pre_plan)
+
+    def run(impl, a=args, b=body, k=k, pp=pre_plan, pb=pre_b, pn=pre_nb):
+        plan, bind, nbind = _compile_where(
+            b[k:], datoms, {}, rules, stack + (name,), impl,
+            init=(pp, dict(pb), dict(pn)), dbs=dbs, idx0=k,
+        )
+        return _project_head(plan, bind, nbind, name, a)
+
+    return run
+
+
 def _compile_rule(
     name: str,
     datoms: DataFrame,
@@ -1023,56 +1087,25 @@ def _compile_rule(
         )
     key_cols = [f"a{j}" for j in range(len(defs[0][0]))]
 
-    # Semi-naive PREFIX CACHE: a recursive def whose single self-call is
-    # a top-level clause splits as [static prefix][self-call + tail] —
-    # every clause before the call is delta-independent, so its subplan
-    # (for transitive closure, the edge relation) compiles ONCE and
-    # persists across rounds instead of re-deriving from the source scan
-    # every iteration. This is the textbook semi-naive implementation
-    # choice: the per-round join against the EDB touches a materialized
-    # relation the fixpoint needs every round anyway, so persistence is
-    # strictly less work (MEMORY_AND_DISK — spills rather than OOMs when
-    # the prefix relation is large). Defs with several self-calls, a
-    # nested (not/or) self-call, or a leading self-call keep the full
-    # per-round recompile. Cached frames unpersist when the fixpoint
-    # returns (the totals are localCheckpointed — independent of them).
-    def _prefix_split(body: list) -> int | None:
-        for j, cl in enumerate(body):
-            if (
-                len(cl) == 1
-                and isinstance(cl[0], (tuple, list))
-                and cl[0]
-                and cl[0][0] == name
-            ):
-                return j if j > 0 else None
-        return None
-
-    from pyspark import StorageLevel
-
+    # Semi-naive PREFIX CACHE (_cached_runner): a recursive def whose
+    # single recursive call is a top-level clause compiles its
+    # delta-independent prefix once and persists it across rounds.
     cached: list[DataFrame] = []
     runners: list = []  # one per rec_def: callable(impl) -> branch frame
     for args, body in rec_defs:
-        k = _prefix_split(body) if _self_calls(body, name) == 1 else None
-        if k is None:
-            runners.append(
-                lambda impl, a=args, b=body: branch(a, b, impl)
+        run = (
+            _cached_runner(
+                name, args, body, {name}, datoms, rules, stack, rec_impl,
+                dbs, cached,
             )
-            continue
-        pre_plan, pre_b, pre_nb = _compile_where(
-            body[:k], datoms, {}, rules, stack + (name,), rec_impl, dbs=dbs
+            if _self_calls(body, name) == 1
+            else None
         )
-        if pre_plan is not None:
-            pre_plan = pre_plan.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(pre_plan)
-
-        def run(impl, a=args, b=body, k=k, pp=pre_plan, pb=pre_b, pn=pre_nb):
-            plan, bind, nbind = _compile_where(
-                b[k:], datoms, {}, rules, stack + (name,), impl,
-                init=(pp, dict(pb), dict(pn)), dbs=dbs, idx0=k,
-            )
-            return _project_head(plan, bind, nbind, name, a)
-
-        runners.append(run)
+        runners.append(
+            run
+            if run is not None
+            else (lambda impl, a=args, b=body: branch(a, b, impl))
+        )
 
     try:
         total = (
@@ -1158,71 +1191,99 @@ def _compile_clique(
             "to seed the fixpoint"
         )
 
+    # per-(rule, def) prefix-cache runners — same mechanism as the
+    # direct-recursion path (_cached_runner); a def qualifies when its
+    # single clique call is a top-level clause after at least one
+    # static clause
+    cached: list[DataFrame] = []
+    runners: dict[str, list] = {}
+    for r in order:
+        rs = []
+        for args, body, in_clique in rec[r]:
+            run = (
+                _cached_runner(
+                    r, args, body, clique, datoms, rules, stack, rec_impl,
+                    dbs, cached,
+                )
+                if len(in_clique) == 1
+                else None
+            )
+            rs.append(run)
+        runners[r] = rs
+
     totals: dict[str, DataFrame | None] = {}
     deltas: dict[str, DataFrame | None] = {}
-    for r in order:
-        if base[r]:
-            t = (
-                _union_all([
-                    _rule_branch(r, a, b, datoms, rules, stack, rec_impl, dbs)
-                    for a, b, _ in base[r]
-                ])
-                .distinct()
-                .localCheckpoint()
-            )
-            totals[r] = t
-            deltas[r] = t if t.take(1) else None
-        else:
-            totals[r] = None
-            deltas[r] = None
-
-    for _ in range(MAX_FIXPOINT_ITERS):
-        new_deltas: dict[str, DataFrame | None] = {}
+    try:
         for r in order:
-            key_cols = [f"a{j}" for j in range(len(rules[r][0][0]))]
-            rounds = []
-            for args, body, in_clique in rec[r]:
-                impl = dict(rec_impl)
-                if len(in_clique) == 1:
-                    s = in_clique[0]
-                    if deltas[s] is None:
-                        continue  # nothing new flowed into this def
-                    impl[s] = deltas[s]
-                else:
-                    if any(totals[s] is None for s in in_clique):
-                        continue  # a referenced relation is still empty
-                    if all(deltas[s] is None for s in set(in_clique)):
-                        continue  # no referenced relation changed
-                    for s in set(in_clique):
-                        impl[s] = totals[s]
-                rounds.append(
-                    _rule_branch(r, args, body, datoms, rules, stack, impl, dbs)
+            if base[r]:
+                t = (
+                    _union_all([
+                        _rule_branch(r, a, b, datoms, rules, stack, rec_impl, dbs)
+                        for a, b, _ in base[r]
+                    ])
+                    .distinct()
+                    .localCheckpoint()
                 )
-            if not rounds:
-                new_deltas[r] = None
-                continue
-            new = _union_all(rounds).distinct()
-            if totals[r] is not None:
-                new = new.join(totals[r], on=key_cols, how="left_anti")
-            new = new.localCheckpoint()
-            if new.take(1):
-                new_deltas[r] = new
-                totals[r] = (
-                    new if totals[r] is None else totals[r].unionByName(new)
-                )
+                totals[r] = t
+                deltas[r] = t if t.take(1) else None
             else:
-                new_deltas[r] = None
-        deltas = new_deltas
-        if all(d is None for d in deltas.values()):
-            out = totals[name]
-            if out is not None:
-                return out
-            # the invoked rule derived nothing — a typed empty relation
-            arity = len(rules[name][0][0])
-            fields = ", ".join(
-                f"a{j} string, __num_a{j} double" for j in range(arity)
-            )
-            return datoms.sparkSession.createDataFrame([], fields)
+                totals[r] = None
+                deltas[r] = None
+
+        for _ in range(MAX_FIXPOINT_ITERS):
+            new_deltas: dict[str, DataFrame | None] = {}
+            for r in order:
+                key_cols = [f"a{j}" for j in range(len(rules[r][0][0]))]
+                rounds = []
+                for (args, body, in_clique), run in zip(rec[r], runners[r]):
+                    impl = dict(rec_impl)
+                    if len(in_clique) == 1:
+                        s = in_clique[0]
+                        if deltas[s] is None:
+                            continue  # nothing new flowed into this def
+                        impl[s] = deltas[s]
+                    else:
+                        if any(totals[s] is None for s in in_clique):
+                            continue  # a referenced relation is still empty
+                        if all(deltas[s] is None for s in set(in_clique)):
+                            continue  # no referenced relation changed
+                        for s in set(in_clique):
+                            impl[s] = totals[s]
+                    rounds.append(
+                        run(impl)
+                        if run is not None
+                        else _rule_branch(
+                            r, args, body, datoms, rules, stack, impl, dbs
+                        )
+                    )
+                if not rounds:
+                    new_deltas[r] = None
+                    continue
+                new = _union_all(rounds).distinct()
+                if totals[r] is not None:
+                    new = new.join(totals[r], on=key_cols, how="left_anti")
+                new = new.localCheckpoint()
+                if new.take(1):
+                    new_deltas[r] = new
+                    totals[r] = (
+                        new if totals[r] is None else totals[r].unionByName(new)
+                    )
+                else:
+                    new_deltas[r] = None
+            deltas = new_deltas
+            if all(d is None for d in deltas.values()):
+                out = totals[name]
+                if out is not None:
+                    return out
+                # the invoked rule derived nothing — a typed empty relation
+                arity = len(rules[name][0][0])
+                fields = ", ".join(
+                    f"a{j} string, __num_a{j} double" for j in range(arity)
+                )
+                return datoms.sparkSession.createDataFrame([], fields)
+    finally:
+        for c in cached:
+            c.unpersist()
     raise DatalogError(
         f"mutually recursive rules {order} did not reach a fixpoint within "
         f"{MAX_FIXPOINT_ITERS} iterations (raise datalog.MAX_FIXPOINT_ITERS "
