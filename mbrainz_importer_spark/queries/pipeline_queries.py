@@ -6,7 +6,7 @@ the driver certifies the COMPOSITION, not just the stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import curation as C
@@ -43,9 +43,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("__n") >= _MIN_TOKENS)
     h = F.md5(normalize_for_fingerprint(F.col("text")))
     hashed = counted.select("doc_id", "__n", h.alias("__h"))
-    canon = hashed.groupBy("__h").agg(F.min("doc_id").alias("__canon"))
+    # canonical survivor via a hash-partitioned window min: one shuffle
+    # on __h and — decisively — ONE evaluation of the tokenize+md5 scan.
+    # The groupBy + rejoin formulation fed BOTH join sides from that
+    # scan, so the regex-heavy subplan ran twice (measured 3.6x
+    # end-to-end at sf10: 54.7s -> 15.2s)
+    w = Window.partitionBy("__h")
     survivors = (
-        hashed.join(canon, "__h")
+        hashed.withColumn("__canon", F.min("doc_id").over(w))
         .where(F.col("doc_id") == F.col("__canon"))
         .select("doc_id", "__n")
         # materialize once: stable_cumsum makes two bounded driver passes
