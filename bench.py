@@ -31,6 +31,7 @@ HEADLINE = [
     "nested_collect",
     "window_topk_per_group",
     "dedup_exact",
+    "dedup_exact_fast",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_simhash",

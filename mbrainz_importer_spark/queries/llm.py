@@ -49,6 +49,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(docs, "doc_id", "text").orderBy("canonical_id")
 
 
+def dedup_exact_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production exact-dedup face (exact_dedup_groups_fast): one split
+    pass + xxhash64 grouping instead of two regexp_replace passes + md5
+    — the replace passes are the whole cost of `dedup_exact` at scale
+    (14.7s of 15.8s at the 10x tier). The oracle groups by the canonical
+    STRING (the hash stays internal), so the pairing certifies the
+    grouping itself, not the hash function."""
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups_fast(docs, "doc_id", "text").orderBy("canonical_id")
+
+
 def dedup_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered corpus-membership: arrivals (doc_id >= 400)
     that are content-new vs the corpus (doc_id < 400). Definite-new rows
@@ -493,6 +504,7 @@ QUERIES = {
     "semdedup_survivors_arrow": semdedup_survivors_arrow,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
+    "dedup_exact_fast": dedup_exact_fast,
     "dedup_bloom_novelty": dedup_bloom_novelty,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -690,6 +702,13 @@ ORACLES = {
                COUNT(*) AS group_size
         FROM documents
         GROUP BY 1 ORDER BY canonical_id
+    """,
+    "dedup_exact_fast": """
+        SELECT MIN(doc_id) AS canonical_id,
+               COUNT(*) AS group_size
+        FROM documents
+        GROUP BY trim(array_to_string(string_split_regex(lower(text), '[^a-z0-9]+'), ' '))
+        ORDER BY canonical_id
     """,
     "dedup_bloom_novelty": f"""
         WITH c AS (

@@ -564,3 +564,63 @@ def test_lsh_verified_collapse_identical_exact(spark):
     # every identical pair of one group is present at jaccard 1.0
     g0 = sorted(t for t in got if t[0] // 10 == t[1] // 10 == base.first()["doc_id"])
     assert all(j == 1.0 for _, _, j in g0) and len(g0) == 3
+
+
+def test_token_fingerprint_norm_portable(spark):
+    """token_fingerprint_norm agrees with its DuckDB twin character-for-
+    character on the edge strings: leading/trailing separator runs (the
+    engines disagree on empty split tokens — the trim absorbs it),
+    all-punctuation, empty, non-ASCII (outside [a-z0-9] => separator),
+    and mixed whitespace."""
+    import duckdb
+
+    from mbrainz_importer_spark.operators.text import token_fingerprint_norm
+
+    cases = [
+        "Hello, World!",
+        "..a..b..",
+        "  x  ",
+        "",
+        "...",
+        "éclair café crème",
+        "a,b c",
+        "UPPER lower MiXeD",
+        "tab\tand\nnewline",
+        "trailing punct!!!",
+        "123 abc-def_ghi",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [
+        r[0]
+        for r in df.select(token_fingerprint_norm(F.col("text"))).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT trim(array_to_string(string_split_regex(lower(?), '[^a-z0-9]+'), ' '))",
+            [c],
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want
+
+
+def test_exact_dedup_fast_grouping(spark):
+    """The fast face groups by token-sequence identity: punctuation and
+    whitespace runs are separators (NOT deleted — "a,b" != "ab"), case
+    is folded, and the survivors are min-id with correct sizes."""
+    rows = [
+        (1, "The quick fox."),
+        (2, "the QUICK fox"),        # same token sequence
+        (3, "the quick-fox"),        # '-' is a separator: same again
+        (4, "thequick fox"),         # different: deletion-vs-separator
+        (5, "an unrelated doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            D.exact_dedup_groups_fast(df, "doc_id", "text").collect(),
+        )
+    )
+    assert got == [(1, 3), (4, 1), (5, 1)]
