@@ -10,14 +10,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import curation as C
-from ..operators.text import normalize_for_fingerprint, token_count
+from ..operators.text import token_count, token_fingerprint_norm
 from ..streaming.tx_watch import tx_summaries
 from ..tables import load
 
 _SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
-_SQL_NORM = (
-    r"regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+', ' ', 'g')"
-)
 
 _MIN_TOKENS = 30
 _PACK_CAPACITY = 64
@@ -28,8 +25,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data flow over `documents`, one plan:
 
       1. quality filter: >= 30 tokens;
-      2. exact dedup: canonical survivor (min doc_id) per normalized
-         content hash, applied AFTER the filter;
+      2. exact dedup: canonical survivor (min doc_id) per content
+         identity, applied AFTER the filter. Identity is the
+         TOKEN-SEQUENCE canonical form (token_fingerprint_norm:
+         case-folded, non-alphanumeric runs as separators), grouped by
+         its xxhash64 — one split pass where the md5/regex-delete form
+         cost two global regexp_replace passes that dominated the whole
+         pipeline at the 100x tier; the oracle groups by the canonical
+         string itself so the identity, not the hash, is certified;
       3. concat-and-chunk packing of the survivors in doc_id order
          (distributed two-phase cumsum, capacity 64);
       4. deterministic md5 shard assignment (8 shards).
@@ -41,7 +44,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = docs.select(
         "doc_id", "text", token_count(F.col("text")).alias("__n")
     ).where(F.col("__n") >= _MIN_TOKENS)
-    h = F.md5(normalize_for_fingerprint(F.col("text")))
+    h = F.xxhash64(token_fingerprint_norm(F.col("text")))
     hashed = counted.select("doc_id", "__n", h.alias("__h"))
     # canonical survivor via a hash-partitioned window min: one shuffle
     # on __h and — decisively — ONE evaluation of the tokenize+md5 scan.
@@ -94,7 +97,11 @@ ORACLES = {
             FROM documents
             WHERE len({_SQL_TOKS}) >= {_MIN_TOKENS}
         ),
-        hashed AS (SELECT doc_id, n, md5({_SQL_NORM}) AS h FROM filtered),
+        hashed AS (
+            SELECT doc_id, n,
+                   trim(array_to_string(string_split_regex(lower(text), '[^a-z0-9]+'), ' ')) AS h
+            FROM filtered
+        ),
         canon AS (SELECT h, min(doc_id) AS canon_id FROM hashed GROUP BY h),
         survivors AS (
             SELECT doc_id, n
