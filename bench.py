@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q3_shipping_priority_bucketed",
+    "q18_large_orders_bucketed",
     "q5_region_revenue",
     "q5_region_revenue_bucketed",
     "broadcast_dim_join",

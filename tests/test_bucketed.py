@@ -74,3 +74,46 @@ def test_stale_managed_location_is_replaced(spark, tmp_path):
     got = spark.table("stale_datoms_tbl")
     assert got.where("a = ':t/s'").count() == 2
     assert not os.path.exists(os.path.join(stale, "junk"))
+
+
+def test_workload_layout_serves_q3_and_q5_exchange_free(spark):
+    """One orderkey-bucketed fact layout (_bucketed_facts) serves BOTH
+    q3 and q5: neither plan shuffles a fact side — q3's post-join
+    groupBy starts with the bucket key, so even its aggregation reuses
+    the bucket partitioning (hashpartitioning on a subset of the group
+    keys satisfies the clustered requirement). The only hash Exchange
+    allowed in q3 is none; q5's dims broadcast."""
+    from mbrainz_importer_spark.queries.core import (
+        q3_shipping_priority_bucketed,
+        q5_region_revenue_bucketed,
+        q18_large_orders_bucketed,
+    )
+    from mbrainz_importer_spark.sources.bucketed import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    q3 = q3_shipping_priority_bucketed(spark, SF)
+    q3.collect()
+    assert count_exchanges(q3) == 0, "q3 over the layout must not hash-shuffle"
+    q5 = q5_region_revenue_bucketed(spark, SF)
+    q5.collect()
+    # q5's groupBy keys are dim attributes, so its (tiny, post-join)
+    # aggregation exchange is expected — the property is that no
+    # Exchange partitions on a FACT key, i.e. neither fact side of the
+    # orderkey join moves
+    plan = physical_plan(q5)
+    fact_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and ("l_orderkey" in ln or "o_orderkey" in ln or "l_suppkey" in ln)
+    ]
+    assert not fact_shuffles, f"q5 fact side shuffled: {fact_shuffles}"
+    # q18: the child aggregate groups BY the bucket key, so even the
+    # full-corpus quantity rollup needs no Exchange — bucketing pays for
+    # the aggregation as well as the join
+    q18 = q18_large_orders_bucketed(spark, SF)
+    q18.collect()
+    assert count_exchanges(q18) == 0, "q18 over the layout must not hash-shuffle"
+    for t in ("b_lineitem_sf0_001", "b_orders_sf0_001"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
