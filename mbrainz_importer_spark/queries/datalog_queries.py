@@ -988,7 +988,127 @@ def datalog_fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _orders_log_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic tx-log increment over the orders store: every
+    10th order re-asserts :orders/o_orderstatus as 'R2' (cardinality-one
+    displacement), and orders with key % 100 == 7 retract their
+    :orders/o_totalprice datom. Built through table_datoms so the
+    (e, a, v) forms match the store's canonicalization exactly."""
+    from ..plans.eav import table_datoms
+
+    orders = load(spark, sf_dir, "orders")
+    upd = table_datoms(
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("R2"))
+        .select("o_orderkey", "o_orderstatus"),
+        "orders", "o_orderkey",
+    ).where(F.col("a") == ":orders/o_orderstatus")
+    retr = table_datoms(
+        orders.where(F.col("o_orderkey") % 100 == 7)
+        .select("o_orderkey", "o_totalprice"),
+        "orders", "o_orderkey",
+    ).where(F.col("a") == ":orders/o_totalprice")
+    return upd.withColumn("added", F.lit(True)).unionByName(
+        retr.withColumn("added", F.lit(False))
+    ).withColumn("tx", F.lit(1).cast("long"))
+
+
+def _status_price_rollup(store: DataFrame) -> DataFrame:
+    """Shared readback for the log-increment gates: per current status,
+    order count plus count/min/max of the surviving totalprice datoms —
+    sensitive to both the displacement and the retraction."""
+    st = store.where(F.col("a") == ":orders/o_orderstatus").select(
+        "e", F.col("v").alias("status")
+    )
+    tp = store.where(F.col("a") == ":orders/o_totalprice").select(
+        "e", F.col("v_num").alias("tp")
+    )
+    return (
+        st.join(tp, "e", "left")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("tp").alias("n_price"),
+            F.min("tp").alias("min_price"),
+            F.max("tp").alias("max_price"),
+        )
+        .orderBy("status")
+    )
+
+
+def store_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's background INDEXING job end-to-end (plans/eav.py:
+    merge_datoms_increment): the orders store materializes once per
+    sf_dir, then a tx-log increment (_orders_log_increment) folds into
+    it with dynamic partition overwrite — only the two touched
+    attribute partitions rewrite; the o_orderkey identity partition is
+    never read or written. The merge is idempotent (set semantics +
+    max-tx displacement), so this gate re-merges the same increment on
+    every run and the readback stays hash-stable. The oracle replays
+    the same ops relationally (CASE over orders)."""
+    import os
+
+    from ..plans.eav import (
+        materialize_datoms,
+        merge_datoms_increment,
+        read_datoms,
+        table_datoms,
+    )
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_merge_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        materialize_datoms(
+            table_datoms(orders, "orders", "o_orderkey"), path
+        )
+    merge_datoms_increment(spark, path, _orders_log_increment(spark, sf_dir))
+    return _status_price_rollup(read_datoms(spark, path))
+
+
+def store_live_log_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE view between indexing runs (plans/eav.py:current_datoms):
+    queries must see store ∪ unindexed-log without waiting for the merge
+    — Datomic's memory-index semantics. Same ops, same oracle, same
+    hash as store_incremental_merge, but nothing writes: the replay is
+    a lazy two-aggregation plan over the (pruned) store scan plus the
+    increment. Reuses the fact-store gate's store build."""
+    import os
+
+    from ..plans.eav import (
+        current_datoms,
+        materialize_datoms,
+        read_datoms,
+        table_datoms,
+    )
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        materialize_datoms(
+            table_datoms(orders, "orders", "o_orderkey"), path
+        )
+    touched = [":orders/o_orderstatus", ":orders/o_totalprice"]
+    store = read_datoms(spark, path)
+    live = current_datoms(
+        store.where(F.col("a").isin(touched)),
+        _orders_log_increment(spark, sf_dir),
+    )
+    return _status_price_rollup(live)
+
+
 QUERIES = {
+    "store_incremental_merge": store_incremental_merge,
+    "store_live_log_view": store_live_log_view,
     "datalog_fn_binding": datalog_fn_binding,
     "datalog_get_some_contact": datalog_get_some_contact,
     "datalog_get_some_attr_val": datalog_get_some_attr_val,
@@ -1048,7 +1168,20 @@ _ANC_CTE = """
     )
 """
 
+_LOG_REPLAY_SQL = """
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R2' ELSE o_orderstatus END AS status,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o_orderkey % 100 <> 7 THEN o_totalprice END) AS n_price,
+           CAST(MIN(CASE WHEN o_orderkey % 100 <> 7 THEN o_totalprice END) AS DOUBLE) AS min_price,
+           CAST(MAX(CASE WHEN o_orderkey % 100 <> 7 THEN o_totalprice END) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY status
+"""
+
 ORACLES = {
+    "store_incremental_merge": _LOG_REPLAY_SQL,
+    "store_live_log_view": _LOG_REPLAY_SQL,
     "datalog_get_some_contact": """
         SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id,
                CASE WHEN c_acctbal > 5000 THEN UPPER(c_name)

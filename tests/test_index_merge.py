@@ -1,0 +1,147 @@
+"""The incremental store-indexing job (plans/eav.py:current_datoms /
+merge_datoms_increment) — Datomic's background index merge: fold a
+tx-log increment into the attribute-partitioned store, rewriting only
+the touched attribute partitions. Reference semantics: the database is
+a replayed log (SURVEY.md §1.1a); indexing folds the log into sorted
+segments without rewriting the world."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mbrainz_importer_spark.plans.eav import (
+    current_datoms,
+    materialize_datoms,
+    merge_datoms_increment,
+    read_datoms,
+)
+
+OPS_SCHEMA = "e string, a string, v string, v_num double, tx long, added boolean"
+STORE_SCHEMA = "e string, a string, v string, v_num double"
+
+
+def _store(spark, rows):
+    return spark.createDataFrame(rows, STORE_SCHEMA)
+
+
+def _ops(spark, rows):
+    return spark.createDataFrame(rows, OPS_SCHEMA)
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.select("e", "a", "v", "v_num").collect())
+
+
+BASE = [
+    ("t:1", ":t/x", "1", 1.0),      # card-one, will be displaced
+    ("t:1", ":t/tag", "red", None),  # card-many, accumulates
+    ("t:2", ":t/x", "5", 5.0),      # untouched entity
+    ("t:2", ":t/keep", "k", None),   # untouched attribute
+]
+
+INCREMENT = [
+    # card-one displacement: bare assert of a new value
+    ("t:1", ":t/x", "2", 2.0, 10, True),
+    # card-many: one more tag + retract an existing one
+    ("t:1", ":t/tag", "blue", None, 10, True),
+    ("t:1", ":t/tag", "red", None, 11, False),
+    # assert a present datom: no-op (set semantics)
+    ("t:2", ":t/x", "5", 5.0, 10, True),
+    # retract an absent datom: no-op
+    ("t:9", ":t/x", "9", 9.0, 10, False),
+    # assert then retract within the increment: never surfaces
+    ("t:3", ":t/x", "3", 3.0, 10, True),
+    ("t:3", ":t/x", "3", 3.0, 12, False),
+]
+
+EXPECTED = [
+    ("t:1", ":t/tag", "blue", None),
+    ("t:1", ":t/x", "2", 2.0),
+    ("t:2", ":t/keep", "k", None),
+    ("t:2", ":t/x", "5", 5.0),
+]
+
+
+def test_replay_semantics(spark):
+    out = current_datoms(
+        _store(spark, BASE), _ops(spark, INCREMENT), card_many={":t/tag"}
+    )
+    assert _sorted(out) == EXPECTED
+
+
+def test_explicit_displacement_retraction_matches_datomic_log(spark):
+    """A real Datomic log reifies card-one displacement as an explicit
+    retract op; replaying such a log gives the same answer as the bare
+    assert — and retracting the CURRENT value without re-asserting
+    leaves the attribute absent (not resurrected)."""
+    base = _store(spark, [("t:1", ":t/x", "1", 1.0)])
+    reified = _ops(spark, [
+        ("t:1", ":t/x", "1", 1.0, 10, False),
+        ("t:1", ":t/x", "2", 2.0, 10, True),
+        ("t:1", ":t/x", "2", 2.0, 20, False),  # retract current, no new assert
+    ])
+    assert _sorted(current_datoms(base, reified)) == []
+
+
+def test_same_tx_retract_assert_resolves_assert_wins(spark):
+    base = _store(spark, [("t:1", ":t/x", "1", 1.0)])
+    ops = _ops(spark, [
+        ("t:1", ":t/x", "1", 1.0, 10, False),
+        ("t:1", ":t/x", "1", 1.0, 10, True),
+    ])
+    assert _sorted(current_datoms(base, ops)) == [("t:1", ":t/x", "1", 1.0)]
+
+
+def _file_state(path, attr_dir):
+    d = os.path.join(path, attr_dir)
+    return sorted(
+        (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "store")
+    materialize_datoms(_store(spark, BASE), path)
+    keep_dir = next(
+        n for n in os.listdir(path) if n.startswith("a=") and "keep" in n
+    )
+    before = _file_state(path, keep_dir)
+    merge_datoms_increment(
+        spark, path, _ops(spark, INCREMENT), card_many={":t/tag"}
+    )
+    assert _file_state(path, keep_dir) == before, "untouched partition rewritten"
+    assert _sorted(read_datoms(spark, path)) == EXPECTED
+    # idempotent redelivery: same increment again, same content
+    merge_datoms_increment(
+        spark, path, _ops(spark, INCREMENT), card_many={":t/tag"}
+    )
+    assert _sorted(read_datoms(spark, path)) == EXPECTED
+
+
+def test_merge_removes_emptied_partition(spark, tmp_path):
+    path = str(tmp_path / "store")
+    materialize_datoms(_store(spark, BASE), path)
+    ops = _ops(spark, [
+        ("t:2", ":t/keep", "k", None, 10, False),
+    ])
+    merge_datoms_increment(spark, path, ops)
+    assert not any("keep" in n for n in os.listdir(path) if n.startswith("a="))
+    got = _sorted(read_datoms(spark, path))
+    assert ("t:2", ":t/keep", "k", None) not in got
+    assert len(got) == len(BASE) - 1
+
+
+def test_live_view_matches_merged_store(spark, tmp_path):
+    path = str(tmp_path / "store")
+    materialize_datoms(_store(spark, BASE), path)
+    live = _sorted(current_datoms(  # evaluate BEFORE the rewrite below
+        read_datoms(spark, path), _ops(spark, INCREMENT), card_many={":t/tag"}
+    ))
+    merge_datoms_increment(
+        spark, path, _ops(spark, INCREMENT), card_many={":t/tag"}
+    )
+    assert live == _sorted(read_datoms(spark, path))
