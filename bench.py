@@ -46,6 +46,7 @@ HEADLINE = [
     "datalog_fact_store_scan",
     "datalog_fact_store_bucketed",
     "pull_from_store",
+    "store_incremental_merge",
     "datalog_recursive_ancestors",
     "sequence_packing",
     "curation_pipeline",

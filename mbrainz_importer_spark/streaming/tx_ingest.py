@@ -66,6 +66,20 @@ def read_tx_log(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.parquet(out_path).select(*LOG_COLS)
 
 
+def log_as_store_ops(log: DataFrame) -> DataFrame:
+    """Project the durable log into the op shape the current-state
+    index merge consumes (plans/eav.py:merge_datoms_increment): the
+    log carries numeric values only, so `v` is derived with
+    table_datoms' canonical numeric formatting (integers print without
+    a decimal point) — retractions then match the store's stored
+    (e, a, v) exactly. This is the glue of the full transactor loop:
+    stream → durable log → background indexing into the EAV store."""
+    v = F.regexp_replace(F.col("v_num").cast("string"), r"\.0$", "")
+    return log.select(
+        "e", "a", v.alias("v"), "v_num", "tx", "added"
+    )
+
+
 def compact_log(spark: SparkSession, out_path: str, store_path: str) -> None:
     """Rewrite the accumulated epoch files attribute-partitioned
     (history.materialize_log layout) — the periodic index job that

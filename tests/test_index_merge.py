@@ -135,6 +135,40 @@ def test_merge_removes_emptied_partition(spark, tmp_path):
     assert len(got) == len(BASE) - 1
 
 
+def test_streaming_log_feeds_incremental_index(spark, tmp_path):
+    """The full transactor loop: ops STREAM into the durable log
+    (streaming/tx_ingest), then the background indexing job folds the
+    log into the current-state EAV store — stream in, pruned store
+    out, with displacement and retraction applied."""
+    from mbrainz_importer_spark.streaming.tx_ingest import (
+        log_as_store_ops,
+        read_tx_log,
+        start_tx_ingest,
+    )
+
+    store_path = str(tmp_path / "store")
+    materialize_datoms(
+        _store(spark, [("u:1", ":k/bal", "10", 10.0), ("u:2", ":k/bal", "5", 5.0)]),
+        store_path,
+    )
+    ops_schema = "e string, a string, v_num double, tx long, added boolean"
+    drop = tmp_path / "ops"
+    spark.createDataFrame(
+        [("u:1", ":k/bal", 20.0, 2, True),   # card-one displacement
+         ("u:2", ":k/bal", 5.0, 3, False)],  # retraction
+        ops_schema,
+    ).write.parquet(str(drop / "d1"))
+    stream = spark.readStream.schema(ops_schema).parquet(f"{drop}/*/")
+    q = start_tx_ingest(stream, str(tmp_path / "log"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    log = read_tx_log(spark, str(tmp_path / "log"))
+    merge_datoms_increment(spark, store_path, log_as_store_ops(log))
+    assert _sorted(read_datoms(spark, store_path)) == [
+        ("u:1", ":k/bal", "20", 20.0),
+    ]
+
+
 def test_live_view_matches_merged_store(spark, tmp_path):
     path = str(tmp_path / "store")
     materialize_datoms(_store(spark, BASE), path)
