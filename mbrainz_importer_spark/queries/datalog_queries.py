@@ -1070,6 +1070,40 @@ def store_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _status_price_rollup(read_datoms(spark, path))
 
 
+def store_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexing job over the ENTITY-BUCKETED store
+    (plans/eav.py:merge_datoms_increment_bucketed): same increment,
+    same replay oracle as store_incremental_merge, but the rewrite goes
+    through the catalog table so bucket co-location survives — the
+    readback's status-to-price entity join runs over the merged
+    partitions Exchange-free. Build-once per session (bucket metadata
+    lives in the session catalog); the merge is idempotent, so re-runs
+    stay hash-stable."""
+    import os
+
+    from ..plans.eav import (
+        materialize_datoms_bucketed,
+        merge_datoms_increment_bucketed,
+        table_datoms,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"datoms_orders_merge_{tag}"
+    if not spark.catalog.tableExists(table):
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        materialize_datoms_bucketed(
+            table_datoms(orders, "orders", "o_orderkey"), table
+        )
+    merge_datoms_increment_bucketed(
+        spark, table, _orders_log_increment(spark, sf_dir)
+    )
+    return _status_price_rollup(
+        spark.table(table).select("e", "a", "v", "v_num")
+    )
+
+
 def store_live_log_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE view between indexing runs (plans/eav.py:current_datoms):
     queries must see store ∪ unindexed-log without waiting for the merge
@@ -1108,6 +1142,7 @@ def store_live_log_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "store_incremental_merge": store_incremental_merge,
+    "store_merge_bucketed": store_merge_bucketed,
     "store_live_log_view": store_live_log_view,
     "datalog_fn_binding": datalog_fn_binding,
     "datalog_get_some_contact": datalog_get_some_contact,
@@ -1181,6 +1216,7 @@ _LOG_REPLAY_SQL = """
 
 ORACLES = {
     "store_incremental_merge": _LOG_REPLAY_SQL,
+    "store_merge_bucketed": _LOG_REPLAY_SQL,
     "store_live_log_view": _LOG_REPLAY_SQL,
     "datalog_get_some_contact": """
         SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id,

@@ -135,6 +135,58 @@ def test_merge_removes_emptied_partition(spark, tmp_path):
     assert len(got) == len(BASE) - 1
 
 
+def test_bucketed_merge_keeps_colocation_and_content(spark):
+    """merge_datoms_increment_bucketed: same replay over the
+    entity-bucketed catalog table — content matches the plain merge,
+    the untouched partition's files survive byte-identical, and the
+    post-merge entity self-join between attribute partitions is STILL
+    Exchange-free (insertInto writes carry the table's bucket spec)."""
+    import shutil
+
+    from mbrainz_importer_spark.plans.eav import (
+        materialize_datoms_bucketed,
+        merge_datoms_increment_bucketed,
+    )
+    from mbrainz_importer_spark.sources.bucketed import count_exchanges
+
+    table = "merge_bucketed_test"
+    materialize_datoms_bucketed(_store(spark, BASE), table, n_buckets=4)
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        table,
+    )
+    keep_dir = next(n for n in os.listdir(loc) if n.startswith("a=") and "keep" in n)
+    before = _file_state(loc, keep_dir)
+    merge_datoms_increment_bucketed(
+        spark, table, _ops(spark, INCREMENT), card_many={":t/tag"}
+    )
+    got = spark.table(table).select("e", "a", "v", "v_num")
+    assert sorted(tuple(r) for r in got.collect()) == EXPECTED
+    assert _file_state(loc, keep_dir) == before, "untouched partition rewritten"
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table(table)
+        x = t.where("a = ':t/x'").select("e", F.col("v").alias("x"))
+        k = t.where("a = ':t/keep'").select("e", F.col("v").alias("k"))
+        j = x.join(k, "e")
+        j.collect()
+        assert count_exchanges(j) == 0, "merge broke bucket co-location"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+    # emptied partition drops from the catalog table's file index too
+    merge_datoms_increment_bucketed(
+        spark, table, _ops(spark, [("t:2", ":t/keep", "k", None, 20, False)])
+    )
+    assert spark.table(table).where("a = ':t/keep'").count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_streaming_log_feeds_incremental_index(spark, tmp_path):
     """The full transactor loop: ops STREAM into the durable log
     (streaming/tx_ingest), then the background indexing job folds the
