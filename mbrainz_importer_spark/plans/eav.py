@@ -447,15 +447,7 @@ def merge_datoms_increment_bucketed(
     touched = sorted(r.a for r in ops.select("a").distinct().collect())
     if not touched:
         return
-    loc = (
-        spark.sql(f"DESCRIBE FORMATTED `{table}`")
-        .where("col_name = 'Location'")
-        .first()[1]
-    )
-    for prefix in ("file://", "file:"):
-        if loc.startswith(prefix):
-            loc = loc[len(prefix):]
-            break
+    loc = _table_location(spark, table)
     existing = (
         spark.table(table)
         .where(F.col("a").isin(touched))
@@ -479,6 +471,34 @@ def merge_datoms_increment_bucketed(
             if name.startswith("a=") and unquote(name[2:]) in emptied:
                 shutil.rmtree(os.path.join(loc, name))
         spark.catalog.refreshTable(table)
+    _drop_stage(loc)
+
+
+def _table_location(spark, table: str) -> str:
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED `{table}`")
+        .where("col_name = 'Location'")
+        .first()[1]
+    )
+    for prefix in ("file://", "file:"):
+        if loc.startswith(prefix):
+            return loc[len(prefix):]
+    return loc
+
+
+def compact_store(spark, table: str, n_buckets: int = 32) -> None:
+    """Compaction for the bucketed store: every incremental merge adds
+    up to shuffle-partitions x buckets files to each touched partition
+    (the LSM-ish accumulation `merge_datoms_increment_bucketed`
+    documents); on a cadence, rewrite the table from itself so each
+    (partition, bucket) collapses back to one file. Content-preserving
+    by construction — same rows, same layout contract; the reference
+    transactor runs the same periodic re-index."""
+    loc = _table_location(spark, table)
+    snapshot = _stage_merge(
+        spark, spark.table(table).select("e", "a", "v", "v_num"), loc
+    )
+    materialize_datoms_bucketed(snapshot, table, n_buckets)
     _drop_stage(loc)
 
 

@@ -187,6 +187,66 @@ def test_bucketed_merge_keeps_colocation_and_content(spark):
     shutil.rmtree(loc, ignore_errors=True)
 
 
+def test_merge_read_side_is_partition_pruned(spark, tmp_path):
+    """The merge's read of the existing store must scan ONLY the
+    touched attribute partitions — the isin over the partition column
+    shows up as PartitionFilters, never a full-store scan."""
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    path = str(tmp_path / "store")
+    materialize_datoms(_store(spark, BASE), path)
+    existing = read_datoms(spark, path).where(
+        F.col("a").isin([":t/x", ":t/tag"])
+    )
+    plan = physical_plan(existing)
+    assert "PartitionFilters" in plan
+    assert "a#" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_compact_store_collapses_merge_files(spark):
+    """One merge writes up to (staging read tasks x buckets) files
+    into each touched partition; compact_store rewrites the table so
+    each (partition, bucket) collapses back, preserving content
+    exactly."""
+    import glob
+    import shutil
+
+    from mbrainz_importer_spark.plans.eav import (
+        compact_store,
+        materialize_datoms_bucketed,
+        merge_datoms_increment_bucketed,
+    )
+
+    table = "compact_store_test"
+    big = [(f"t:{i}", ":t/x", str(i), float(i)) for i in range(200)]
+    materialize_datoms_bucketed(_store(spark, big), table, n_buckets=4)
+    merge_datoms_increment_bucketed(
+        spark, table,
+        _ops(spark, [(f"t:{i}", ":t/x", str(i + 1000), float(i + 1000), 10, True)
+                     for i in range(200)]),
+    )
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        table,
+    )
+    x_dir = next(n for n in os.listdir(loc) if n.startswith("a=") and "x" in n)
+    before_files = len(glob.glob(os.path.join(loc, x_dir, "*.parquet")))
+    want = sorted(tuple(r) for r in spark.table(table)
+                  .select("e", "a", "v", "v_num").collect())
+    assert ("t:1", ":t/x", "1001", 1001.0) in want and len(want) == 200
+    compact_store(spark, table, n_buckets=4)
+    after_files = len(glob.glob(os.path.join(loc, x_dir, "*.parquet")))
+    # the contract: at most one file per bucket afterwards, never more
+    # than the merge left behind (how many that is depends on the
+    # staging read's split packing, so only the bound is asserted)
+    assert after_files <= 4 and after_files <= before_files
+    got = sorted(tuple(r) for r in spark.table(table)
+                 .select("e", "a", "v", "v_num").collect())
+    assert got == want
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_streaming_log_feeds_incremental_index(spark, tmp_path):
     """The full transactor loop: ops STREAM into the durable log
     (streaming/tx_ingest), then the background indexing job folds the
