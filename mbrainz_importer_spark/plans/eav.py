@@ -474,6 +474,39 @@ def merge_datoms_increment_bucketed(
     _drop_stage(loc)
 
 
+def excise_store(
+    spark,
+    path: str,
+    entities: list[str] | set[str],
+    attrs: set[str] | frozenset[str] | None = None,
+) -> None:
+    """Excision on the MATERIALIZED store — the right-to-be-forgotten
+    rewrite (plans/history.py:excise is the log-side twin; reference
+    semantics: :db/excise erases every trace, and it is a segment
+    rewrite in Datomic too). Expressed as a merge of retractions: the
+    doomed entities' datoms become retract ops and fold through
+    `merge_datoms_increment`, so only the attribute partitions that
+    actually held their datoms rewrite; every other partition keeps its
+    files byte-identical. Idempotent — re-excising erased entities
+    retracts absent datoms, a no-op.
+
+    `entities` is a bounded driver-side list (excision requests are
+    per-subject by nature). Finding the datoms scans all partitions
+    with an `e` pushdown unless `attrs` narrows the search — the same
+    cost Datomic pays; pass `attrs` when the schema is known."""
+    doomed = read_datoms(spark, path).where(
+        F.col("e").isin(sorted(entities))
+    )
+    if attrs is not None:
+        doomed = doomed.where(F.col("a").isin(sorted(attrs)))
+    ops = doomed.select(
+        "e", "a", "v", "v_num",
+        F.lit(2**62).alias("tx"),
+        F.lit(False).alias("added"),
+    )
+    merge_datoms_increment(spark, path, ops)
+
+
 def _table_location(spark, table: str) -> str:
     loc = (
         spark.sql(f"DESCRIBE FORMATTED `{table}`")

@@ -1104,6 +1104,42 @@ def store_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def store_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the materialized store
+    (plans/eav.py:excise_store): orders with key % 1000 == 1 are
+    excised — every datom of theirs retracted through the incremental
+    merge, rewriting only the partitions that held them. Idempotent
+    (re-excising erased entities is a no-op), so the gate re-runs
+    hash-stable. The oracle simply never sees the doomed rows."""
+    import os
+
+    from ..plans.eav import (
+        excise_store,
+        materialize_datoms,
+        read_datoms,
+        table_datoms,
+    )
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_excise_v1",
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_datoms(
+            table_datoms(orders, "orders", "o_orderkey"), path
+        )
+    doomed = [
+        f"orders:{r.o_orderkey}"
+        for r in orders.where(F.col("o_orderkey") % 1000 == 1)
+        .select("o_orderkey").collect()
+    ]
+    excise_store(spark, path, doomed)
+    return _status_price_rollup(read_datoms(spark, path))
+
+
 def store_live_log_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE view between indexing runs (plans/eav.py:current_datoms):
     queries must see store ∪ unindexed-log without waiting for the merge
@@ -1143,6 +1179,7 @@ def store_live_log_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "store_incremental_merge": store_incremental_merge,
     "store_merge_bucketed": store_merge_bucketed,
+    "store_excision": store_excision,
     "store_live_log_view": store_live_log_view,
     "datalog_fn_binding": datalog_fn_binding,
     "datalog_get_some_contact": datalog_get_some_contact,
@@ -1217,6 +1254,17 @@ _LOG_REPLAY_SQL = """
 ORACLES = {
     "store_incremental_merge": _LOG_REPLAY_SQL,
     "store_merge_bucketed": _LOG_REPLAY_SQL,
+    "store_excision": """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               COUNT(o_totalprice) AS n_price,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+        WHERE o_orderkey % 1000 <> 1
+        GROUP BY 1
+        ORDER BY status
+    """,
     "store_live_log_view": _LOG_REPLAY_SQL,
     "datalog_get_some_contact": """
         SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id,

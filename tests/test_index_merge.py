@@ -247,6 +247,32 @@ def test_compact_store_collapses_merge_files(spark):
     shutil.rmtree(loc, ignore_errors=True)
 
 
+def test_excise_store_erases_and_preserves_untouched_partitions(spark, tmp_path):
+    """excise_store: every trace of the doomed entity vanishes; a
+    partition that held none of its datoms keeps its files
+    byte-identical; re-excision is a no-op (idempotent); `attrs`
+    narrows the rewrite."""
+    from mbrainz_importer_spark.plans.eav import excise_store
+
+    path = str(tmp_path / "store")
+    materialize_datoms(_store(spark, BASE), path)
+    keep_dir = next(
+        n for n in os.listdir(path) if n.startswith("a=") and "keep" in n
+    )
+    before = _file_state(path, keep_dir)
+    excise_store(spark, path, ["t:1"])
+    got = _sorted(read_datoms(spark, path))
+    assert got == [r for r in sorted(BASE) if r[0] != "t:1"]
+    assert _file_state(path, keep_dir) == before, "untouched partition rewritten"
+    excise_store(spark, path, ["t:1"])  # idempotent
+    assert _sorted(read_datoms(spark, path)) == got
+    # attr-scoped excision erases only the named attribute's datoms
+    excise_store(spark, path, ["t:2"], attrs={":t/keep"})
+    got = _sorted(read_datoms(spark, path))
+    assert ("t:2", ":t/keep", "k", None) not in got
+    assert ("t:2", ":t/x", "5", 5.0) in got
+
+
 def test_streaming_log_feeds_incremental_index(spark, tmp_path):
     """The full transactor loop: ops STREAM into the durable log
     (streaming/tx_ingest), then the background indexing job folds the
