@@ -292,6 +292,23 @@ def lsh_verified_pairs(
     corpus OOMed the uncollapsed path; collapsed it runs at
     distinct-text cost plus the output-sized expansion join)."""
     if collapse_identical:
+        # adaptive pre-probe: collapsing pays three extra shuffles, all
+        # keyed by the FULL text — pure overhead on a corpus where no
+        # text occurs twice (the common case outside replicated /
+        # crawl-heavy tiers). One cheap map-side-combined count over
+        # 8-byte hash keys decides; a (vanishingly unlikely) xxhash64
+        # collision can only trigger an unnecessary collapse pass,
+        # never change results — the collapse itself groups by the
+        # full text, so exactness is untouched.
+        no_dups = (
+            df.groupBy(F.xxhash64(F.col(text_col)).alias("__h"))
+            .count()
+            .where(F.col("count") > 1)
+            .isEmpty()
+        )
+        if no_dups:
+            collapse_identical = False
+    if collapse_identical:
         from pyspark.sql import Window
 
         members = df.select(
