@@ -87,6 +87,123 @@ def _nearest_cells(vec_col: F.Column, centroids: list[list[float]], n: int) -> F
     return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
 
 
+def materialize_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF index as STORAGE: every vector assigned to its nearest
+    centroid, written cell-PARTITIONED — a probe of n cells becomes a
+    partition-pruned scan of n directories instead of a corpus pass
+    (the inverted-list layout every production IVF uses; same storage
+    contract as the attribute-partitioned datom store)."""
+    _assign(corpus, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def _assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    return corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """(nid, nv, cell) — `.where(cell.isin(...))` prunes to the probed
+    lists' partition directories."""
+    return spark.read.parquet(path).select("nid", "nv", "cell")
+
+
+def merge_ivf_increment(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: arrivals assign to the SAME
+    persisted centroids and fold into only the cell partitions they
+    land in (dynamic partition overwrite of touched cells, staged
+    through disk exactly like the datom-store merge) — O(touched cells
+    + increment); the index never rebuilds and untouched lists keep
+    their files. Centroids are a distribution statistic: they drift
+    only on a re-train cadence, at which point a re-materialize is the
+    compaction analog. Re-merging the same arrivals is a no-op on
+    content (union deduped by id), so redelivered increments are safe.
+    Arrivals are NEW vectors (the embedding-ingest workload); an id
+    re-asserted with a DIFFERENT vector dedupes within the touched
+    cells only — treat vector updates as delete + re-add."""
+    from ..plans.eav import _drop_stage, _stage_merge
+
+    fresh = _assign(arrivals, centroids, id_col, vec_col)
+    touched = sorted(r.cell for r in fresh.select("cell").distinct().collect())
+    if not touched:
+        return
+    existing = read_ivf_index(spark, path).where(F.col("cell").isin(touched))
+    merged = (
+        existing.unionByName(fresh)
+        .groupBy("nid")
+        .agg(F.max(F.struct("cell", "nv")).alias("w"))
+        .select("nid", F.col("w.nv").alias("nv"), F.col("w.cell").alias("cell"))
+    )
+    merged = _stage_merge(spark, merged, path, columns=("nid", "nv", "cell"))
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    _drop_stage(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k per query over the MATERIALIZED index: the bounded query
+    set's probed cells collect driver-side (|queries| x n_probe ids —
+    the interactive-search contract, similarity.py's bounded-queries
+    shape) and become a partition filter, so the scan reads exactly the
+    probed lists' directories. Ranking identical to `ivf_topk`."""
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    index = read_ivf_index(spark, path).where(F.col("cell").isin(cells))
+    sim = F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    pairs = (
+        probes.join(index, "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("cos_sim"))
+        .groupBy("qid", "nid")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -396,7 +396,12 @@ def merge_datoms_increment(
     _drop_stage(path)
 
 
-def _stage_merge(spark, merged: DataFrame, anchor: str) -> DataFrame:
+def _stage_merge(
+    spark,
+    merged: DataFrame,
+    anchor: str,
+    columns: tuple = ("e", "a", "v", "v_num"),
+) -> DataFrame:
     """Break the read-from/write-to-the-same-path cycle of an in-place
     merge by STAGING the merged rows as parquet next to the store and
     reading them back — the writer's plan then scans the staging files,
@@ -406,7 +411,7 @@ def _stage_merge(spark, merged: DataFrame, anchor: str) -> DataFrame:
     (measured: a 30M-row localCheckpoint GC-stalled an 8g local[32]
     heap at the sf10 tier; the staged form runs in constant memory)."""
     stage = anchor.rstrip("/") + ".__merge_staging"
-    merged.select("e", "a", "v", "v_num").write.mode("overwrite").parquet(stage)
+    merged.select(*columns).write.mode("overwrite").parquet(stage)
     return spark.read.parquet(stage)
 
 

@@ -260,6 +260,44 @@ def sim_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def sim_ivf_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED IVF index, incrementally maintained, in exact
+    mode (operators/ann.py:materialize_ivf_index / merge_ivf_increment
+    / ivf_topk_from_index): the index builds once per sf_dir from 90%
+    of the corpus, every 10th vector arrives as an increment and folds
+    into only the cells it lands in (dynamic overwrite of touched cell
+    partitions, redelivery-safe), and the probe reads the index as
+    partition-pruned inverted lists. n_probe = n_cells makes the
+    candidate set the whole corpus, so the result must HASH-EQUAL the
+    brute-force oracle — certifying that the incremental maintenance
+    left the index exactly equal to a full build."""
+    import os
+
+    from ..operators.ann import (
+        ivf_topk_from_index,
+        materialize_ivf_index,
+        merge_ivf_increment,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    path = os.path.join(
+        "spark-warehouse", "ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_index(
+            emb.where(F.col("vec_id") % 10 != 0), centroids, path
+        )
+    merge_ivf_increment(
+        spark, path, emb.where(F.col("vec_id") % 10 == 0), centroids
+    )
+    queries = emb.where(F.col("vec_id") < 50)
+    return ivf_topk_from_index(
+        spark, path, queries, centroids, k=3, n_probe=len(centroids)
+    ).orderBy("qid", "rank")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = M.text_as_assets(docs, "doc_id", "text")
@@ -522,6 +560,7 @@ QUERIES = {
     "sim_embedding_dedup_clusters": sim_embedding_dedup_clusters,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_exact": sim_ivf_exact,
+    "sim_ivf_incremental_exact": sim_ivf_incremental_exact,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,
     "multimodal_pixel_decode": multimodal_pixel_decode,
@@ -1069,6 +1108,7 @@ ORACLES = {
 # IVF with every cell probed is exhaustive search — the oracle IS the
 # brute-force oracle, independent of the trained centroids
 ORACLES["sim_ivf_exact"] = ORACLES["sim_topk_bruteforce"]
+ORACLES["sim_ivf_incremental_exact"] = ORACLES["sim_topk_bruteforce"]
 ORACLES["sim_topk_arrow"] = ORACLES["sim_topk_bruteforce"]
 
 
