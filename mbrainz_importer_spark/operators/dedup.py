@@ -236,16 +236,39 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 3,
     shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into `bands` bands of
     `rows_per_band` hashes; docs sharing any full band land in one bucket
     and become a candidate pair. Returns distinct (doc_a, doc_b).
 
     Scale path: the band-bucket groupBy shuffles (doc, bucket) rows — linear
-    in corpus size; collisions (not corpus²) drive the pair fan-out."""
+    in corpus size; collisions (not corpus²) drive the pair fan-out.
+
+    `max_bucket` is the hot-bucket guard the fan-out needs at corpus
+    scale: a (band, bucket) with B members emits B(B-1)/2 pairs, so ONE
+    degenerate bucket (boilerplate, templated text) can emit more pairs
+    than the rest of the corpus combined — a bucket of 1M docs is half
+    a trillion pairs no join strategy survives. Buckets larger than the
+    cap are dropped whole (the standard production trade: an
+    oversubscribed bucket is the least informative — its collision
+    probability says 'everything matches everything'; near-dup pairs
+    that matter keep colliding in their other, smaller bands). The cap
+    changes RECALL, not correctness of what is emitted, and it is
+    exactly mirrorable in SQL (a HAVING over the bucket count), so the
+    capped face is oracle-certifiable, not a silent approximation.
+    None (default) preserves the uncapped semantics of every existing
+    caller."""
     melted = lsh_bands(
         df, id_col, text_col, n, bands, rows_per_band, shingles=shingles
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        melted = melted.withColumn("__bsz", w).where(
+            F.col("__bsz") <= max_bucket
+        ).drop("__bsz")
     l, r = melted.alias("l"), melted.alias("r")
     return (
         l.join(

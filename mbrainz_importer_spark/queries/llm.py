@@ -85,6 +85,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-guarded LSH face (max_bucket=8): a (band, bucket)
+    with B members emits B(B-1)/2 pairs, so one degenerate boilerplate
+    bucket can out-emit the whole corpus at scale; buckets over the cap
+    drop whole. The cap is mirrored in the oracle as a HAVING over the
+    bucket count, so the capped semantics are hash-certified — a
+    documented recall trade, never a silent approximation."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=3, max_bucket=8
+    ).orderBy("doc_a", "doc_b")
+
+
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined pipeline: LSH candidates + exact-Jaccard verify off ONE
     cached shingle feed; the verify intersection is candidate-restricted."""
@@ -546,6 +559,7 @@ QUERIES = {
     "dedup_bloom_novelty": dedup_bloom_novelty,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_incremental_vs_corpus": dedup_incremental_vs_corpus,
     "dedup_simhash": dedup_simhash,
@@ -615,6 +629,26 @@ def _minhash_oracle(bands: int = 4, rows: int = 3) -> str:
         WITH {_minhash_cte(bands, rows)}
         SELECT doc_a, doc_b FROM cand
         ORDER BY doc_a, doc_b
+    """
+
+
+def _minhash_capped_oracle(bands: int = 4, rows: int = 3, cap: int = 8) -> str:
+    """The hot-bucket cap as SQL: bucket sizes from the same melt CTE,
+    members of oversized buckets excluded before the candidate join."""
+    return f"""
+        WITH {_minhash_cte(bands, rows)},
+        bsz AS (SELECT band, bucket, COUNT(*) AS n FROM melt GROUP BY 1, 2),
+        kept AS (
+            SELECT m.doc, m.band, m.bucket
+            FROM melt m JOIN bsz USING (band, bucket)
+            WHERE bsz.n <= {cap}
+        ),
+        ccand AS (
+            SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+            FROM kept l JOIN kept r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+        )
+        SELECT doc_a, doc_b FROM ccand ORDER BY doc_a, doc_b
     """
 
 
@@ -883,6 +917,7 @@ ORACLES = {
     """,
     # sim_ivf_topk: rows-only (KMeans training engine-specific)
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_lsh_capped": _minhash_capped_oracle(),
     "dedup_lsh_verified": _lsh_verified_oracle(),
     "dedup_incremental_vs_corpus": _incremental_oracle(),
     "dedup_simhash": _simhash_oracle(),

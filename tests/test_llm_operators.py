@@ -52,6 +52,26 @@ def test_minhash_lsh_recall(near_dup_docs):
     assert (1, 4) not in cand  # unrelated docs don't collide
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket drops oversized buckets WHOLE: five identical texts
+    share every band bucket (a 5-member hot bucket -> 10 pairs
+    uncapped); with max_bucket=2 those buckets drop and only the
+    disjoint 2-member near-dup pair survives. Uncapped behavior
+    unchanged (default None)."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    rows += [(10, "completely different text about spark partitions here"),
+             (11, "completely different text about spark partitions there")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in D.minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert {(a, b) for a in range(5) for b in range(5) if a < b} <= uncapped
+    capped = {(r.doc_a, r.doc_b)
+              for r in D.minhash_lsh_pairs(
+                  docs, "doc_id", "text", max_bucket=2).collect()}
+    assert all(a >= 10 for a, _ in capped), f"hot-bucket pair leaked: {capped}"
+    assert (10, 11) in capped, "small-bucket pair must survive the cap"
+
+
 def test_incremental_near_dups_probe(spark, near_dup_docs):
     """New docs probe the corpus index: doc 3 (exact dup of corpus doc 1)
     and doc 2 (near-dup) are flagged with their corpus source; the
