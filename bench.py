@@ -47,6 +47,8 @@ HEADLINE = [
     "datalog_fact_store_bucketed",
     "pull_from_store",
     "store_incremental_merge",
+    "store_merge_bucketed",
+    "sim_ivf_incremental_exact",
     "datalog_recursive_ancestors",
     "sequence_packing",
     "curation_pipeline",

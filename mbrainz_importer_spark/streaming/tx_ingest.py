@@ -80,6 +80,39 @@ def log_as_store_ops(log: DataFrame) -> DataFrame:
     )
 
 
+def start_store_indexing(
+    op_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    card_many: frozenset[str] | set[str] = frozenset(),
+) -> StreamingQuery:
+    """CONTINUOUS indexing: every op micro-batch folds straight into
+    the current-state attribute-partitioned store
+    (plans/eav.merge_datoms_increment) — the streaming face of the
+    background index job, for deployments that want the store fresh
+    per micro-batch instead of on a compaction cadence. Replay-safe
+    WITHOUT a batch-id sink: the merge is content-idempotent (set
+    semantics + max-tx displacement), so a re-delivered epoch re-merges
+    to the same store. Each batch rewrites only the attribute
+    partitions it touches."""
+    from ..plans.eav import merge_datoms_increment
+
+    def index(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_datoms_increment(
+            batch_df.sparkSession,
+            store_path,
+            log_as_store_ops(batch_df.select(*LOG_COLS)),
+            card_many,
+        )
+
+    return (
+        op_stream.writeStream.foreachBatch(index)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_log(spark: SparkSession, out_path: str, store_path: str) -> None:
     """Rewrite the accumulated epoch files attribute-partitioned
     (history.materialize_log layout) — the periodic index job that

@@ -307,6 +307,39 @@ def test_streaming_log_feeds_incremental_index(spark, tmp_path):
     ]
 
 
+def test_continuous_store_indexing_stream(spark, tmp_path):
+    """start_store_indexing: op micro-batches fold straight into the
+    current-state store, one merge per epoch — displacement and
+    retraction applied by the time the stream drains."""
+    from mbrainz_importer_spark.streaming.tx_ingest import start_store_indexing
+
+    store_path = str(tmp_path / "store")
+    materialize_datoms(
+        _store(spark, [("u:1", ":k/bal", "10", 10.0), ("u:2", ":k/bal", "5", 5.0)]),
+        store_path,
+    )
+    ops_schema = "e string, a string, v_num double, tx long, added boolean"
+    drop = tmp_path / "ops"
+    spark.createDataFrame(
+        [("u:1", ":k/bal", 20.0, 2, True)], ops_schema
+    ).write.parquet(str(drop / "d1"))
+    spark.createDataFrame(
+        [("u:2", ":k/bal", 5.0, 3, False), ("u:3", ":k/bal", 7.0, 3, True)],
+        ops_schema,
+    ).write.parquet(str(drop / "d2"))
+    stream = (
+        spark.readStream.schema(ops_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*/")
+    )
+    q = start_store_indexing(stream, store_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _sorted(read_datoms(spark, store_path)) == [
+        ("u:1", ":k/bal", "20", 20.0),
+        ("u:3", ":k/bal", "7", 7.0),
+    ]
+
+
 def test_live_view_matches_merged_store(spark, tmp_path):
     path = str(tmp_path / "store")
     materialize_datoms(_store(spark, BASE), path)
