@@ -100,6 +100,63 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     ).orderBy("rule_id")
 
 
+ROW_KINDS = KINDS - {"unique"}
+
+
+def _row_violation(rule: Rule) -> Column:
+    """NULL when the row satisfies the rule, the rule's label when it
+    violates it — concat_ws later drops the NULLs on both engines."""
+    c = F.col(rule.column)
+    if rule.kind == "complete":
+        ok = c.isNotNull()
+    elif rule.kind == "min":
+        ok = c >= F.lit(rule.value)
+    elif rule.kind == "max":
+        ok = c <= F.lit(rule.value)
+    elif rule.kind == "in_set":
+        ok = c.isin(list(rule.value))
+    elif rule.kind == "matches":
+        ok = c.rlike(rule.value)
+    else:  # non_negative
+        ok = c >= 0
+    return F.when(~ok, F.lit(f"{rule.kind}:{rule.column}"))
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """ROW-level routing — the dead-letter shape every production
+    pipeline pairs with corpus-level checks: rows satisfying every
+    row-expressible rule flow on unchanged; failing rows land in the
+    quarantine frame with a `violated` column naming each broken rule
+    ('kind:column', comma-joined in rule order). The reference's analog
+    is the channel's in-band error value (anomalies as data, not
+    exceptions — P12); `check()` stays the corpus-metric face.
+
+    Corpus-level kinds ('unique') are not row-expressible and are
+    rejected. One projection, no shuffle, no second scan: both outputs
+    are filters over the same labeled plan. NULL comparisons follow SQL
+    three-valued logic: a NULL that makes a rule's predicate unknown
+    counts as a violation only for 'complete' — the other kinds skip
+    NULL rows, exactly as their SQL mirrors do."""
+    if not rules:
+        raise ValueError("quarantine_split() needs at least one rule")
+    for r in rules:
+        if r.kind not in ROW_KINDS:
+            raise ValueError(
+                f"rule kind {r.kind!r} is not row-expressible "
+                f"(have {sorted(ROW_KINDS)})"
+            )
+        if r.column not in df.columns:
+            raise ValueError(f"rule column {r.column!r} not in {df.columns}")
+    labeled = df.withColumn(
+        "violated", F.concat_ws(",", *[_row_violation(r) for r in rules])
+    )
+    good = labeled.where(F.col("violated") == "").drop("violated")
+    bad = labeled.where(F.col("violated") != "")
+    return good, bad
+
+
 def validate_or_throw(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Pipeline boundary: raise with every failed rule named, else pass
     `df` through unchanged (the specs.py contract, corpus-level)."""

@@ -456,6 +456,25 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check(orders, rules)
 
 
+def data_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dead-letter routing (expectations.quarantine_split):
+    orders failing any row rule land in quarantine labeled with every
+    violated rule in rule order; the good side flows on. The gate
+    certifies the labels and the split cardinality in one frame:
+    quarantined rows with their violation strings, plus counts are
+    implied by the row set itself."""
+    from ..operators.expectations import Rule, quarantine_split
+
+    orders = load(spark, sf_dir, "orders")
+    rules = [
+        Rule("min", "o_totalprice", 50000.0),
+        Rule("in_set", "o_orderstatus", ("O", "F")),
+        Rule("matches", "o_orderpriority", "^[1-3]-"),
+    ]
+    _good, bad = quarantine_split(orders, rules)
+    return bad.select("o_orderkey", "violated").orderBy("o_orderkey")
+
+
 def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys for orders over (custkey, order-date-days): the
     integer bit-interleave behind ZORDER BY clustering, certified
@@ -497,6 +516,7 @@ QUERIES = {
     "feature_normalization": feature_normalization,
     "scd2_dimension": scd2_dimension,
     "data_quality_checks": data_quality_checks,
+    "data_quality_quarantine": data_quality_quarantine,
     "zorder_keys": zorder_keys,
     "session_stats": session_stats,
     "funnel_steps": funnel_steps,
@@ -714,6 +734,20 @@ ORACLES["zorder_keys"] = """
     SELECT o_orderkey,
            CAST((((o_custkey & 65535) >> 0) & 1) * 1 + (((o_custkey & 65535) >> 1) & 1) * 4 + (((o_custkey & 65535) >> 2) & 1) * 16 + (((o_custkey & 65535) >> 3) & 1) * 64 + (((o_custkey & 65535) >> 4) & 1) * 256 + (((o_custkey & 65535) >> 5) & 1) * 1024 + (((o_custkey & 65535) >> 6) & 1) * 4096 + (((o_custkey & 65535) >> 7) & 1) * 16384 + (((o_custkey & 65535) >> 8) & 1) * 65536 + (((o_custkey & 65535) >> 9) & 1) * 262144 + (((o_custkey & 65535) >> 10) & 1) * 1048576 + (((o_custkey & 65535) >> 11) & 1) * 4194304 + (((o_custkey & 65535) >> 12) & 1) * 16777216 + (((o_custkey & 65535) >> 13) & 1) * 67108864 + (((o_custkey & 65535) >> 14) & 1) * 268435456 + (((o_custkey & 65535) >> 15) & 1) * 1073741824 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 0) & 1) * 2 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 1) & 1) * 8 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 2) & 1) * 32 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 3) & 1) * 128 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 4) & 1) * 512 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 5) & 1) * 2048 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 6) & 1) * 8192 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 7) & 1) * 32768 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 8) & 1) * 131072 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 9) & 1) * 524288 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 10) & 1) * 2097152 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 11) & 1) * 8388608 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 12) & 1) * 33554432 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 13) & 1) * 134217728 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 14) & 1) * 536870912 + (((datediff('day', DATE '1970-01-01', o_orderdate) & 65535) >> 15) & 1) * 2147483648 AS BIGINT) AS z
     FROM orders
+    ORDER BY o_orderkey
+"""
+
+ORACLES["data_quality_quarantine"] = """
+    SELECT o_orderkey,
+           concat_ws(',',
+               CASE WHEN NOT (o_totalprice >= 50000.0) THEN 'min:o_totalprice' END,
+               CASE WHEN NOT (o_orderstatus IN ('O', 'F')) THEN 'in_set:o_orderstatus' END,
+               CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-3]-') THEN 'matches:o_orderpriority' END
+           ) AS violated
+    FROM orders
+    WHERE NOT (o_totalprice >= 50000.0)
+       OR NOT (o_orderstatus IN ('O', 'F'))
+       OR NOT regexp_matches(o_orderpriority, '^[1-3]-')
     ORDER BY o_orderkey
 """
 

@@ -62,3 +62,37 @@ def test_validate_or_throw(spark, df):
         check(df, [Rule("complete", "nope")])
     with pytest.raises(ValueError, match="at least one"):
         check(df, [])
+
+
+def test_quarantine_split_routes_and_labels(spark):
+    """Row-level routing: good rows pass unchanged, bad rows carry every
+    violated rule label in rule order; corpus-level kinds rejected;
+    NULLs violate only 'complete' (SQL three-valued logic)."""
+    import pytest
+
+    from mbrainz_importer_spark.operators.expectations import (
+        Rule,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -3.0, "X"), (3, 5.0, None), (4, None, "F")],
+        "id long, price double, status string",
+    )
+    rules = [
+        Rule("non_negative", "price"),
+        Rule("in_set", "status", ("O", "F")),
+        Rule("complete", "status"),
+    ]
+    good, bad = quarantine_split(df, rules)
+    assert [r.id for r in good.orderBy("id").collect()] == [1, 4]
+    assert good.columns == df.columns  # passthrough shape, no label column
+    got = {r.id: r.violated for r in bad.collect()}
+    # row 2: both value rules fail, in rule order; row 3: NULL status
+    # violates in_set? no — NULL makes it unknown, only 'complete' fires
+    assert got == {
+        2: "non_negative:price,in_set:status",
+        3: "complete:status",
+    }
+    with pytest.raises(ValueError, match="not row-expressible"):
+        quarantine_split(df, [Rule("unique", "id")])
