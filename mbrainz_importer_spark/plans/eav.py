@@ -512,6 +512,29 @@ def excise_store(
     merge_datoms_increment(spark, path, ops)
 
 
+def excise_store_bucketed(
+    spark,
+    table: str,
+    entities: list[str] | set[str],
+    attrs: set[str] | frozenset[str] | None = None,
+) -> None:
+    """`excise_store` for the entity-bucketed catalog table: same
+    retraction-merge, routed through `merge_datoms_increment_bucketed`
+    so the surviving partitions keep their bucket spec (and their
+    Exchange-free entity self-joins)."""
+    doomed = spark.table(table).select("e", "a", "v", "v_num").where(
+        F.col("e").isin(sorted(entities))
+    )
+    if attrs is not None:
+        doomed = doomed.where(F.col("a").isin(sorted(attrs)))
+    ops = doomed.select(
+        "e", "a", "v", "v_num",
+        F.lit(2**62).alias("tx"),
+        F.lit(False).alias("added"),
+    )
+    merge_datoms_increment_bucketed(spark, table, ops)
+
+
 def _table_location(spark, table: str) -> str:
     loc = (
         spark.sql(f"DESCRIBE FORMATTED `{table}`")

@@ -67,6 +67,26 @@ def history_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     return since(log, _cutoff(log)).orderBy("e", "a")
 
 
+def history_since_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d/since OVER THE DATOM STORE — the same post-cutoff view as
+    history_since through the attribute-partitioned layout
+    (materialize_datoms -> read_datoms), completing the store-backed
+    time-travel pair: as-of reads the state at t, since reads what the
+    state learned after t, both hash-equal their in-memory twins."""
+    import os
+
+    from ..plans.eav import materialize_datoms, read_datoms
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_txlog",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_datoms(_tx_log(spark, sf_dir), path)
+    log = read_datoms(spark, path, columns=("e", "a", "v_num", "tx", "added"))
+    return since(log, _cutoff(log)).orderBy("e", "a")
+
+
 def history_as_of_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d/as-of with a DATE: the cutoff t resolves through the
     transaction-instant table (every event's ts plays :db/txInstant) as
@@ -309,6 +329,7 @@ QUERIES = {
     "history_as_of": history_as_of,
     "history_as_of_from_store": history_as_of_from_store,
     "history_since": history_since,
+    "history_since_from_store": history_since_from_store,
     "history_as_of_instant": history_as_of_instant,
     "history_entity_timeline": history_entity_timeline,
     "history_with_speculative": history_with_speculative,
@@ -491,3 +512,4 @@ ORACLES = {
 
 # the store round-trip must hash-equal the in-memory view — same oracle
 ORACLES["history_as_of_from_store"] = ORACLES["history_as_of"]
+ORACLES["history_since_from_store"] = ORACLES["history_since"]

@@ -273,6 +273,41 @@ def test_excise_store_erases_and_preserves_untouched_partitions(spark, tmp_path)
     assert ("t:2", ":t/x", "5", 5.0) in got
 
 
+def test_excise_bucketed_store(spark):
+    """Bucketed-table excision: traces gone, co-location preserved."""
+    import shutil
+
+    from mbrainz_importer_spark.plans.eav import (
+        excise_store_bucketed,
+        materialize_datoms_bucketed,
+    )
+    from mbrainz_importer_spark.sources.bucketed import count_exchanges
+
+    table = "excise_bucketed_test"
+    materialize_datoms_bucketed(_store(spark, BASE), table, n_buckets=4)
+    excise_store_bucketed(spark, table, ["t:1"])
+    got = sorted(
+        tuple(r) for r in spark.table(table).select("e", "a", "v", "v_num").collect()
+    )
+    assert got == [r for r in sorted(BASE) if r[0] != "t:1"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table(table)
+        x = t.where("a = ':t/x'").select("e", F.col("v").alias("x"))
+        k = t.where("a = ':t/keep'").select("e", F.col("v").alias("k"))
+        j = x.join(k, "e")
+        j.collect()
+        assert count_exchanges(j) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_streaming_log_feeds_incremental_index(spark, tmp_path):
     """The full transactor loop: ops STREAM into the durable log
     (streaming/tx_ingest), then the background indexing job folds the
