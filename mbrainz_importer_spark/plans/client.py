@@ -218,3 +218,172 @@ def attribute(datoms: DataFrame, attrid) -> dict | None:
         "no_history": vals.get(":db/noHistory") == "true",
         "doc": vals.get(":db/doc"),
     }
+
+
+OPS_SCHEMA = "e string, a string, v string, v_num double, tx long, added boolean"
+
+
+class Connection:
+    """The Datomic connection lifecycle over durable storage — the one
+    object a user of the reference's `(d/connect ...)` would reach for,
+    tying together pieces that each exist (and are certified) on their
+    own: `transact` (tx-fn expansion, plans/tx_fns.py), the append-only
+    tx LOG, the current-state attribute-partitioned STORE
+    (plans/eav.py), the memory-index view between indexing runs
+    (current_datoms), and the background index job
+    (merge_datoms_increment).
+
+    Layout under `root`:
+      log/    append-only tx ops (e, a, v, v_num, tx, added) — the
+              durable history, never truncated (Datomic retains the
+              log; the index is a fold of it)
+      store/  current-state datoms, attribute-partitioned
+      meta    last_indexed_tx high-water mark
+
+    Contracts, stated plainly:
+    - SINGLE WRITER. Datomic serializes writes through one transactor;
+      so does this object — run one Connection per root for writes
+      (readers are unrestricted: every view is an immutable DataFrame).
+    - `db()` sees store ∪ unindexed-log-suffix (memory-index
+      semantics): fresh transactions are queryable immediately, no
+      indexing wait.
+    - `request_index()` folds the unindexed suffix into the store —
+      only touched attribute partitions rewrite — and advances the
+      high-water mark. Content-idempotent; a crashed job re-runs
+      safely.
+    - `as_of(t)` / `history()` read the LOG (full time travel survives
+      indexing, because indexing never discards the log).
+    - Values are canonical strings (`v`, eav.table_datoms' formatting)
+      with a numeric projection (`v_num`) — the datom-store contract.
+    """
+
+    def __init__(self, spark, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.log_path = os.path.join(root, "log")
+        self.store_path = os.path.join(root, "store")
+        self._meta_path = os.path.join(root, "meta")
+        os.makedirs(root, exist_ok=True)
+
+    # ---- log / meta plumbing -------------------------------------
+
+    def _has_log(self) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(self.log_path, "_SUCCESS")) or (
+            os.path.isdir(self.log_path)
+            and any(f.endswith(".parquet") for f in os.listdir(self.log_path))
+        )
+
+    def log(self) -> DataFrame:
+        """The full durable tx log (d/log analog), op-shaped."""
+        if not self._has_log():
+            return self.spark.createDataFrame([], OPS_SCHEMA)
+        return self.spark.read.schema(OPS_SCHEMA).parquet(self.log_path)
+
+    def _last_indexed(self) -> int:
+        import os
+
+        if not os.path.exists(self._meta_path):
+            return 0
+        with open(self._meta_path) as fh:
+            return int(fh.read().strip() or 0)
+
+    def basis_t(self) -> int:
+        """Latest transaction in the durable log (d/basis-t)."""
+        row = self.log().agg(F.max("tx").alias("t")).first()
+        return int(row["t"]) if row["t"] is not None else 0
+
+    # ---- write path ----------------------------------------------
+
+    def transact(self, tx_data: list, fns=None, many_attrs=frozenset()) -> dict:
+        """Expand tx_data (plans/tx_fns form grammar: :db/add,
+        :db/retract, :db/cas, :db.fn/retractEntity, installed fns)
+        against the CURRENT db value, stamp tx = basis_t + 1, append
+        the ops durably. Returns {"tx", "n_ops"} — the report shape;
+        aborts (TxAbort) append nothing."""
+        from .tx_fns import transact as _transact
+
+        t = self.basis_t() + 1
+        # pseudo-log: the current view as tx-0 asserts plus the real
+        # ops — what the expansion's pre-tx reads run against
+        pseudo = self.db().select(
+            "e", "a", "v",
+            F.lit(0).cast("long").alias("tx"),
+            F.lit(True).alias("added"),
+        )
+        extended = _transact(
+            pseudo, tx_data, t, fns=fns, value_col="v", many_attrs=many_attrs
+        )
+        ops = extended.where(F.col("tx") == t).select(
+            "e", "a", "v",
+            F.col("v").try_cast("double").alias("v_num"),
+            "tx", "added",
+        )
+        ops.write.mode("append").parquet(self.log_path)
+        n = self.log().where(F.col("tx") == t).count()
+        return {"tx": t, "n_ops": n}
+
+    # ---- read path -----------------------------------------------
+
+    def db(self) -> DataFrame:
+        """Current database value: store ∪ unindexed log suffix
+        (memory-index semantics), datom-shaped (e, a, v, v_num)."""
+        import os
+
+        from .eav import current_datoms, read_datoms
+
+        fresh = self.log().where(F.col("tx") > F.lit(self._last_indexed()))
+        if os.path.exists(os.path.join(self.store_path, "_SUCCESS")):
+            store = read_datoms(self.spark, self.store_path)
+        else:
+            store = self.spark.createDataFrame(
+                [], "e string, a string, v string, v_num double"
+            )
+        return current_datoms(store, fresh)
+
+    def as_of(self, t, many_attrs=frozenset()) -> DataFrame:
+        """State at tx t, from the retained log (full time travel)."""
+        from .history import as_of as _as_of
+
+        return _as_of(self.log(), t, many_attrs, value_col="v")
+
+    def history(self) -> DataFrame:
+        """The audit view: every op ever, in log order."""
+        return self.log().orderBy("tx", "e", "a")
+
+    # ---- the background index job --------------------------------
+
+    def request_index(self) -> int:
+        """Fold the unindexed log suffix into the attribute-partitioned
+        store (d/request-index): touched partitions only, then advance
+        the high-water mark. Returns the new last-indexed tx."""
+        import os
+
+        from .eav import materialize_datoms, merge_datoms_increment
+
+        hi = self._last_indexed()
+        fresh = self.log().where(F.col("tx") > F.lit(hi))
+        top_row = self.log().agg(F.max("tx").alias("t")).first()
+        top = int(top_row["t"]) if top_row["t"] is not None else hi
+        if top == hi:
+            return hi
+        if os.path.exists(os.path.join(self.store_path, "_SUCCESS")):
+            merge_datoms_increment(self.spark, self.store_path, fresh)
+        else:
+            from .eav import current_datoms
+
+            empty = self.spark.createDataFrame(
+                [], "e string, a string, v string, v_num double"
+            )
+            materialize_datoms(current_datoms(empty, fresh), self.store_path)
+        with open(self._meta_path, "w") as fh:
+            fh.write(str(top))
+        return top
+
+
+def connect(spark, root: str) -> Connection:
+    """`d/connect` — open (or create) a database rooted at `root`."""
+    return Connection(spark, root)
