@@ -5,6 +5,8 @@ bit-for-bit in DuckDB."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,7 +116,53 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Connection facade end-to-end as a deterministic gate:
+    connect at a FRESH root (re-runs start clean, so the result is
+    hash-stable), transact two transactions (asserts, a cas update, a
+    retraction, a custom transfer fn), request_index to fold tx 1-2
+    into the store, transact once more so the final db() reads store ∪
+    unindexed suffix — then return the current datoms. The oracle is
+    the literal expected state: the facade's whole lifecycle
+    (expansion, append, memory-index view, background fold) must land
+    on exactly these rows."""
+    import shutil
+
+    from ..plans.client import connect
+
+    root = os.path.join(
+        "spark-warehouse", "conn_gate",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    conn = connect(spark, root)
+    conn.transact([
+        [":db/add", "acct:1", ":acct/bal", 100],
+        [":db/add", "acct:2", ":acct/bal", 50],
+        [":db/add", "acct:1", ":acct/owner", "ada"],
+    ])
+
+    def transfer(state, src, dst, amount):
+        rows = {r["e"]: float(r["v"]) for r in state.where(
+            (F.col("a") == ":acct/bal") & F.col("e").isin([src, dst])
+        ).collect()}
+        return [
+            [":db/cas", src, ":acct/bal", rows[src], rows[src] - amount],
+            [":db/cas", dst, ":acct/bal", rows[dst], rows[dst] + amount],
+        ]
+
+    conn.transact(
+        [["transfer", "acct:1", "acct:2", 30],
+         [":db/retract", "acct:1", ":acct/owner", "ada"]],
+        fns={"transfer": transfer},
+    )
+    conn.request_index()
+    conn.transact([[":db/add", "acct:3", ":acct/bal", 7]])
+    return conn.db().select("e", "a", "v").orderBy("e", "a")
+
+
 QUERIES = {
+    "connection_lifecycle": connection_lifecycle,
     "heavy_hitters_topk": heavy_hitters_topk,
     "doc_chunk_windows": doc_chunk_windows,
     "chunk_retrieval_topk": chunk_retrieval_topk,
@@ -125,6 +173,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "connection_lifecycle": """
+        SELECT e, a, v FROM (VALUES
+            ('acct:1', ':acct/bal', '70'),
+            ('acct:2', ':acct/bal', '80'),
+            ('acct:3', ':acct/bal', '7')
+        ) AS t(e, a, v)
+        ORDER BY e, a
+    """,
     "heavy_hitters_topk": f"""
         WITH counts AS (
             SELECT u.token, CAST(count(*) AS BIGINT) AS n
