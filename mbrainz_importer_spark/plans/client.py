@@ -354,6 +354,36 @@ class Connection:
         """The audit view: every op ever, in log order."""
         return self.log().orderBy("tx", "e", "a")
 
+    # ---- query front door (each delegates to the certified engine
+    # over the current db value; pass a frame from as_of() to any of
+    # the underlying modules for time-traveled reads) ----------------
+
+    def q(self, query, *params) -> DataFrame:
+        """Datalog over the current value (dict form or verbatim EDN
+        text — the same front doors as plans/datalog and
+        plans/query_edn)."""
+        db = self.db()
+        if isinstance(query, str):
+            from .query_edn import q_edn
+
+            return q_edn(query, db, *params)
+        return q(query, db, *params)
+
+    def pull(self, spec: dict) -> DataFrame:
+        from .pull import pull_entities
+
+        return pull_entities(self.db(), spec)
+
+    def entity(self, eid: str, many_attrs=frozenset()):
+        from .entity import entity as _entity
+
+        return _entity(self.db(), eid, many_attrs)
+
+    def datoms(self, index: str = "eavt", **components) -> DataFrame:
+        from .eav import datoms_index
+
+        return datoms_index(self.db(), index, **components)
+
     # ---- the background index job --------------------------------
 
     def request_index(self) -> int:

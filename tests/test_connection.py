@@ -94,3 +94,24 @@ def test_connection_custom_tx_fn(spark, tmp_path):
     vals = {r["e"]: r["v"] for r in conn.db().where(
         "a = ':acct/bal'").collect()}
     assert vals == {"acct:a": "70", "acct:b": "40"}
+
+
+def test_connection_query_front_door(spark, tmp_path):
+    """q (dict + EDN text), pull, entity, datoms all read the live
+    connection value — fresh transactions visible through every door."""
+    conn = connect(spark, str(tmp_path / "db"))
+    conn.transact([
+        [":db/add", "acct:1", ":acct/bal", 100],
+        [":db/add", "acct:2", ":acct/bal", 50],
+    ])
+    rows = conn.q({"find": ["?e", "?v"],
+                   "where": [["?e", ":acct/bal", "?v"]]}).orderBy("e").collect()
+    assert [(r[0], r[1]) for r in rows] == [("acct:1", "100"), ("acct:2", "50")]
+    edn = conn.q('[:find ?e ?v :where [?e :acct/bal ?v]]').orderBy("e").collect()
+    assert [(r[0], r[1]) for r in edn] == [("acct:1", "100"), ("acct:2", "50")]
+    pulled = conn.pull({"bal": ":acct/bal"}).orderBy("e").collect()
+    assert [(r["e"], r["bal"]) for r in pulled] == [("acct:1", "100"), ("acct:2", "50")]
+    assert conn.entity("acct:1")[":acct/bal"] == "100"
+    scan = conn.datoms("avet", a=":acct/bal").collect()
+    # AVET orders by canonical-string v: "100" < "50" lexicographically
+    assert [r["e"] for r in scan] == ["acct:1", "acct:2"]
