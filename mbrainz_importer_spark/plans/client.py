@@ -326,6 +326,30 @@ class Connection:
         n = self.log().where(F.col("tx") == t).count()
         return {"tx": t, "n_ops": n}
 
+    def with_(self, tx_data: list, fns=None, many_attrs=frozenset()) -> DataFrame:
+        """`d/with` — a SPECULATIVE database value: the same expansion
+        as transact (cas and custom fns included, aborts raise), but
+        nothing is appended; the returned frame is the would-be db()
+        and the durable connection is untouched."""
+        from .eav import current_datoms
+        from .tx_fns import transact as _transact
+
+        t = self.basis_t() + 1
+        pseudo = self.db().select(
+            "e", "a", "v",
+            F.lit(0).cast("long").alias("tx"),
+            F.lit(True).alias("added"),
+        )
+        extended = _transact(
+            pseudo, tx_data, t, fns=fns, value_col="v", many_attrs=many_attrs
+        )
+        ops = extended.where(F.col("tx") == t).select(
+            "e", "a", "v",
+            F.col("v").try_cast("double").alias("v_num"),
+            "tx", "added",
+        )
+        return current_datoms(self.db(), ops, many_attrs)
+
     # ---- read path -----------------------------------------------
 
     def db(self) -> DataFrame:

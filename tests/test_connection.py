@@ -115,3 +115,19 @@ def test_connection_query_front_door(spark, tmp_path):
     scan = conn.datoms("avet", a=":acct/bal").collect()
     # AVET orders by canonical-string v: "100" < "50" lexicographically
     assert [r["e"] for r in scan] == ["acct:1", "acct:2"]
+
+
+def test_connection_with_speculative(spark, tmp_path):
+    """d/with at the connection: the speculative value sees the
+    expansion; the durable connection does not."""
+    conn = connect(spark, str(tmp_path / "db"))
+    conn.transact([[":db/add", "acct:1", ":acct/bal", 100]])
+    spec = conn.with_([
+        [":db/cas", "acct:1", ":acct/bal", 100, 1],
+        [":db/add", "acct:9", ":acct/bal", 9],
+    ])
+    got = {r["e"]: r["v"] for r in spec.where("a = ':acct/bal'").collect()}
+    assert got == {"acct:1": "1", "acct:9": "9"}
+    durable = {r["e"]: r["v"] for r in conn.db().collect()}
+    assert durable == {"acct:1": "100"}
+    assert conn.basis_t() == 1
