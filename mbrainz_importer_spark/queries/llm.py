@@ -280,14 +280,16 @@ def sim_ivf_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus, every 10th vector arrives as an increment and folds
     into only the cells it lands in (dynamic overwrite of touched cell
     partitions, redelivery-safe), and the probe reads the index as
-    partition-pruned inverted lists. n_probe = n_cells makes the
-    candidate set the whole corpus, so the result must HASH-EQUAL the
-    brute-force oracle — certifying that the incremental maintenance
-    left the index exactly equal to a full build."""
+    partition-pruned inverted lists scored through the Arrow/BLAS
+    kernel (the expression face is pinned equal in test_ivf_index).
+    n_probe = n_cells makes the candidate set the whole corpus, so the
+    result must HASH-EQUAL the brute-force oracle — certifying that the
+    incremental maintenance left the index exactly equal to a full
+    build."""
     import os
 
     from ..operators.ann import (
-        ivf_topk_from_index,
+        ivf_topk_from_index_arrow,
         materialize_ivf_index,
         merge_ivf_increment,
     )
@@ -306,7 +308,7 @@ def sim_ivf_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, emb.where(F.col("vec_id") % 10 == 0), centroids
     )
     queries = emb.where(F.col("vec_id") < 50)
-    return ivf_topk_from_index(
+    return ivf_topk_from_index_arrow(
         spark, path, queries, centroids, k=3, n_probe=len(centroids)
     ).orderBy("qid", "rank")
 

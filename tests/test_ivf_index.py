@@ -96,3 +96,23 @@ def test_merged_index_answers_exactly_like_full_rebuild(spark, tmp_path):
     got = ivf_topk_from_index(spark, path, queries, CENTROIDS, k=4, n_probe=2)
     want = ivf_topk(queries, _corpus(spark, range(20)), CENTROIDS, k=4, n_probe=2)
     assert _topk_rows(got) == _topk_rows(want)
+
+
+def test_arrow_probe_face_matches_expression_face(spark, tmp_path):
+    """ivf_topk_from_index_arrow == ivf_topk_from_index, exhaustive and
+    partial probes, on the same materialized index."""
+    from mbrainz_importer_spark.operators.ann import ivf_topk_from_index_arrow
+
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(_corpus(spark, range(20)), CENTROIDS, path)
+    queries = _corpus(spark, [0, 10])
+    for n_probe in (2, 1):
+        expr = ivf_topk_from_index(
+            spark, path, queries, CENTROIDS, k=4, n_probe=n_probe
+        )
+        arrow = ivf_topk_from_index_arrow(
+            spark, path, queries, CENTROIDS, k=4, n_probe=n_probe
+        )
+        assert sorted(map(tuple, arrow.collect())) == sorted(
+            map(tuple, expr.collect())
+        ), f"faces diverge at n_probe={n_probe}"
