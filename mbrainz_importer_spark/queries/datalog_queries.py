@@ -1140,6 +1140,46 @@ def store_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _status_price_rollup(read_datoms(spark, path))
 
 
+def store_entity_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d/entity-shaped POINT READ over the materialized store: one
+    entity's datoms via the EAVT component scan (datoms_index with an
+    `e` prefix) — the `e` equality pushes into every partition's
+    parquet scan (row-group pruned by min/max stats; the attr
+    partitions are still listed, which is the EAVT-vs-AEVT layout
+    trade Datomic pays too). Five fixed orders certify the shape; the
+    double-valued attribute projects through v_num (engine double->
+    string formatting is not part of the storage contract)."""
+    import os
+
+    from ..plans.eav import datoms_index, read_datoms
+
+    path = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..plans.eav import materialize_datoms, table_datoms
+
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        materialize_datoms(
+            table_datoms(orders, "orders", "o_orderkey"), path
+        )
+    store = read_datoms(spark, path)
+    frames = [
+        datoms_index(store, "eavt", e=f"orders:{k}")
+        for k in (1, 7, 32, 69, 134)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    v = F.when(
+        F.col("a") != ":orders/o_totalprice", F.col("v")
+    ).alias("v")
+    return out.select("e", "a", v, "v_num").orderBy("e", "a")
+
+
 def store_live_log_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE view between indexing runs (plans/eav.py:current_datoms):
     queries must see store ∪ unindexed-log without waiting for the merge
@@ -1180,6 +1220,7 @@ QUERIES = {
     "store_incremental_merge": store_incremental_merge,
     "store_merge_bucketed": store_merge_bucketed,
     "store_excision": store_excision,
+    "store_entity_point_read": store_entity_point_read,
     "store_live_log_view": store_live_log_view,
     "datalog_fn_binding": datalog_fn_binding,
     "datalog_get_some_contact": datalog_get_some_contact,
@@ -1254,6 +1295,29 @@ _LOG_REPLAY_SQL = """
 ORACLES = {
     "store_incremental_merge": _LOG_REPLAY_SQL,
     "store_merge_bucketed": _LOG_REPLAY_SQL,
+    "store_entity_point_read": """
+        WITH doomed AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey IN (1, 7, 32, 69, 134)
+        ),
+        datoms AS (
+            SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS e,
+                   ':orders/o_orderkey' AS a,
+                   CAST(o_orderkey AS VARCHAR) AS v,
+                   CAST(o_orderkey AS DOUBLE) AS v_num
+            FROM doomed
+            UNION ALL
+            SELECT 'orders:' || CAST(o_orderkey AS VARCHAR),
+                   ':orders/o_orderstatus', o_orderstatus, NULL
+            FROM doomed
+            UNION ALL
+            SELECT 'orders:' || CAST(o_orderkey AS VARCHAR),
+                   ':orders/o_totalprice', NULL,
+                   CAST(o_totalprice AS DOUBLE)
+            FROM doomed
+        )
+        SELECT e, a, v, v_num FROM datoms ORDER BY e, a
+    """,
     "store_excision": """
         SELECT o_orderstatus AS status,
                COUNT(*) AS n_orders,

@@ -1,0 +1,40 @@
+"""Streaming embedding ingest into the materialized IVF index — the
+vector twin of tx_ingest.start_store_indexing: arrival micro-batches
+fold through merge_ivf_increment (operators/ann.py), so the inverted
+lists stay fresh per epoch and only the cells each batch lands in
+rewrite. Replay-safe without a batch-id sink: the merge dedupes by
+vector id, so a re-delivered epoch re-merges to the same index.
+
+The centroids are plan literals (trained offline, the IVF contract) —
+a re-train cadence swaps them and re-materializes, exactly the
+compaction story of every index here."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_ivf_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    from ..operators.ann import merge_ivf_increment
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_ivf_increment(
+            batch_df.sparkSession, index_path,
+            batch_df.select(id_col, vec_col), centroids,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

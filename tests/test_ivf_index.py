@@ -116,3 +116,27 @@ def test_arrow_probe_face_matches_expression_face(spark, tmp_path):
         assert sorted(map(tuple, arrow.collect())) == sorted(
             map(tuple, expr.collect())
         ), f"faces diverge at n_probe={n_probe}"
+
+
+def test_streaming_vector_ingest(spark, tmp_path):
+    """Arrival micro-batches stream into the index; the drained index
+    equals a full rebuild over base + arrivals."""
+    from mbrainz_importer_spark.streaming.vector_ingest import start_ivf_ingest
+
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(_corpus(spark, range(10)), CENTROIDS, path)
+    drop = tmp_path / "vecs"
+    _corpus(spark, [10, 11, 12]).write.parquet(str(drop / "d1"))
+    _corpus(spark, [13, 14]).write.parquet(str(drop / "d2"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*/")
+    )
+    q = start_ivf_ingest(stream, path, CENTROIDS, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    materialize_ivf_index(_corpus(spark, range(15)), CENTROIDS, full)
+    assert sorted(map(tuple, read_ivf_index(spark, path).collect())) == sorted(
+        map(tuple, read_ivf_index(spark, full).collect())
+    )
