@@ -40,6 +40,7 @@ HEADLINE = [
     "text_stats",
     "sim_topk_bruteforce",
     "sim_topk_arrow",
+    "sim_ivf_topk",
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",
