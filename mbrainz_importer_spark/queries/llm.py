@@ -244,15 +244,30 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse cells + multi-probe exact
-    re-rank. Rows-only (centroid training is engine-specific); recall vs
-    brute force asserted in tests."""
-    from ..operators.ann import ivf_topk
+    """IVF approximate top-k, the PRODUCTION path end-to-end: KMeans
+    coarse cells, the materialized cell-partitioned index (built once
+    per sf_dir), partial probe (n_probe=4 of 16) reading only the
+    probed lists' partitions, Arrow/BLAS pair scoring. Rows-only
+    (centroid training is engine-specific and partial probing is
+    approximate by contract); recall vs brute force asserted in tests;
+    the index content itself is hash-certified by
+    sim_ivf_incremental_exact."""
+    import os
+
+    from ..operators.ann import ivf_topk_from_index_arrow, materialize_ivf_index
 
     emb = load(spark, sf_dir, "embeddings")
     centroids = _ivf_centroids(spark, sf_dir)
+    path = os.path.join(
+        "spark-warehouse", "ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_prod_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_index(emb, centroids, path)
     queries = emb.where(F.col("vec_id") < 50)
-    return ivf_topk(queries, emb, centroids, k=3).orderBy("qid", "rank")
+    return ivf_topk_from_index_arrow(
+        spark, path, queries, centroids, k=3, n_probe=4
+    ).orderBy("qid", "rank")
 
 
 def sim_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
