@@ -56,6 +56,9 @@ HEADLINE = [
     "dedup_span_level",
     "dedup_substring_coverage",
     "hybrid_rrf_topk",
+    "hybrid_rrf_from_index",
+    "fulltext_bm25_from_index",
+    "fulltext_incremental_index",
     "quality_classifier_scores",
     "semdedup_survivors",
     "semdedup_survivors_arrow",

@@ -113,3 +113,51 @@ def hybrid_rrf_search(
     return rrf_fuse(
         [text_ranked.select("doc", "rank"), vec_top], top_k=top_k
     )
+
+
+def hybrid_rrf_search_indexed(
+    spark,
+    ft_path: str,
+    ivf_path: str,
+    centroids: list[list[float]],
+    query_text: str,
+    query_vecs: DataFrame,
+    n_candidates: int = 20,
+    top_k: int = 10,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """The hybrid retriever SERVED FROM STORAGE — the production
+    counterpart of `hybrid_rrf_search`, which tokenizes the corpus and
+    scores every embedding per query. Both sides read materialized,
+    incrementally-maintained indexes instead:
+
+    - lexical: `fulltext_bm25_from_index` over the term-hash-partitioned
+      postings (pruned to the query terms' partitions, doc length
+      denormalized — no corpus pass);
+    - dense: `ivf_topk_from_index_arrow` over the cell-partitioned IVF
+      lists (pruned to the probed cells, BLAS-scored).
+
+    With n_probe = len(centroids) (the default here) the dense ranks
+    equal brute force, so the fused output hash-matches
+    `hybrid_rrf_search`'s oracle — storage serving certified against
+    the from-scratch evaluation. Production drops n_probe for the
+    approximate latency contract; the fusion is rank-only, so swapping
+    retriever internals never changes its arithmetic."""
+    from .ann import ivf_topk_from_index_arrow
+    from .fulltext import fulltext_bm25_from_index
+
+    text_top = fulltext_bm25_from_index(
+        spark, ft_path, query_text, k=n_candidates, mode="any"
+    )
+    text_ranked = ranked(text_top, "doc", [F.desc("score"), F.asc("doc")])
+    vec_top = ivf_topk_from_index_arrow(
+        spark,
+        ivf_path,
+        query_vecs,
+        centroids,
+        k=n_candidates,
+        n_probe=len(centroids) if n_probe is None else n_probe,
+    ).select(F.col("nid").alias("doc"), "rank")
+    return rrf_fuse(
+        [text_ranked.select("doc", "rank"), vec_top], top_k=top_k
+    )

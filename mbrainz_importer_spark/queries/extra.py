@@ -508,6 +508,32 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["signup", "view", "purchase"]).orderBy("step")
 
 
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 rounds) over the symmetric customer-supplier
+    trade graph (distinct (cust, supp) pairs from lineitem x orders,
+    node ids disjoint by parity, both edge directions) — the
+    weighted-propagation member of the iterative family next to label
+    propagation (dedup clusters) and semi-naive datalog. All-BIGINT
+    arithmetic (operators/graph.py), so three unrolled DuckDB rounds
+    must reproduce every rank bit-for-bit."""
+    from ..operators.graph import pagerank_topk
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    eg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank_topk(edges, k=20, iters=3)
+
+
 QUERIES = {
     "event_type_pmi": event_type_pmi,
     "cohort_retention": cohort_retention,
@@ -536,6 +562,7 @@ QUERIES = {
     "scalar_subquery_small_orders": scalar_subquery_small_orders,
     "json_parse_roundtrip": json_parse_roundtrip,
     "approx_distinct_users": approx_distinct_users,
+    "graph_pagerank_topk": graph_pagerank_topk,
 }
 
 ORACLES = {
@@ -905,4 +932,67 @@ ORACLES["event_type_pmi"] = """
       JOIN singles sa ON sa.event_type = ta
       JOIN singles sb ON sb.event_type = tb
     ORDER BY ta, tb
+"""
+
+ORACLES["graph_pagerank_topk"] = """
+    WITH eg AS (
+        SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT s, t FROM eg UNION SELECT t AS s, s AS t FROM eg
+    ),
+    nodes AS (
+        SELECT DISTINCT s AS v FROM edges
+        UNION SELECT DISTINCT t FROM edges
+    ),
+    outd AS (
+        SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS od
+        FROM edges GROUP BY s
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+    c1 AS (
+        SELECT e.t AS v, SUM(r.r // o.od) AS c
+        FROM edges e
+          JOIN r0 r ON e.s = r.v
+          JOIN outd o ON e.s = o.v
+        GROUP BY e.t
+    ),
+    r1 AS (
+        SELECT n.v,
+               (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(c1.c, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN c1 ON n.v = c1.v
+    ),
+    c2 AS (
+        SELECT e.t AS v, SUM(r.r // o.od) AS c
+        FROM edges e
+          JOIN r1 r ON e.s = r.v
+          JOIN outd o ON e.s = o.v
+        GROUP BY e.t
+    ),
+    r2 AS (
+        SELECT n.v,
+               (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(c2.c, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN c2 ON n.v = c2.v
+    ),
+    c3 AS (
+        SELECT e.t AS v, SUM(r.r // o.od) AS c
+        FROM edges e
+          JOIN r2 r ON e.s = r.v
+          JOIN outd o ON e.s = o.v
+        GROUP BY e.t
+    ),
+    r3 AS (
+        SELECT n.v,
+               (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(c3.c, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN c3 ON n.v = c3.v
+    )
+    SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+    FROM r3
+    ORDER BY rank DESC, node ASC
+    LIMIT 20
 """

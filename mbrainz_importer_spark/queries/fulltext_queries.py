@@ -8,6 +8,7 @@ integer tf sums so the hash comparison is exact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.fulltext import (
     build_fulltext_index,
@@ -80,12 +81,119 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FT_INDEX_ROOT = "spark-warehouse/ft_index"
+
+
+def _ft_index_path(sf_dir: str, suffix: str) -> str:
+    import os
+
+    return os.path.join(
+        _FT_INDEX_ROOT,
+        os.path.basename(os.path.normpath(sf_dir)) + suffix,
+    )
+
+
+def fulltext_bm25_from_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the MATERIALIZED postings index (built once per
+    sf_dir; operators/fulltext.py: term-hash-partitioned postings with
+    denormalized doc length + maintained corpus stats). Shares the
+    in-memory face's oracle — storage serving must reproduce every
+    integer score bit-for-bit while reading only the query terms'
+    partitions instead of tokenizing the corpus per query."""
+    import os
+
+    from ..operators.fulltext import (
+        fulltext_bm25_from_index,
+        materialize_fulltext_index,
+    )
+
+    path = _ft_index_path(sf_dir, "_prod_v1")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        docs = load(spark, sf_dir, "documents")
+        materialize_fulltext_index(docs, path)
+    return fulltext_bm25_from_index(
+        spark, path, "vector table scan", k=20, mode="any"
+    )
+
+
+def fulltext_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings index incrementally MAINTAINED: built from 90% of
+    the corpus, every 10th document arrives as an increment and folds
+    into only the partitions it touches (merge_fulltext_increment —
+    membership probe on the doc-hash side table, dynamic overwrite of
+    touched term-hash partitions, arithmetic stats update,
+    redelivery-safe). Serving the merged index must hash-equal the
+    full-corpus oracle — certifying the merge left the index exactly
+    equal to a from-scratch build."""
+    import os
+
+    from ..operators.fulltext import (
+        fulltext_bm25_from_index,
+        materialize_fulltext_index,
+        merge_fulltext_increment,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _ft_index_path(sf_dir, "_v1")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        materialize_fulltext_index(
+            docs.where(F.col("doc_id") % 10 != 0), path
+        )
+    merge_fulltext_increment(
+        spark, path, docs.where(F.col("doc_id") % 10 == 0)
+    )
+    return fulltext_bm25_from_index(
+        spark, path, "vector table scan", k=20, mode="any"
+    )
+
+
+def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval SERVED FROM STORAGE: BM25 from the
+    materialized postings index + dense ranks from the cell-partitioned
+    IVF index (exhaustive probe, so dense ranks equal brute force),
+    RRF-fused. Shares hybrid_rrf_topk's oracle — the production serving
+    path (both sides partition-pruned index reads) certified against
+    the from-scratch evaluation."""
+    import os
+
+    from ..operators.ann import materialize_ivf_index
+    from ..operators.fulltext import materialize_fulltext_index
+    from ..operators.retrieval import hybrid_rrf_search_indexed
+    from .llm import _ivf_centroids
+
+    ft_path = _ft_index_path(sf_dir, "_prod_v1")
+    if not os.path.exists(os.path.join(ft_path, "_meta.json")):
+        docs = load(spark, sf_dir, "documents")
+        materialize_fulltext_index(docs, ft_path)
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    ivf_path = os.path.join(
+        "spark-warehouse", "ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_prod_v1",
+    )
+    if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+        materialize_ivf_index(emb, centroids, ivf_path)
+    return hybrid_rrf_search_indexed(
+        spark,
+        ft_path,
+        ivf_path,
+        centroids,
+        "vector table scan",
+        emb.where(F.col("vec_id") == 7),
+        n_candidates=20,
+        top_k=10,
+    )
+
+
 QUERIES = {
     "fulltext_and_search": fulltext_and_search,
     "fulltext_any_topk": fulltext_any_topk,
     "fulltext_tfidf_topk": fulltext_tfidf_topk_docs,
     "fulltext_bm25_topk": fulltext_bm25_topk_docs,
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "fulltext_bm25_from_index": fulltext_bm25_from_index_docs,
+    "fulltext_incremental_index": fulltext_incremental_index,
+    "hybrid_rrf_from_index": hybrid_rrf_from_index,
 }
 
 ORACLES = {
@@ -215,3 +323,7 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+ORACLES["fulltext_bm25_from_index"] = ORACLES["fulltext_bm25_topk"]
+ORACLES["fulltext_incremental_index"] = ORACLES["fulltext_bm25_topk"]
+ORACLES["hybrid_rrf_from_index"] = ORACLES["hybrid_rrf_topk"]

@@ -328,6 +328,21 @@ def sim_ivf_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=4, 2 rounds) over the embeddings
+    corpus (operators/clustering.py): init = first k vectors by id,
+    per-round assignment is a literal-centroid projection (no shuffle),
+    update one bounded (cell, pos) aggregation; distances and means
+    rounded to 6dp with smaller-cell tie-breaks so the DuckDB oracle
+    unrolling the same two rounds reproduces the final assignment
+    hash-for-hash — the iterative-training loop certified across
+    engines, not just tested."""
+    from ..operators.clustering import kmeans_fit_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, k=4, iters=2).orderBy("vec_id")
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = M.text_as_assets(docs, "doc_id", "text")
@@ -592,6 +607,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_exact": sim_ivf_exact,
     "sim_ivf_incremental_exact": sim_ivf_incremental_exact,
+    "embedding_kmeans_assign": embedding_kmeans_assign,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,
     "multimodal_pixel_decode": multimodal_pixel_decode,
@@ -1422,4 +1438,93 @@ ORACLES["corpus_report"] = r"""
            ROUND(SUM(CASE WHEN nt >= 100 THEN 1 ELSE 0 END) / COUNT(*), 6)
                AS frac_long_docs
     FROM t
+"""
+
+ORACLES["embedding_kmeans_assign"] = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1
+                   AS cell, v
+        FROM e ORDER BY vec_id LIMIT 4
+    ),
+    a1_d AS (
+        SELECT e.vec_id, c.cell,
+               round(list_sum(list_transform(list_zip(e.v, c.v),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+        FROM e CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM a1_d
+        ) WHERE rn = 1
+    ),
+    c1_m AS (
+        SELECT a.cell, generate_subscripts(e.v, 1) AS pos,
+               unnest(e.v) AS val
+        FROM a1 a JOIN e USING (vec_id)
+    ),
+    c1_avg AS (
+        SELECT cell, pos, round(avg(val), 6) AS m
+        FROM c1_m GROUP BY cell, pos
+    ),
+    c1_built AS (
+        SELECT cell, list(m ORDER BY pos) AS v
+        FROM c1_avg GROUP BY cell
+    ),
+    c1 AS (
+        SELECT p.cell, COALESCE(b.v, p.v) AS v
+        FROM c0 p LEFT JOIN c1_built b USING (cell)
+    ),
+    a2_d AS (
+        SELECT e.vec_id, c.cell,
+               round(list_sum(list_transform(list_zip(e.v, c.v),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+        FROM e CROSS JOIN c1 c
+    ),
+    a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM a2_d
+        ) WHERE rn = 1
+    ),
+    c2_m AS (
+        SELECT a.cell, generate_subscripts(e.v, 1) AS pos,
+               unnest(e.v) AS val
+        FROM a2 a JOIN e USING (vec_id)
+    ),
+    c2_avg AS (
+        SELECT cell, pos, round(avg(val), 6) AS m
+        FROM c2_m GROUP BY cell, pos
+    ),
+    c2_built AS (
+        SELECT cell, list(m ORDER BY pos) AS v
+        FROM c2_avg GROUP BY cell
+    ),
+    c2 AS (
+        SELECT p.cell, COALESCE(b.v, p.v) AS v
+        FROM c1 p LEFT JOIN c2_built b USING (cell)
+    ),
+    afin_d AS (
+        SELECT e.vec_id, c.cell,
+               round(list_sum(list_transform(list_zip(e.v, c.v),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+        FROM e CROSS JOIN c2 c
+    ),
+    afin AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM afin_d
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cluster
+    FROM afin ORDER BY vec_id
 """

@@ -1,0 +1,123 @@
+"""Unit tests for the deterministic Lloyd k-means
+(operators/clustering.py) and integer PageRank (operators/graph.py) —
+the cross-engine-certified iterative loops (their sf0.01 gates
+`embedding_kmeans_assign` / `graph_pagerank_topk` hash-match unrolled
+DuckDB CTEs; these tests pin the semantics on hand-checkable inputs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbrainz_importer_spark.operators.clustering import kmeans_fit_assign
+from mbrainz_importer_spark.operators.graph import PR_SCALE, pagerank
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    rows = (
+        [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)]
+    )
+    out = kmeans_fit_assign(_vecs(spark, rows), k=2, iters=2).collect()
+    by_id = {r["vec_id"]: r["cluster"] for r in out}
+    low = {by_id[i] for i in range(5)}
+    high = {by_id[10 + i] for i in range(5)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_kmeans_deterministic(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(30)]
+    a = sorted(map(tuple, kmeans_fit_assign(_vecs(spark, rows)).collect()))
+    b = sorted(map(tuple, kmeans_fit_assign(_vecs(spark, rows)).collect()))
+    assert a == b
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    # init takes the 3 smallest ids; vectors 0/1 coincide, so one seed
+    # centroid immediately loses every member — the update must keep it
+    # rather than crash or emit a ragged centroid list
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [5.0, 5.0]),
+        (3, [5.1, 5.0]),
+        (4, [0.1, 0.0]),
+    ]
+    out = kmeans_fit_assign(_vecs(spark, rows), k=3, iters=2).collect()
+    assert len(out) == 5
+    clusters = {r["cluster"] for r in out}
+    assert clusters.issubset({0, 1, 2})
+
+
+def test_kmeans_empty_input_raises(spark):
+    with pytest.raises(ValueError):
+        kmeans_fit_assign(
+            _vecs(spark, []).where(F.lit(False)), k=2, iters=1
+        )
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The per-round assignment is a literal-centroid projection: the
+    returned frame's plan must contain no Exchange — the corpus never
+    shuffles during k-means, only the bounded (cell, pos) update
+    aggregation does (and that runs inside the fit, not here)."""
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    out = kmeans_fit_assign(_vecs(spark, rows), k=2, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_star_hand_computed(spark):
+    # symmetric star a(1)-b(2), a(1)-c(3): one integer round by hand
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1)]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, pairs), iters=1).collect()
+    }
+    base = PR_SCALE // 3
+    teleport = (15 * base) // 100
+    hub = teleport + (85 * (base + base)) // 100
+    leaf = teleport + (85 * (base // 2)) // 100
+    assert out == {1: hub, 2: leaf, 3: leaf}
+
+
+def test_pagerank_regular_graph_stays_uniform(spark):
+    # a symmetric cycle is 2-regular: every node keeps the same rank
+    n = 6
+    pairs = []
+    for i in range(n):
+        j = (i + 1) % n
+        pairs += [(i, j), (j, i)]
+    out = pagerank(_edges(spark, pairs), iters=3).collect()
+    ranks = {r["rank"] for r in out}
+    assert len(out) == n and len(ranks) == 1
+
+
+def test_pagerank_mass_bounded(spark):
+    # integer truncation only loses mass: total rank never exceeds SCALE
+    pairs = [(i, (i * 2 + 1) % 9) for i in range(9)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    out = pagerank(_edges(spark, sym).distinct(), iters=3).collect()
+    assert sum(r["rank"] for r in out) <= PR_SCALE
+
+
+def test_pagerank_more_connected_node_outranks(spark):
+    # node 1 has three neighbors, node 5 one: 1 must outrank 5
+    pairs = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, sym), iters=3).collect()
+    }
+    assert out[1] > out[5]

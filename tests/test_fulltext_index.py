@@ -1,0 +1,189 @@
+"""The materialized fulltext postings index (operators/fulltext.py:
+materialize_fulltext_index / merge_fulltext_increment /
+fulltext_bm25_from_index) — the retrieval analog of the datom-store
+and IVF index-maintenance tiers, and the same proof obligations:
+serving equals the from-scratch evaluation, merges are O(increment)
+and content-idempotent, untouched partitions keep their files, and
+the serving scan is partition-pruned.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbrainz_importer_spark.operators.fulltext import (
+    build_fulltext_index,
+    fulltext_bm25_from_index,
+    fulltext_bm25_topk,
+    materialize_fulltext_index,
+    merge_fulltext_increment,
+    repair_fulltext_stats,
+)
+
+DOCS = [
+    (1, "vector table scan joins the hash table"),
+    (2, "hash join beats nested loop on big tables"),
+    (3, "a vector index prunes the scan"),
+    (4, "scan scan scan"),
+    (5, ""),  # tokenizes to nothing: no postings, excluded from stats
+    (6, "the optimizer picks a broadcast hash join plan"),
+    (7, "table statistics drive the scan estimates"),
+    (8, "vector vector vector similarity"),
+    (9, "merge sort join for sorted tables"),
+    (10, "index only scan avoids the heap"),
+]
+
+
+def _docs(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, "doc_id long, text string")
+
+
+def _snapshot(spark, path):
+    postings = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path + "/postings")
+        .select("term", "doc", "tf", "dl")
+        .collect()
+    )
+    doclen = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path + "/doclen")
+        .select("doc", "dl")
+        .collect()
+    )
+    stats = spark.read.parquet(path + "/stats").collect()[0]
+    return postings, doclen, (stats["n_docs"], stats["total"])
+
+
+def _files(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+    return out
+
+
+def test_from_index_equals_in_memory_face(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(docs, path, n_pfx=8, n_dpfx=4)
+    idx = build_fulltext_index(docs, "doc_id", "text")
+    for query, mode in [("vector table scan", "any"), ("hash join", "all")]:
+        mem = fulltext_bm25_topk(idx, query, k=10, mode=mode).collect()
+        srv = fulltext_bm25_from_index(
+            spark, path, query, k=10, mode=mode
+        ).collect()
+        assert [tuple(r) for r in srv] == [tuple(r) for r in mem]
+
+
+def test_incremental_merge_equals_full_build(spark, tmp_path):
+    docs = _docs(spark)
+    inc_path = str(tmp_path / "ft_inc")
+    full_path = str(tmp_path / "ft_full")
+    materialize_fulltext_index(
+        docs.where(F.col("doc_id") % 3 != 0), inc_path, n_pfx=8, n_dpfx=4
+    )
+    merge_fulltext_increment(
+        spark, inc_path, docs.where(F.col("doc_id") % 3 == 0)
+    )
+    materialize_fulltext_index(docs, full_path, n_pfx=8, n_dpfx=4)
+    assert _snapshot(spark, inc_path) == _snapshot(spark, full_path)
+
+
+def test_merge_redelivery_is_noop_and_keeps_files(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "ft")
+    arrivals = docs.where(F.col("doc_id") >= 8)
+    materialize_fulltext_index(
+        docs.where(F.col("doc_id") < 8), path, n_pfx=8, n_dpfx=4
+    )
+    merge_fulltext_increment(spark, path, arrivals)
+    before = _snapshot(spark, path)
+    files_before = _files(path)
+    # redelivered batch: every doc already a member -> merge dissolves
+    # at the membership probe, no partition rewrites at all
+    merge_fulltext_increment(spark, path, arrivals)
+    assert _snapshot(spark, path) == before
+    assert _files(path) == files_before
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "ft")
+    base = _docs(spark)
+    materialize_fulltext_index(base, path, n_pfx=64, n_dpfx=16)
+    files_before = _files(path + "/postings")
+    arrival = _docs(spark, [(11, "zzzunique")])
+    merge_fulltext_increment(spark, path, arrival)
+    files_after = _files(path + "/postings")
+    touched_dirs = {
+        os.path.dirname(p)
+        for p in set(files_after) - set(files_before)
+    }
+    # one new term -> exactly one pfx partition gained files
+    assert len(touched_dirs) == 1
+    # every pre-existing file survives byte-identical (untouched
+    # partitions were never read or rewritten)
+    unchanged = {
+        p: s for p, s in files_before.items()
+        if os.path.dirname(p) not in touched_dirs
+    }
+    assert all(files_after[p] == s for p, s in unchanged.items())
+
+
+def test_empty_text_docs_excluded_from_stats(spark, tmp_path):
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(_docs(spark), path, n_pfx=8, n_dpfx=4)
+    stats = spark.read.parquet(path + "/stats").collect()[0]
+    # doc 5 tokenizes to nothing -> 9 docs carry postings
+    assert stats["n_docs"] == 9
+    doclen = spark.read.parquet(path + "/doclen")
+    assert doclen.where(F.col("doc") == 5).count() == 0
+
+
+def test_repair_stats_matches_maintained_stats(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(
+        docs.where(F.col("doc_id") <= 6), path, n_pfx=8, n_dpfx=4
+    )
+    merge_fulltext_increment(spark, path, docs.where(F.col("doc_id") > 6))
+    maintained = spark.read.parquet(path + "/stats").collect()[0]
+    repair_fulltext_stats(spark, path)
+    repaired = spark.read.parquet(path + "/stats").collect()[0]
+    assert tuple(maintained) == tuple(repaired)
+
+
+def test_serving_scan_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(_docs(spark), path, n_pfx=8, n_dpfx=4)
+    plan = (
+        fulltext_bm25_from_index(spark, path, "vector table scan", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "pfx" in seg
+
+
+def test_merge_empty_arrivals_is_noop(spark, tmp_path):
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(_docs(spark), path, n_pfx=8, n_dpfx=4)
+    before = _snapshot(spark, path)
+    merge_fulltext_increment(
+        spark, path, _docs(spark).where(F.lit(False))
+    )
+    assert _snapshot(spark, path) == before
+
+
+def test_bad_mode_rejected(spark, tmp_path):
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(_docs(spark), path, n_pfx=8, n_dpfx=4)
+    with pytest.raises(ValueError):
+        fulltext_bm25_from_index(spark, path, "vector", k=5, mode="or")
