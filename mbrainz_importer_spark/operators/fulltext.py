@@ -372,6 +372,13 @@ def merge_fulltext_increment(
     n_pfx, n_dpfx = meta["n_pfx"], meta["n_dpfx"]
 
     new_idx = build_fulltext_index(arrivals, id_col, text_col)
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        # delete-then-readd contract: an excised id stays excised until
+        # compaction clears its tombstone; arrivals bearing one drop here
+        new_idx = new_idx.join(
+            F.broadcast(tomb.select("doc")), "doc", "left_anti"
+        )
     new_dl = (
         new_idx.groupBy("doc")
         .agg(F.sum("tf").cast("long").alias("dl"))
@@ -524,6 +531,13 @@ def fulltext_bm25_from_index(
         .where(F.col("pfx").isin(pfxs))
         .where(F.col("term").isin(terms))
     )
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        # excised docs vanish from results AND from df/n_matched before
+        # compaction physically erases their rows (broadcast-sized set)
+        matched = matched.join(
+            F.broadcast(tomb.select("doc")), "doc", "left_anti"
+        )
     stats = spark.read.parquet(path + "/stats")
     dfreq = (
         matched.groupBy("term")
@@ -554,3 +568,245 @@ def fulltext_bm25_from_index(
     if mode == "all":
         agg = agg.where(F.col("n_matched") == len(terms))
     return agg.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Excision (right-to-be-forgotten) for the postings index. The datom
+# store excises by rewriting the touched attribute partitions
+# (plans/eav.py:excise_store); postings are partitioned by TERM, so a
+# doomed doc's rows scatter across partitions no doc-id filter can
+# prune. The Lucene-shaped answer (segment deletes + merges): excision
+# writes a doc-id TOMBSTONE (O(1), no postings touched), every serving
+# read anti-joins the pruned matched rows against the tombstone set
+# (broadcast-sized by contract), and a compaction pass physically
+# erases the doomed rows from every partition on the maintenance
+# cadence — the same amortization compact_store applies to merge
+# fan-out. doclen/stats update eagerly (doclen IS doc-partitioned, so
+# that rewrite touches only the doomed docs' dpfx directories), which
+# keeps BM25's corpus constants exact the moment the excision lands.
+# ---------------------------------------------------------------------------
+
+
+def _tombstones(spark, path: str) -> DataFrame | None:
+    import os
+
+    t = path + "/tombstones"
+    if not os.path.exists(t):
+        return None
+    return spark.read.parquet(t)
+
+
+def excise_fulltext_docs(spark, path: str, doomed: DataFrame) -> None:
+    """Excise `doomed` (one column `doc`) from the index: tombstone the
+    ids, drop them from doclen (touched dpfx partitions only), subtract
+    their mass from stats. Content-idempotent — re-excising already-
+    absent or already-tombstoned ids changes nothing. A tombstoned id
+    must not be re-asserted before `compact_fulltext_index` runs;
+    `merge_fulltext_increment` drops such arrivals and documents the
+    delete-then-readd contract."""
+    import shutil
+
+    meta = _read_meta(path)
+    ids = doomed.select(F.col("doc").cast("long").alias("doc")).distinct()
+    staged = path + "/doomed_staging"
+    ids.write.mode("overwrite").parquet(staged)
+    try:
+        ids = spark.read.parquet(staged)
+        # present docs only — their dl drives the stats subtraction
+        probe = ids.select(
+            "doc", _doc_pfx(F.col("doc"), meta["n_dpfx"]).alias("dpfx")
+        )
+        dpfxs = sorted(
+            r[0] for r in probe.select("dpfx").distinct().collect()
+        )
+        if not dpfxs:
+            return
+        touched = (
+            spark.read.parquet(path + "/doclen")
+            .where(F.col("dpfx").isin(dpfxs))
+        )
+        present = touched.join(ids, "doc")
+        delta = present.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total"),
+        ).collect()[0]
+
+        # tombstones: union-distinct rewrite (tiny by contract)
+        old_t = _tombstones(spark, path)
+        new_t = ids if old_t is None else old_t.unionByName(ids).distinct()
+        new_t = _stage_local(spark, new_t, path + "/tombstones")
+        new_t.coalesce(1).write.mode("overwrite").parquet(
+            path + "/tombstones"
+        )
+        _drop_local_stage(path + "/tombstones")
+
+        if delta["n_docs"] == 0:
+            return
+        remaining = touched.join(ids, "doc", "left_anti").select(
+            "doc", "dl", "dpfx"
+        )
+        from ..plans.eav import _drop_stage, _stage_merge
+
+        remaining = _stage_merge(
+            spark, remaining, path + "/doclen",
+            columns=("doc", "dl", "dpfx"),
+        )
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            remaining.write.mode("overwrite").partitionBy("dpfx").parquet(
+                path + "/doclen"
+            )
+        finally:
+            spark.conf.set(mode_key, prev)
+        _drop_stage(path + "/doclen")
+
+        old = spark.read.parquet(path + "/stats").collect()[0]
+        spark.createDataFrame(
+            [(old["n_docs"] - delta["n_docs"], old["total"] - delta["total"])],
+            "n_docs long, total long",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    finally:
+        import os
+
+        if os.path.exists(staged):
+            shutil.rmtree(staged)
+
+
+def _stage_local(spark, df: DataFrame, anchor: str) -> DataFrame:
+    """Stage a small frame through disk before overwriting a path its
+    plan reads from (the tombstone union reads the directory it
+    replaces)."""
+    stage = anchor.rstrip("/") + ".__rewrite_staging"
+    df.write.mode("overwrite").parquet(stage)
+    return spark.read.parquet(stage)
+
+
+def _drop_local_stage(anchor: str) -> None:
+    import os
+    import shutil
+
+    stage = anchor.rstrip("/") + ".__rewrite_staging"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+
+
+def compact_fulltext_index(spark, path: str) -> None:
+    """Physically erase tombstoned docs from every postings partition
+    and clear the tombstone set — the segment-merge moment where
+    right-to-be-forgotten becomes bytes-on-disk. Full postings rewrite
+    by design (the doomed rows scatter across term partitions);
+    amortized on the compaction cadence like compact_store. Also
+    collapses per-merge small-file fan-out, so it doubles as the
+    index's regular compaction."""
+    import shutil
+
+    from ..plans.eav import _drop_stage, _stage_merge
+
+    t = _tombstones(spark, path)
+    postings = spark.read.parquet(path + "/postings")
+    if t is not None:
+        postings = postings.join(
+            F.broadcast(t.select(F.col("doc"))), "doc", "left_anti"
+        )
+    postings = postings.select("term", "doc", "tf", "dl", "pfx")
+    staged = _stage_merge(
+        spark, postings, path + "/postings",
+        columns=("term", "doc", "tf", "dl", "pfx"),
+    )
+    staged.write.mode("overwrite").partitionBy("pfx").parquet(
+        path + "/postings"
+    )
+    _drop_stage(path + "/postings")
+    import os
+
+    _drop_local_stage(path + "/tombstones")
+    tomb = path + "/tombstones"
+    if os.path.exists(tomb):
+        shutil.rmtree(tomb)
+
+
+def fulltext_bm25_from_index_many(
+    spark,
+    path: str,
+    queries: list[str],
+    k: int,
+    mode: str = "any",
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Batched serving: N queries answered from ONE partition-pruned
+    scan of the union of their terms' directories — the production QPS
+    shape (per-query scan setup amortizes across the batch; df per
+    term computes once and serves every query that contains the term).
+    Returns (qid, doc, n_matched, score): query qid's top-k by
+    (score desc, doc asc), scores bit-identical to the single-query
+    face. qid = position in `queries`."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any': {mode!r}")
+    if not queries:
+        raise ValueError("fulltext_bm25_from_index_many needs queries")
+    per_q = {qid: query_terms(q) for qid, q in enumerate(queries)}
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, ts in per_q.items() for t in ts],
+        "qid int, term string",
+    )
+    all_terms = sorted({t for ts in per_q.values() for t in ts})
+    meta = _read_meta(path)
+    pfxs = _pfx_of_terms(spark, all_terms, meta["n_pfx"])
+    matched = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("pfx").isin(pfxs))
+        .where(F.col("term").isin(all_terms))
+    )
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        matched = matched.join(
+            F.broadcast(tomb.select("doc")), "doc", "left_anti"
+        )
+    stats = spark.read.parquet(path + "/stats")
+    dfreq = (
+        matched.groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.expr(f"CAST(({idf_scale} * n_docs) DIV df AS BIGINT)").alias(
+                "idf_scaled"
+            ),
+        )
+    )
+    scored = (
+        matched.join(F.broadcast(qrel), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "den", F.expr("20 * tf + 6 + (18 * dl * n_docs) DIV total")
+        )
+        .withColumn(
+            "term_score",
+            F.expr("CAST((idf_scaled * 44 * tf) DIV den AS BIGINT)"),
+        )
+    )
+    agg = scored.groupBy("qid", "doc").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("term_score").cast("long").alias("score"),
+    )
+    if mode == "all":
+        n_terms = spark.createDataFrame(
+            [(qid, len(ts)) for qid, ts in per_q.items()],
+            "qid int, n_terms int",
+        )
+        agg = agg.join(F.broadcast(n_terms), "qid").where(
+            F.col("n_matched") == F.col("n_terms")
+        ).drop("n_terms")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

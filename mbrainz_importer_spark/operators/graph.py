@@ -100,3 +100,30 @@ def pagerank_topk(
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(k)
     )
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Count triangles of an undirected graph given as CANONICAL edges
+    (src < dst, deduped — the caller's contract). Classic two-join
+    enumeration: wedges a<b<c from (a,b),(b,c), closed by (a,c); each
+    triangle counts exactly once because its vertices appear in sorted
+    order. Returns one row (n_triangles BIGINT).
+
+    Scale shape: two shuffle joins keyed on vertices. The canonical
+    orientation already bounds wedge fan-out by out-degree; at heavy
+    skew the standard refinement is degree-ordered orientation (point
+    high-degree vertices at higher-degree neighbors), which caps
+    per-vertex fan-out near sqrt(|E|) — same join plan, different
+    orientation rule, noted here for the 100 TB path."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("t"),
+    )
+    ab = e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    bc = e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    ac = e.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    wedges = ab.join(bc, "b")
+    closed = wedges.join(ac, ["a", "c"])
+    return closed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

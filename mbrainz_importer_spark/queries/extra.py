@@ -534,6 +534,25 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_topk(edges, k=20, iters=3)
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (parts sharing an order,
+    canonical p1 < p2 edges) — the clustering-structure probe next to
+    PageRank's centrality; two shuffle joins, each triangle counted
+    once via sorted-vertex orientation (operators/graph.py)."""
+    from ..operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 QUERIES = {
     "event_type_pmi": event_type_pmi,
     "cohort_retention": cohort_retention,
@@ -563,6 +582,7 @@ QUERIES = {
     "json_parse_roundtrip": json_parse_roundtrip,
     "approx_distinct_users": approx_distinct_users,
     "graph_pagerank_topk": graph_pagerank_topk,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
@@ -995,4 +1015,19 @@ ORACLES["graph_pagerank_topk"] = """
     FROM r3
     ORDER BY rank DESC, node ASC
     LIMIT 20
+"""
+
+ORACLES["graph_triangle_count"] = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        FROM lineitem a
+          JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+    ),
+    wedges AS (
+        SELECT p1.s AS a, p1.t AS b, p2.t AS c
+        FROM pairs p1 JOIN pairs p2 ON p1.t = p2.s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM wedges w JOIN pairs p3 ON w.a = p3.s AND w.c = p3.t
 """

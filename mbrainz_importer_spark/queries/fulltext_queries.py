@@ -185,6 +185,91 @@ def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fulltext_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the postings index: every 97th doc is
+    excised (operators/fulltext.py:excise_fulltext_docs — O(1)
+    tombstone + doc-partition-pruned doclen/stats rewrite; postings
+    rows persist until compaction but every serving read masks them).
+    Serving must hash-equal the oracle evaluated over the corpus WITH
+    THE DOOMED DOCS GONE — df, n_docs, total and the ranking all
+    reflect the excision immediately."""
+    import os
+
+    from ..operators.fulltext import (
+        excise_fulltext_docs,
+        fulltext_bm25_from_index,
+        materialize_fulltext_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _ft_index_path(sf_dir, "_exc_v1")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        materialize_fulltext_index(docs, path)
+    excise_fulltext_docs(
+        spark, path,
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("doc")),
+    )
+    return fulltext_bm25_from_index(
+        spark, path, "vector table scan", k=20, mode="any"
+    )
+
+
+def fulltext_excision_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full excision lifecycle: tombstone, then
+    compact_fulltext_index physically erases the doomed rows and clears
+    the tombstones (the segment-merge moment). Serving the compacted
+    index must hash-equal the same filtered-corpus oracle — certifying
+    that masked serving and physical erasure agree bit-for-bit."""
+    import os
+
+    from ..operators.fulltext import (
+        compact_fulltext_index,
+        excise_fulltext_docs,
+        fulltext_bm25_from_index,
+        materialize_fulltext_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = _ft_index_path(sf_dir, "_excc_v1")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        materialize_fulltext_index(docs, path)
+    excise_fulltext_docs(
+        spark, path,
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("doc")),
+    )
+    compact_fulltext_index(spark, path)
+    return fulltext_bm25_from_index(
+        spark, path, "vector table scan", k=20, mode="any"
+    )
+
+
+def fulltext_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving: three queries answered from ONE partition-
+    pruned postings scan (fulltext_bm25_from_index_many) — per-term df
+    computes once and serves every query containing the term, the
+    production QPS amortization. Scores bit-identical to the single-
+    query face; the oracle evaluates the same relational form with the
+    (qid, term) batch as a VALUES relation."""
+    import os
+
+    from ..operators.fulltext import (
+        fulltext_bm25_from_index_many,
+        materialize_fulltext_index,
+    )
+
+    path = _ft_index_path(sf_dir, "_prod_v1")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        docs = load(spark, sf_dir, "documents")
+        materialize_fulltext_index(docs, path)
+    return fulltext_bm25_from_index_many(
+        spark, path,
+        ["vector table scan", "hash join", "merge sort"],
+        k=5, mode="any",
+    )
+
+
 QUERIES = {
     "fulltext_and_search": fulltext_and_search,
     "fulltext_any_topk": fulltext_any_topk,
@@ -194,6 +279,9 @@ QUERIES = {
     "fulltext_bm25_from_index": fulltext_bm25_from_index_docs,
     "fulltext_incremental_index": fulltext_incremental_index,
     "hybrid_rrf_from_index": hybrid_rrf_from_index,
+    "fulltext_excision": fulltext_excision,
+    "fulltext_excision_compacted": fulltext_excision_compacted,
+    "fulltext_bm25_batch": fulltext_bm25_batch,
 }
 
 ORACLES = {
@@ -327,3 +415,50 @@ ORACLES = {
 ORACLES["fulltext_bm25_from_index"] = ORACLES["fulltext_bm25_topk"]
 ORACLES["fulltext_incremental_index"] = ORACLES["fulltext_bm25_topk"]
 ORACLES["hybrid_rrf_from_index"] = ORACLES["hybrid_rrf_topk"]
+
+_EXCISED = ORACLES["fulltext_bm25_topk"].replace(
+    "FROM documents", "FROM documents WHERE doc_id % 97 <> 0"
+)
+ORACLES["fulltext_excision"] = _EXCISED
+ORACLES["fulltext_excision_compacted"] = _EXCISED
+
+ORACLES["fulltext_bm25_batch"] = f"""
+    WITH {_SQL_POSTINGS},
+    dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc),
+    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    qrel(qid, term) AS (
+        VALUES (0, 'scan'), (0, 'table'), (0, 'vector'),
+               (1, 'hash'), (1, 'join'),
+               (2, 'merge'), (2, 'sort')
+    ),
+    terms AS (SELECT DISTINCT term FROM qrel),
+    m AS (SELECT p.* FROM postings p JOIN terms USING (term)),
+    dfreq AS (
+        SELECT term,
+               (1000 * (SELECT n_docs FROM tot)) // COUNT(DISTINCT doc)
+                   AS idf_scaled
+        FROM m GROUP BY term
+    ),
+    ts AS (
+        SELECT q.qid, m.doc,
+               (d.idf_scaled * 44 * m.tf) //
+               (20 * m.tf + 6 + (18 * dl.dl * (SELECT n_docs FROM tot))
+                    // (SELECT total FROM tot)) AS term_score
+        FROM m
+          JOIN qrel q USING (term)
+          JOIN dfreq d USING (term)
+          JOIN dl USING (doc)
+    ),
+    agg AS (
+        SELECT qid, doc,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(term_score) AS BIGINT) AS score
+        FROM ts GROUP BY qid, doc
+    )
+    SELECT qid, doc, n_matched, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, doc ASC) AS rn
+          FROM agg)
+    WHERE rn <= 5
+"""

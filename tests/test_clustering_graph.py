@@ -121,3 +121,19 @@ def test_pagerank_more_connected_node_outranks(spark):
         for r in pagerank(_edges(spark, sym), iters=3).collect()
     }
     assert out[1] > out[5]
+
+
+def test_triangle_count_hand_graphs(spark):
+    from mbrainz_importer_spark.operators.graph import triangle_count
+
+    def count(pairs):
+        e = _edges(spark, pairs)
+        return triangle_count(e).collect()[0]["n_triangles"]
+
+    # K4 in canonical orientation: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert count(k4) == 4
+    # a 4-cycle has none
+    assert count([(0, 1), (1, 2), (2, 3), (0, 3)]) == 0
+    # one triangle plus a pendant edge
+    assert count([(0, 1), (0, 2), (1, 2), (2, 3)]) == 1

@@ -187,3 +187,130 @@ def test_bad_mode_rejected(spark, tmp_path):
     materialize_fulltext_index(_docs(spark), path, n_pfx=8, n_dpfx=4)
     with pytest.raises(ValueError):
         fulltext_bm25_from_index(spark, path, "vector", k=5, mode="or")
+
+
+def test_excision_masks_and_compaction_erases(spark, tmp_path):
+    from mbrainz_importer_spark.operators.fulltext import (
+        compact_fulltext_index,
+        excise_fulltext_docs,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(docs, path, n_pfx=8, n_dpfx=4)
+    doomed = spark.createDataFrame([(2,), (8,)], "doc long")
+    excise_fulltext_docs(spark, path, doomed)
+
+    survivors = docs.where(~F.col("doc_id").isin(2, 8))
+    ref_path = str(tmp_path / "ft_ref")
+    materialize_fulltext_index(survivors, ref_path, n_pfx=8, n_dpfx=4)
+    for query in ["vector table scan", "hash join"]:
+        masked = fulltext_bm25_from_index(spark, path, query, k=10).collect()
+        ref = fulltext_bm25_from_index(spark, ref_path, query, k=10).collect()
+        assert [tuple(r) for r in masked] == [tuple(r) for r in ref]
+    # doclen/stats updated eagerly
+    assert _snapshot(spark, path)[1:] == _snapshot(spark, ref_path)[1:]
+    # postings still carry the doomed rows until compaction
+    assert (
+        spark.read.parquet(path + "/postings").where(F.col("doc") == 2).count()
+        > 0
+    )
+    compact_fulltext_index(spark, path)
+    assert _snapshot(spark, path) == _snapshot(spark, ref_path)
+    assert not os.path.exists(path + "/tombstones")
+    masked = fulltext_bm25_from_index(
+        spark, path, "vector table scan", k=10
+    ).collect()
+    ref = fulltext_bm25_from_index(
+        spark, ref_path, "vector table scan", k=10
+    ).collect()
+    assert [tuple(r) for r in masked] == [tuple(r) for r in ref]
+
+
+def test_excision_idempotent(spark, tmp_path):
+    from mbrainz_importer_spark.operators.fulltext import excise_fulltext_docs
+
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(_docs(spark), path, n_pfx=8, n_dpfx=4)
+    doomed = spark.createDataFrame([(3,), (999,)], "doc long")  # 999 absent
+    excise_fulltext_docs(spark, path, doomed)
+    before = _snapshot(spark, path)
+    tomb_before = sorted(
+        r[0] for r in spark.read.parquet(path + "/tombstones").collect()
+    )
+    excise_fulltext_docs(spark, path, doomed)
+    assert _snapshot(spark, path) == before
+    assert (
+        sorted(r[0] for r in spark.read.parquet(path + "/tombstones").collect())
+        == tomb_before
+        == [3, 999]
+    )
+
+
+def test_merge_drops_tombstoned_arrivals(spark, tmp_path):
+    from mbrainz_importer_spark.operators.fulltext import excise_fulltext_docs
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(docs, path, n_pfx=8, n_dpfx=4)
+    excise_fulltext_docs(spark, path, spark.createDataFrame([(4,)], "doc long"))
+    before = _snapshot(spark, path)
+    # the excised id arrives again: delete-then-readd contract drops it
+    merge_fulltext_increment(
+        spark, path, _docs(spark, [(4, "scan scan scan")])
+    )
+    assert _snapshot(spark, path) == before
+
+
+def test_streaming_doc_ingest(spark, tmp_path):
+    """Document micro-batches stream into the postings index; the
+    drained index equals a full rebuild over base + arrivals (content,
+    doclen, and stats all equal)."""
+    from mbrainz_importer_spark.streaming.doc_ingest import (
+        start_fulltext_ingest,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(
+        docs.where(F.col("doc_id") <= 6), path, n_pfx=8, n_dpfx=4
+    )
+    drop = tmp_path / "docs"
+    _docs(spark, DOCS[6:8]).write.parquet(str(drop / "d1"))
+    _docs(spark, DOCS[8:]).write.parquet(str(drop / "d2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*/")
+    )
+    q = start_fulltext_ingest(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    materialize_fulltext_index(docs, full, n_pfx=8, n_dpfx=4)
+    assert _snapshot(spark, path) == _snapshot(spark, full)
+
+
+def test_batch_face_equals_single_query_face(spark, tmp_path):
+    from mbrainz_importer_spark.operators.fulltext import (
+        fulltext_bm25_from_index_many,
+    )
+
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(_docs(spark), path, n_pfx=8, n_dpfx=4)
+    queries = ["vector table scan", "hash join", "merge sort"]
+    batch = fulltext_bm25_from_index_many(
+        spark, path, queries, k=5, mode="any"
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["doc"], r["n_matched"], r["score"])
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (r["doc"], r["n_matched"], r["score"])
+            for r in fulltext_bm25_from_index(
+                spark, path, q, k=5, mode="any"
+            ).collect()
+        ]
+        assert sorted(by_qid.get(qid, [])) == sorted(single), q
