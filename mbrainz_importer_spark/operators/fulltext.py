@@ -604,6 +604,7 @@ def excise_fulltext_docs(spark, path: str, doomed: DataFrame) -> None:
     must not be re-asserted before `compact_fulltext_index` runs;
     `merge_fulltext_increment` drops such arrivals and documents the
     delete-then-readd contract."""
+    import os
     import shutil
 
     meta = _read_meta(path)
@@ -651,6 +652,7 @@ def excise_fulltext_docs(spark, path: str, doomed: DataFrame) -> None:
             spark, remaining, path + "/doclen",
             columns=("doc", "dl", "dpfx"),
         )
+        kept = {r[0] for r in remaining.select("dpfx").distinct().collect()}
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(mode_key, "static")
         spark.conf.set(mode_key, "dynamic")
@@ -661,6 +663,13 @@ def excise_fulltext_docs(spark, path: str, doomed: DataFrame) -> None:
         finally:
             spark.conf.set(mode_key, prev)
         _drop_stage(path + "/doclen")
+        # a dpfx partition whose every doc was excised has no staged
+        # rows; dynamic overwrite cannot express an empty partition,
+        # so the emptied directory is removed explicitly
+        for k in set(dpfxs) - kept:
+            d = os.path.join(path, "doclen", f"dpfx={k}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
 
         old = spark.read.parquet(path + "/stats").collect()[0]
         spark.createDataFrame(
@@ -668,8 +677,6 @@ def excise_fulltext_docs(spark, path: str, doomed: DataFrame) -> None:
             "n_docs long, total long",
         ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
     finally:
-        import os
-
         if os.path.exists(staged):
             shutil.rmtree(staged)
 

@@ -553,6 +553,45 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def agg_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/matview.py): the
+    per-customer order rollup materializes from 90% of orders, the
+    remaining 10% folds in as an increment batch (partial-aggregated,
+    touched key-hash partitions only, exactly-once ledger skips the
+    redelivered batch on gate re-runs). Reading the maintained state
+    must hash-equal the full-corpus GROUP BY oracle — the IVM identity
+    certified, not assumed. Measures in integer cents (FLOOR both
+    engines) so every addition is exact."""
+    import os
+
+    from ..operators.matview import (
+        materialize_agg_view,
+        merge_agg_increment,
+        read_agg_view,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    proj = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    path = os.path.join(
+        "spark-warehouse", "agg_view",
+        os.path.basename(os.path.normpath(sf_dir)) + "_cust_orders_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        materialize_agg_view(
+            proj.where(F.col("o_orderkey") % 10 != 0), path,
+            keys=["o_custkey"], measures=["price_cents"],
+        )
+    merge_agg_increment(
+        spark, path, proj.where(F.col("o_orderkey") % 10 == 0),
+        batch_id="orders_tail_mod10",
+    )
+    return read_agg_view(spark, path).orderBy("o_custkey")
+
+
 QUERIES = {
     "event_type_pmi": event_type_pmi,
     "cohort_retention": cohort_retention,
@@ -583,6 +622,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_triangle_count": graph_triangle_count,
+    "agg_incremental_view": agg_incremental_view,
 }
 
 ORACLES = {
@@ -1030,4 +1070,14 @@ ORACLES["graph_triangle_count"] = """
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM wedges w JOIN pairs p3 ON w.a = p3.s AND w.c = p3.t
+"""
+
+ORACLES["agg_incremental_view"] = """
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
 """

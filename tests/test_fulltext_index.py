@@ -314,3 +314,29 @@ def test_batch_face_equals_single_query_face(spark, tmp_path):
             ).collect()
         ]
         assert sorted(by_qid.get(qid, [])) == sorted(single), q
+
+
+def test_excision_empties_doclen_partition(spark, tmp_path):
+    """Excising every doc that hashes to one dpfx partition must remove
+    the emptied directory (dynamic overwrite cannot express an empty
+    partition) — membership probes and stats repair then see the truth."""
+    from mbrainz_importer_spark.operators.fulltext import (
+        _doc_pfx,
+        excise_fulltext_docs,
+        repair_fulltext_stats,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ft")
+    materialize_fulltext_index(docs, path, n_pfx=8, n_dpfx=2)
+    doclen = spark.read.parquet(path + "/doclen")
+    target = doclen.select("dpfx").first()["dpfx"]
+    doomed = doclen.where(F.col("dpfx") == target).select("doc")
+    excise_fulltext_docs(spark, path, doomed)
+    assert not os.path.exists(path + f"/doclen/dpfx={target}")
+    # stats repair from the (now partially emptied) doclen agrees with
+    # the arithmetically maintained stats
+    maintained = spark.read.parquet(path + "/stats").collect()[0]
+    repair_fulltext_stats(spark, path)
+    repaired = spark.read.parquet(path + "/stats").collect()[0]
+    assert tuple(maintained) == tuple(repaired)
