@@ -59,6 +59,12 @@ HEADLINE = [
     "hybrid_rrf_from_index",
     "fulltext_bm25_from_index",
     "fulltext_incremental_index",
+    "fulltext_bm25_batch",
+    "fulltext_excision",
+    "embedding_kmeans_assign",
+    "graph_pagerank_topk",
+    "graph_triangle_count",
+    "agg_incremental_view",
     "quality_classifier_scores",
     "semdedup_survivors",
     "semdedup_survivors_arrow",

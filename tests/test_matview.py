@@ -184,3 +184,29 @@ def test_merge_touches_only_hashed_partitions(spark, tmp_path):
         if os.path.dirname(p) not in changed_dirs
     }
     assert all(after[p] == s for p, s in untouched.items())
+
+
+def test_streaming_agg_ingest(spark, tmp_path):
+    """Row micro-batches stream into the view; the drained state equals
+    a full rebuild over base + arrivals."""
+    from mbrainz_importer_spark.streaming.agg_ingest import start_agg_ingest
+
+    df = _rows(spark)
+    path = str(tmp_path / "mv")
+    materialize_agg_view(
+        df.where(F.col("id") < 20), path, keys=["grp"], measures=["amt"]
+    )
+    drop = tmp_path / "rows"
+    # one file per arrival batch: each file is one foreachBatch epoch
+    # (a multi-file write would shatter into one epoch per part file
+    # and the per-epoch merge overhead would dominate the test)
+    _rows(spark, ROWS[20:30]).coalesce(1).write.parquet(str(drop / "d1"))
+    _rows(spark, ROWS[30:]).coalesce(1).write.parquet(str(drop / "d2"))
+    stream = (
+        spark.readStream.schema("id long, grp long, amt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*/")
+    )
+    q = start_agg_ingest(stream, path, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300), "ingest did not drain in time"
+    assert _state(spark, path) == _rebuild(spark, df, tmp_path, "full")
