@@ -68,6 +68,8 @@ HEADLINE = [
     "quality_classifier_scores",
     "semdedup_survivors",
     "semdedup_survivors_arrow",
+    "skew_salted_join",
+    "er_resolved_clusters",
 ]
 
 

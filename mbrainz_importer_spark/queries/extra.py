@@ -592,7 +592,77 @@ def agg_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_agg_view(spark, path).orderBy("o_custkey")
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping sets of (status, priority) in one pass —
+    the other half of the grouping-sets surface next to rollup_revenue
+    (Catalyst expands both into a single Expand + hash aggregate)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def window_analytics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window surface in one certified pass:
+    lag/lead/row_number/ntile over the customer's order timeline, rank/
+    dense_rank/cume_dist over the price ordering (ties exercised — rank
+    semantics depend only on key values, so both engines agree). One
+    shuffle on o_custkey serves every function."""
+    orders = load(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w_time).alias("prev_price"),
+        F.lead("o_totalprice").over(w_time).alias("next_price"),
+        F.row_number().over(w_time).cast("int").alias("order_seq"),
+        F.ntile(4).over(w_time).cast("int").alias("quarter_of_history"),
+        F.rank().over(w_price).cast("int").alias("price_rank"),
+        F.dense_rank().over(w_price).cast("int").alias("price_dense_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("price_cume_dist"),
+    ).orderBy("o_orderkey")
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join, hash-certified: lineitem (the skewed fact
+    side) joins orders through `salted_join`, which spreads each order
+    key over 8 salt partitions and replicates the orders side once per
+    salt — then aggregates revenue by priority. The oracle is the PLAIN
+    join: salting must be invisible in the result, only in the
+    partitioning. This is the fallback for the skew AQE can't re-plan
+    (post-join same-key groupBy, deterministic partitioning)."""
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
+    "cube_revenue": cube_revenue,
+    "window_analytics_surface": window_analytics_surface,
+    "skew_salted_join": skew_salted_join,
     "event_type_pmi": event_type_pmi,
     "cohort_retention": cohort_retention,
     "event_transition_matrix": event_transition_matrix,
@@ -626,6 +696,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_revenue": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "window_analytics_surface": """
+        SELECT o_orderkey, o_custkey,
+               LAG(o_totalprice) OVER w_time AS prev_price,
+               LEAD(o_totalprice) OVER w_time AS next_price,
+               CAST(ROW_NUMBER() OVER w_time AS INTEGER) AS order_seq,
+               CAST(NTILE(4) OVER w_time AS INTEGER) AS quarter_of_history,
+               CAST(RANK() OVER w_price AS INTEGER) AS price_rank,
+               CAST(DENSE_RANK() OVER w_price AS INTEGER) AS price_dense_rank,
+               ROUND(CUME_DIST() OVER w_price, 6) AS price_cume_dist
+        FROM orders
+        WINDOW w_time AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        ORDER BY o_orderkey
+    """,
+    "skew_salted_join": """
+        SELECT o.o_orderpriority,
+               ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY o_orderpriority
+    """,
     "cas_conditional_update": """
         SELECT c_custkey,
                CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
