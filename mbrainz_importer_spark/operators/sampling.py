@@ -109,3 +109,32 @@ def sample_k_per_group(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Dedup-aware train/val/test split: the split UNIT is the
+    near-duplicate cluster, not the document. Plain hash splits leave
+    the leakage channel every eval report warns about — a document in
+    train and its near-copy in test — because the two ids hash
+    independently. Here the pair graph (any near-dup pair list: LSH-
+    verified, n-gram Jaccard, SemDeDup) resolves into clusters first
+    (pointer-jumping CC from operators/dedup.py) and `with_split`
+    hashes the CLUSTER id, so every member of a cluster lands in the
+    same split by construction.
+
+    Scale: CC runs over pair edges only; the corpus pays one hash join
+    to pick up (cluster, split). Returns `docs` + (cluster, split)."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(docs, pairs, id_col)
+    labeled = with_split(clusters.select("doc", "cluster"), "cluster", fractions, salt)
+    return docs.join(
+        labeled.withColumnRenamed("doc", id_col),
+        id_col,
+    )

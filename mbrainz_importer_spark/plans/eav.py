@@ -682,3 +682,92 @@ def alter_ident(datoms: DataFrame, old: str, new: str) -> DataFrame:
         (F.col("a") == ":db/ident") & (F.col("v") == old), F.lit(new)
     ).otherwise(F.col("v"))
     return datoms.withColumn("a", a2).withColumn("v", v2)
+
+
+# ---------------------------------------------------------------------------
+# Backup / restore (Datomic `backup-db` / `restore-db`)
+# ---------------------------------------------------------------------------
+
+def store_fingerprint(spark, path: str) -> tuple[int, int]:
+    """Order-independent content fingerprint of a store tree:
+    (row count, sum of per-row xxhash64 over the name-sorted stringified
+    columns, accumulated in decimal so it never overflows). Independent
+    of file layout, partition order, and row order — the property a
+    backup check needs, because a restore or compaction legitimately
+    reshuffles bytes while preserving content."""
+    df = spark.read.parquet(path)
+    h = F.xxhash64(*[F.col(c).cast("string") for c in sorted(df.columns)])
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"]) if row["s"] is not None else 0
+
+
+def backup_store(spark, store_path: str, backup_root: str) -> dict:
+    """Datomic `backup-db` analog: snapshot the store tree under
+    `backup_root/data` and write `backup_root/MANIFEST.json` recording
+    row count, content fingerprint, and the per-partition file census.
+
+    The byte transport here is a local tree copy; at 100 TB it is the
+    storage layer's job (distcp / object-store copy) — what the ENGINE
+    owns is the integrity protocol: the manifest is computed FROM THE
+    COPY and then checked against the SOURCE fingerprint, so a torn or
+    stale copy cannot yield a valid manifest. The manifest is written
+    LAST — its presence marks a complete backup (the _SUCCESS
+    discipline), so restore can refuse manifest-less trees."""
+    import json
+    import os
+    import shutil
+
+    data_dir = os.path.join(backup_root, "data")
+    if os.path.exists(backup_root):
+        shutil.rmtree(backup_root)
+    shutil.copytree(store_path, data_dir)
+    n_copy, h_copy = store_fingerprint(spark, data_dir)
+    n_src, h_src = store_fingerprint(spark, store_path)
+    if (n_copy, h_copy) != (n_src, h_src):
+        raise RuntimeError(
+            f"backup fingerprint mismatch: source=({n_src},{h_src}) "
+            f"copy=({n_copy},{h_copy}) — torn copy, backup aborted"
+        )
+    census = {
+        d: len([f for f in os.listdir(os.path.join(data_dir, d)) if not f.startswith("_")])
+        for d in sorted(os.listdir(data_dir))
+        if os.path.isdir(os.path.join(data_dir, d))
+    }
+    manifest = {
+        "n_rows": n_copy,
+        "content_hash": str(h_copy),
+        "partitions": census,
+    }
+    with open(os.path.join(backup_root, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def restore_store(spark, backup_root: str, dest_path: str) -> dict:
+    """Datomic `restore-db`: verify the backup tree against its manifest
+    (row count + content fingerprint — guards bit-rot and partial
+    uploads between backup time and now), then materialize the store at
+    `dest_path`. Refuses a manifest-less or mismatching backup."""
+    import json
+    import os
+    import shutil
+
+    mf_path = os.path.join(backup_root, "MANIFEST.json")
+    if not os.path.exists(mf_path):
+        raise RuntimeError(f"no MANIFEST.json under {backup_root}: not a backup")
+    with open(mf_path) as f:
+        manifest = json.load(f)
+    data_dir = os.path.join(backup_root, "data")
+    n, h = store_fingerprint(spark, data_dir)
+    if n != manifest["n_rows"] or str(h) != manifest["content_hash"]:
+        raise RuntimeError(
+            f"backup failed verification: manifest=({manifest['n_rows']},"
+            f"{manifest['content_hash']}) actual=({n},{h})"
+        )
+    if os.path.exists(dest_path):
+        shutil.rmtree(dest_path)
+    shutil.copytree(data_dir, dest_path)
+    return manifest

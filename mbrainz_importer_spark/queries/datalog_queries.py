@@ -75,6 +75,38 @@ def datalog_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q(query, store).orderBy("rname")
 
 
+def store_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic backup-db/restore-db end-to-end: materialize the dim
+    store, back it up (manifest = row count + order-independent content
+    fingerprint, computed from the copy and checked against the
+    source), restore to a FRESH location after manifest verification,
+    and certify the restored store by running the region-nations
+    datalog over it against the same DuckDB hash as datalog_from_store
+    — the restore provably preserved content, not just bytes."""
+    import os
+
+    from ..plans.eav import backup_store, materialize_datoms, read_datoms, restore_store
+
+    base = os.path.join(
+        "spark-warehouse", "datom_store",
+        os.path.basename(os.path.normpath(sf_dir)) + "_bak",
+    )
+    src, bak, dst = base + "_src", base + "_backup", base + "_restored"
+    materialize_datoms(_datoms_small(spark, sf_dir), src)
+    backup_store(spark, src, bak)
+    restore_store(spark, bak, dst)
+    store = read_datoms(spark, dst)
+    query = {
+        "find": ["?rname", ("count", "?n")],
+        "where": [
+            ["?n", ":nation/n_regionkey", "?rk"],
+            ["?r", ":region/r_regionkey", "?rk"],
+            ["?r", ":region/r_name", "?rname"],
+        ],
+    }
+    return q(query, store).orderBy("rname")
+
+
 def datalog_fact_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FACT-SCALE datom store: orders unpivots into an
     attribute-partitioned store with one datom per (order, attribute) —
@@ -1248,6 +1280,7 @@ QUERIES = {
     "datalog_attr_counts": datalog_attr_counts,
     "datalog_region_nations": datalog_region_nations,
     "datalog_from_store": datalog_from_store,
+    "store_backup_restore": store_backup_restore,
     "datalog_fact_store_scan": datalog_fact_store_scan,
     "datalog_fact_store_bucketed": datalog_fact_store_bucketed,
     "datalog_recursive_from_store": datalog_recursive_from_store,
@@ -1575,6 +1608,11 @@ ORACLES = {
         GROUP BY r_name ORDER BY rname
     """,
     "datalog_from_store": """
+        SELECT r_name AS rname, COUNT(*) AS count_n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY rname
+    """,
+    "store_backup_restore": """
         SELECT r_name AS rname, COUNT(*) AS count_n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY rname

@@ -592,6 +592,18 @@ def agg_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_agg_view(spark, path).orderBy("o_custkey")
 
 
+def gapfill_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily gap fill + forward fill over the event log: a
+    dense (user, day) spine across each user's observed span, zero-
+    filled counts, decimal-exact day sums, last-observation carry across
+    gaps, and the synthesized-row marker. DuckDB mirrors the spine with
+    generate_series and the carry with LAST_VALUE IGNORE NULLS."""
+    from ..operators.timeseries import gapfill_daily
+
+    ev = load(spark, sf_dir, "events")
+    return gapfill_daily(ev, "user_id", "ts", "value").orderBy("user_id", "day_idx")
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all four grouping sets of (status, priority) in one pass —
     the other half of the grouping-sets surface next to rollup_revenue
@@ -660,6 +672,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "gapfill_daily_activity": gapfill_daily_activity,
     "cube_revenue": cube_revenue,
     "window_analytics_surface": window_analytics_surface,
     "skew_salted_join": skew_salted_join,
@@ -696,6 +709,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gapfill_daily_activity": """
+        WITH d AS (
+            SELECT user_id,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_idx,
+                   value
+            FROM events
+        ),
+        daily AS (
+            SELECT user_id, day_idx, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS dv
+            FROM d GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT user_id, MIN(day_idx) AS lo, MAX(day_idx) AS hi
+            FROM daily GROUP BY 1
+        ),
+        spine AS (
+            SELECT user_id, CAST(UNNEST(generate_series(lo, hi)) AS INTEGER) AS day_idx
+            FROM spans
+        ),
+        filled AS (
+            SELECT s.user_id, s.day_idx, dl.n, dl.dv
+            FROM spine s LEFT JOIN daily dl
+              ON s.user_id = dl.user_id AND s.day_idx = dl.day_idx
+        )
+        SELECT user_id, day_idx,
+               COALESCE(n, 0) AS n_events,
+               COALESCE(dv, 0.0) AS day_value,
+               LAST_VALUE(dv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS ffill_value,
+               dv IS NULL AS is_gap
+        FROM filled
+        ORDER BY user_id, day_idx
+    """,
     "cube_revenue": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

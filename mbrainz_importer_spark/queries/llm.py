@@ -560,6 +560,27 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split: near-dup clusters (3-gram Jaccard >= 0.2, the
+    dedup_duplicate_clusters graph) are the split unit, so a document
+    and its near-copy can never straddle train/test. Certified as
+    per-split (n_docs, n_clusters) — one moved document or one split
+    cluster changes a count."""
+    from ..operators.sampling import leakage_safe_split as lss
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    out = lss(docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic ~30% sample: kept doc ids, certified
     row-for-row (membership is pure md5 arithmetic)."""
@@ -576,6 +597,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_repetition_scores": text_repetition_scores,
     "split_assignment": split_assignment,
+    "leakage_safe_split": leakage_safe_split,
     "stratified_sample_docs": stratified_sample_docs,
     "corpus_report": corpus_report,
     "embedding_random_projection": embedding_random_projection,
@@ -1277,6 +1299,49 @@ ORACLES["text_repetition_scores"] = """
            ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_fraction,
            ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_fraction
     FROM per_gram GROUP BY doc ORDER BY doc
+"""
+
+ORACLES["leakage_safe_split"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON doc_a = sa.doc
+          JOIN sizes sb ON doc_b = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc, MIN(v) AS cluster FROM reach GROUP BY u),
+    clus AS (
+        SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    ),
+    b AS (
+        SELECT cluster,
+               try_cast('0x' || substr(
+                   md5('split-v1|' || CAST(cluster AS VARCHAR)), 1, 6) AS BIGINT
+               ) AS bucket
+        FROM clus
+    )
+    SELECT CASE WHEN bucket < {_B[0][1]} THEN '{_B[0][0]}'
+                WHEN bucket < {_B[1][1]} THEN '{_B[1][0]}'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+    FROM b GROUP BY 1 ORDER BY split
 """
 
 ORACLES["split_assignment"] = f"""

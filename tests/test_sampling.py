@@ -108,3 +108,35 @@ def test_sample_k_per_group_exact_and_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         sample_k_per_group(df, "doc_id", "source", k=0)
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from mbrainz_importer_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id int, text string"
+    )
+    # chain 0-1-2 plus pair (10, 11); everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a int, doc_b int"
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    assert len(out) == 200
+    by_id = {r.doc_id: r for r in out}
+    # every cluster maps to exactly one split
+    assert len({by_id[i].split for i in (0, 1, 2)}) == 1
+    assert by_id[10].split == by_id[11].split
+    assert {by_id[i].cluster for i in (0, 1, 2)} == {0}
+    # the split hashes the cluster id: singleton assignment matches
+    # with_split on the doc id itself
+    from mbrainz_importer_spark.operators.sampling import with_split
+
+    solo = {
+        r.doc_id: r.split
+        for r in with_split(docs, "doc_id", {"train": 0.5, "val": 0.25, "test": 0.25})
+        .collect()
+    }
+    for i in (50, 99, 150):
+        assert by_id[i].split == solo[i]
