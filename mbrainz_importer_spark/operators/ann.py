@@ -130,6 +130,7 @@ def merge_ivf_increment(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_moved: str = "error",
 ) -> None:
     """Incremental index maintenance: arrivals assign to the SAME
     persisted centroids and fold into only the cell partitions they
@@ -137,25 +138,60 @@ def merge_ivf_increment(
     through disk exactly like the datom-store merge) — O(touched cells
     + increment); the index never rebuilds and untouched lists keep
     their files. Centroids are a distribution statistic: they drift
-    only on a re-train cadence, at which point a re-materialize is the
-    compaction analog. Re-merging the same arrivals is a no-op on
-    content (union deduped by id), so redelivered increments are safe.
-    Arrivals are NEW vectors (the embedding-ingest workload); an id
-    re-asserted with a DIFFERENT vector dedupes within the touched
-    cells only — treat vector updates as delete + re-add."""
+    only on a re-train cadence (`retrain_ivf_index` is the repair).
+    Re-merging the same arrivals is a no-op on content, so redelivered
+    increments are safe.
+
+    The arrivals-are-NEW contract is ENFORCED, not assumed: an id
+    re-asserted with a vector that lands in a DIFFERENT cell would
+    leave its old row live in the untouched cell — the silent
+    cross-cell duplicate. A column-pruned (nid + partition value only)
+    probe of the index detects moved ids; `on_moved="error"` (default)
+    raises so the caller routes updates through delete + re-add,
+    `on_moved="tombstone"` widens the touched-cell set to the moved
+    ids' OLD cells and drops their stale rows in the same rewrite.
+    Within every touched cell the arrival's row wins per id (old rows
+    anti-joined out), so a same-cell re-assert is an update, not a
+    max-struct coin toss."""
     from ..plans.eav import _drop_stage, _stage_merge
 
-    fresh = _assign(arrivals, centroids, id_col, vec_col)
-    touched = sorted(r.cell for r in fresh.select("cell").distinct().collect())
-    if not touched:
-        return
-    existing = read_ivf_index(spark, path).where(F.col("cell").isin(touched))
-    merged = (
-        existing.unionByName(fresh)
-        .groupBy("nid")
+    if on_moved not in ("error", "tombstone"):
+        raise ValueError(f"on_moved must be 'error' or 'tombstone', got {on_moved!r}")
+    fresh = (
+        _assign(arrivals, centroids, id_col, vec_col)
+        .groupBy("nid")  # an increment may carry an id twice; one survives
         .agg(F.max(F.struct("cell", "nv")).alias("w"))
         .select("nid", F.col("w.nv").alias("nv"), F.col("w.cell").alias("cell"))
     )
+    touched = sorted(r.cell for r in fresh.select("cell").distinct().collect())
+    if not touched:
+        return
+    # cross-cell guard: nid comes from the parquet id column, cell from
+    # the partition directory — the scan reads one column of the index
+    idx_cells = read_ivf_index(spark, path).select(
+        "nid", F.col("cell").alias("old_cell")
+    )
+    moved_cells = sorted(
+        r.old_cell
+        for r in fresh.select("nid", "cell")
+        .join(idx_cells, "nid")
+        .where(F.col("old_cell") != F.col("cell"))
+        .select("old_cell")
+        .distinct()
+        .collect()
+    )
+    if moved_cells and on_moved == "error":
+        raise ValueError(
+            "merge_ivf_increment: arrival ids already indexed in other "
+            f"cells {moved_cells} — a moved vector would duplicate "
+            "across cells. Re-merge with on_moved='tombstone' or route "
+            "updates through delete + re-add."
+        )
+    touched = sorted(set(touched) | set(moved_cells))
+    existing = read_ivf_index(spark, path).where(F.col("cell").isin(touched))
+    merged = existing.join(
+        fresh.select("nid"), "nid", "left_anti"
+    ).unionByName(fresh)
     merged = _stage_merge(spark, merged, path, columns=("nid", "nv", "cell"))
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
@@ -165,6 +201,43 @@ def merge_ivf_increment(
     finally:
         spark.conf.set(mode_key, prev)
     _drop_stage(path)
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_cells: int = 16,
+    max_iter: int = 8,
+    sample_limit: int = 4096,
+    seed: int = IVF_SEED,
+) -> list[list[float]]:
+    """Centroid-drift repair — the re-train cadence as an operator:
+    fit fresh centroids from a bounded ordered sample of the CURRENT
+    index contents (driver-side Lloyd's, the train_centroids_sample
+    shape — the corpus never collects) and re-materialize every
+    inverted list under them. A retrain touches every cell by
+    definition, so this is the one full rewrite in the IVF lifecycle
+    (the compaction analog); it stages through disk so the writer
+    never scans the partitions it replaces. Returns the new centroids
+    — the caller must use them for every subsequent probe and merge
+    (probing with the stale set against the new layout is the bug this
+    operator exists to prevent; the recall cost of NOT retraining is
+    measured in tests/test_ivf_index.py on a drifted corpus)."""
+    from ..plans.eav import _drop_stage, _stage_merge
+
+    vecs = read_ivf_index(spark, path).select(
+        F.col("nid").alias("vec_id"), F.col("nv").alias("embedding")
+    )
+    cents = train_centroids_sample(
+        vecs, "vec_id", "embedding",
+        n_cells=n_cells, max_iter=max_iter,
+        sample_limit=sample_limit, seed=seed,
+    )
+    assigned = _assign(vecs, cents, "vec_id", "embedding")
+    staged = _stage_merge(spark, assigned, path, columns=("nid", "nv", "cell"))
+    staged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _drop_stage(path)
+    return cents
 
 
 def ivf_topk_from_index(

@@ -56,7 +56,10 @@ def candidate_pairs(
             .where(F.col("__n") <= F.lit(max_block))
             .select("__blk")
         )
-        keyed = keyed.join(F.broadcast(small), "__blk")
+        # no broadcast hint: the qualifying-block set scales with the
+        # blocking vocabulary, so a forced broadcast can OOM at corpus
+        # scale — left_semi lets AQE pick broadcast only when it fits
+        keyed = keyed.join(small, "__blk", "left_semi")
     a = keyed.select(F.col("__blk"), F.col(key_col).alias("key_a"))
     b = keyed.select(F.col("__blk"), F.col(key_col).alias("key_b"))
     return (
@@ -89,7 +92,8 @@ def fuzzy_matches(
             .where(F.col("__n") <= F.lit(max_block))
             .select("__blk")
         )
-        keyed = keyed.join(F.broadcast(small), "__blk")
+        # see candidate_pairs: AQE-sized semi join, never a forced broadcast
+        keyed = keyed.join(small, "__blk", "left_semi")
     a = keyed.select(
         F.col("__blk"), F.col(key_col).alias("key_a"), F.col("__cmp").alias("__cmp_a")
     )

@@ -732,7 +732,7 @@ def backup_store(spark, store_path: str, backup_root: str) -> dict:
             f"copy=({n_copy},{h_copy}) — torn copy, backup aborted"
         )
     census = {
-        d: len([f for f in os.listdir(os.path.join(data_dir, d)) if not f.startswith("_")])
+        d: len([f for f in os.listdir(os.path.join(data_dir, d)) if not f.startswith(("_", "."))])
         for d in sorted(os.listdir(data_dir))
         if os.path.isdir(os.path.join(data_dir, d))
     }

@@ -537,8 +537,10 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (parts sharing an order,
     canonical p1 < p2 edges) — the clustering-structure probe next to
-    PageRank's centrality; two shuffle joins, each triangle counted
-    once via sorted-vertex orientation (operators/graph.py)."""
+    PageRank's centrality; degree-ordered orientation caps wedge
+    fan-out near sqrt(|E|) at any skew, and the orientation is
+    hash-certified invisible: the oracle enumerates id-sorted triangles
+    (operators/graph.py)."""
     from ..operators.graph import triangle_count
 
     li = load(spark, sf_dir, "lineitem")
@@ -664,7 +666,12 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join(li, orders, "orderkey", n_salts=8)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            # decimal accumulation (the repo-wide discipline for this
+            # column): float sums drift with add order at large SF and
+            # this gate runs in the sf100 tier
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("o_orderpriority")
@@ -768,7 +775,8 @@ ORACLES = {
     """,
     "skew_salted_join": """
         SELECT o.o_orderpriority,
-               ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
                COUNT(*) AS n_items
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1 ORDER BY o_orderpriority

@@ -75,7 +75,8 @@ _MATCH_SQL = """
                                 split_part(b.p_name, ' ', 1)) AS INTEGER)
                    AS edit_dist
         FROM n a JOIN n b
-          ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+          ON NULLIF(split_part(a.p_name, ' ', 2), '')
+               = NULLIF(split_part(b.p_name, ' ', 2), '')
          AND a.p_name < b.p_name
     )
 """

@@ -137,3 +137,53 @@ def test_triangle_count_hand_graphs(spark):
     assert count([(0, 1), (1, 2), (2, 3), (0, 3)]) == 0
     # one triangle plus a pendant edge
     assert count([(0, 1), (0, 2), (1, 2), (2, 3)]) == 1
+
+
+def test_triangle_orientations_agree(spark):
+    """Degree-ordered orientation is invisible in the count — both
+    orientations enumerate each triangle exactly once (the same
+    certification the gate's DuckDB oracle provides at sf0.01)."""
+    from mbrainz_importer_spark.operators.graph import triangle_count
+
+    pairs = sorted(
+        (a, b)
+        for a in range(18)
+        for b in range(18)
+        if a < b and (a * 5 + b * 3 + a * b) % 7 < 2
+    )
+    e = _edges(spark, pairs)
+    n_deg = triangle_count(e, degree_ordered=True).collect()[0][0]
+    n_id = triangle_count(e, degree_ordered=False).collect()[0][0]
+    assert n_deg == n_id == 5  # brute-force enumerated offline
+
+
+def test_triangle_skewed_hub(spark):
+    """The skew case degree-ordering exists for: a LOW-ID hub (vertex 0,
+    degree 60) would fan out C(60,2) wedges under id-canonical
+    orientation; degree-ordering points every hub edge AT the hub, so
+    the hub emits zero wedges and each triangle is found from its
+    low-degree leaf corner. Count is hand-checkable: leaves i,i+1 are
+    adjacent and both touch the hub -> exactly 59 triangles."""
+    from mbrainz_importer_spark.operators.graph import triangle_count
+
+    hub = [(0, i) for i in range(1, 61)]
+    rim = [(i, i + 1) for i in range(1, 60)]
+    e = _edges(spark, hub + rim)
+    assert triangle_count(e).collect()[0][0] == 59
+
+
+def test_pagerank_deep_iterations_no_plan_blowup(spark):
+    """iters=20 must complete: each round localCheckpoints the rank
+    frame, so round T's plan starts from materialized rows instead of a
+    20-deep nested join tree (the datalog fixpoint's lineage-cut
+    pattern). Also pins convergence sanity: mass stays bounded and the
+    hub still outranks the leaf at depth."""
+    pairs = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, sym), iters=20).collect()
+    }
+    assert len(out) == 5
+    assert sum(out.values()) <= PR_SCALE
+    assert out[1] > out[5]

@@ -140,3 +140,98 @@ def test_streaming_vector_ingest(spark, tmp_path):
     assert sorted(map(tuple, read_ivf_index(spark, path).collect())) == sorted(
         map(tuple, read_ivf_index(spark, full).collect())
     )
+
+
+def test_merge_rejects_moved_vector(spark, tmp_path):
+    """The arrivals-are-new contract is enforced: an id re-asserted
+    with a vector landing in a DIFFERENT cell raises (default
+    on_moved='error') instead of silently duplicating across cells."""
+    import pytest
+
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(_corpus(spark, range(15)), CENTROIDS, path)
+    moved = spark.createDataFrame(
+        [(5, [0.0, 1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="other cells"):
+        merge_ivf_increment(spark, path, moved, CENTROIDS)
+    # the failed merge left the index untouched
+    assert read_ivf_index(spark, path).count() == 15
+    assert (
+        read_ivf_index(spark, path)
+        .where(F.col("nid") == 5)
+        .collect()[0]["cell"]
+        == 0
+    )
+
+
+def test_merge_tombstone_moves_vector_without_duplicate(spark, tmp_path):
+    """on_moved='tombstone': the moved id's OLD cell joins the rewrite
+    set and its stale row drops — the merged index equals a
+    from-scratch materialization of the updated corpus."""
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(_corpus(spark, range(15)), CENTROIDS, path)
+    moved = spark.createDataFrame(
+        [(5, [0.0, 1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    merge_ivf_increment(spark, path, moved, CENTROIDS, on_moved="tombstone")
+    got = read_ivf_index(spark, path)
+    assert got.count() == 15, "stale cross-cell row survived"
+    assert got.where(F.col("nid") == 5).collect()[0]["cell"] == 1
+    updated = [(i, _vec(i)) if i != 5 else (5, [0.0, 1.0, 0.0]) for i in range(15)]
+    full = str(tmp_path / "full")
+    materialize_ivf_index(
+        spark.createDataFrame(updated, "vec_id long, embedding array<double>"),
+        CENTROIDS,
+        full,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, read_ivf_index(spark, full).collect())
+    )
+
+
+def _drifted(spark):
+    # post-drift corpus: cluster P (ids 0-9) alternates x-heavy /
+    # y-heavy around [1, ~1, 0] so the STALE axis centroids split it
+    # across both cells; cluster Q (ids 10-19) sits near [1, -1, 0]
+    rows = []
+    for i in range(10):
+        v = [1.0, 0.9, 0.01 * i] if i % 2 == 0 else [0.9, 1.0, 0.01 * i]
+        rows.append((i, v))
+    for i in range(10, 20):
+        rows.append((i, [1.0, -1.0, 0.01 * (i - 10)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_retrain_recovers_recall_on_drifted_corpus(spark, tmp_path):
+    """The retrain operator measured doing its job: stale axis
+    centroids split the drifted cluster P across both cells, so an
+    n_probe=1 search misses half its true neighbors; retraining from a
+    bounded sample of the index itself re-separates P|Q and the same
+    search returns the exact top-k. Index CONTENT (nid, nv) is
+    byte-identical across the retrain — only the layout moves."""
+    from mbrainz_importer_spark.operators.ann import retrain_ivf_index
+
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(_drifted(spark), CENTROIDS, path)
+    before = sorted((r["nid"], tuple(r["nv"])) for r in read_ivf_index(spark, path).collect())
+    # symmetric query: exact centroid tie, so n_probe=1 reads ONE of
+    # the two cells P straddles while the true top-5 (smallest z wins,
+    # x/y-heavy tie on cosine) interleaves both — ids {0,1,2,3,4}
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+
+    def ids(df):
+        return {r["nid"] for r in df.collect()}
+
+    truth = ids(ivf_topk_from_index(spark, path, q, CENTROIDS, k=5, n_probe=2))
+    stale = ids(ivf_topk_from_index(spark, path, q, CENTROIDS, k=5, n_probe=1))
+    stale_recall = len(stale & truth) / 5
+    cents = retrain_ivf_index(spark, path, n_cells=2)
+    after = sorted((r["nid"], tuple(r["nv"])) for r in read_ivf_index(spark, path).collect())
+    assert after == before, "retrain changed index content"
+    fresh = ids(ivf_topk_from_index(spark, path, q, cents, k=5, n_probe=1))
+    fresh_recall = len(fresh & truth) / 5
+    assert stale_recall < 1.0, "fixture failed to induce the split"
+    assert fresh_recall == 1.0, f"retrain did not recover recall: {fresh_recall}"
