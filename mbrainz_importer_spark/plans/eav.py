@@ -117,7 +117,8 @@ def materialize_datoms(datoms: DataFrame, path: str) -> None:
 
 
 def materialize_datoms_bucketed(
-    datoms: DataFrame, table: str, n_buckets: int = 32
+    datoms: DataFrame, table: str, n_buckets: int = 32,
+    coalesce_buckets: bool = True,
 ) -> None:
     """Attribute-partitioned AND entity-bucketed datom store — the EAVT
     locality contract as Spark storage metadata. partitionBy(a) keeps
@@ -132,8 +133,25 @@ def materialize_datoms_bucketed(
     vs datalog_fact_store_scan; no-Exchange plan-asserted in
     test_plan_properties). Bucket metadata lives in the session catalog
     (saveAsTable) — paths alone cannot carry it; the matching reader is
-    `spark.table(table)`."""
+    `spark.table(table)`.
+
+    `coalesce_buckets` (default on) pre-shuffles the write on
+    (a, bucket-of-e) — the same Murmur3 pmod Spark's bucketing uses —
+    so every (attribute partition, bucket) lands in ONE task and
+    therefore ONE file. Without it a bucketed write fans out one file
+    per (input task x bucket) — up to shuffle-partitions x n_buckets
+    small files per partition — and, worse, Spark only trusts sortBy
+    metadata when a bucket is a SINGLE file, so multi-file buckets
+    re-Sort on every downstream merge join. One shuffle at write time
+    buys single-file sorted buckets: minimum file count AND Sort-free
+    entity self-joins forever after. The flag exists so the
+    small-file cost can be measured (PLAN_NOTES_r09.md), not for
+    production use."""
     _drop_stale_table(datoms.sparkSession, table)
+    if coalesce_buckets:
+        datoms = datoms.repartition(
+            F.col("a"), F.pmod(F.hash("e"), F.lit(n_buckets))
+        )
     (
         datoms.write.mode("overwrite")
         .partitionBy("a")
@@ -437,11 +455,12 @@ def merge_datoms_increment_bucketed(
     entity self-join between attribute partitions stays Exchange-free
     (probe-verified and plan-asserted in test_index_merge).
 
-    Each merge writes up to shuffle-partitions x buckets files into the
-    touched partitions — the usual LSM-ish small-file accumulation; on
-    a compaction cadence re-materialize the table
-    (materialize_datoms_bucketed), exactly the reference transactor's
-    periodic re-index.
+    The write pre-shuffles on (a, bucket-of-e), so a touched partition
+    comes back as exactly n_buckets single-file sorted buckets — the
+    file count is an invariant across any number of merges, not an
+    LSM accumulation (`compaction_due` still polices it: a writer
+    outside this path, or a non-coalesced build, shows up in the
+    census and `compact_store` repairs it).
 
     A fully-retracted attribute's partition is dropped from the file
     index explicitly (dynamic overwrite cannot express an empty
@@ -465,9 +484,19 @@ def merge_datoms_increment_bucketed(
     spark.conf.set(mode_key, "dynamic")
     try:
         # insertInto is position-based; the catalog table stores the
-        # partition column last
+        # partition column last. The (a, bucket-of-e) repartition keeps
+        # the single-file-per-bucket invariant of
+        # materialize_datoms_bucketed through every merge: touched
+        # partitions come back as n_buckets sorted files, not
+        # (staging tasks x buckets) fragments, and Spark keeps trusting
+        # the bucket sort (no Sort under downstream merge joins)
+        nb = _table_buckets(spark, table)
         cols = spark.table(table).columns
-        merged.select(*cols).write.insertInto(table, overwrite=True)
+        (
+            merged.repartition(F.col("a"), F.pmod(F.hash("e"), F.lit(nb)))
+            .select(*cols)
+            .write.insertInto(table, overwrite=True)
+        )
     finally:
         spark.conf.set(mode_key, prev)
     emptied = set(touched) - remaining
@@ -535,6 +564,17 @@ def excise_store_bucketed(
     merge_datoms_increment_bucketed(spark, table, ops)
 
 
+def _table_buckets(spark, table: str) -> int:
+    """Bucket count from the catalog — the write-side repartition must
+    mirror the table's bucket spec exactly."""
+    row = (
+        spark.sql(f"DESCRIBE FORMATTED `{table}`")
+        .where("col_name = 'Num Buckets'")
+        .first()
+    )
+    return int(row[1])
+
+
 def _table_location(spark, table: str) -> str:
     loc = (
         spark.sql(f"DESCRIBE FORMATTED `{table}`")
@@ -561,6 +601,85 @@ def compact_store(spark, table: str, n_buckets: int = 32) -> None:
     )
     materialize_datoms_bucketed(snapshot, table, n_buckets)
     _drop_stage(loc)
+
+
+def store_file_census(location: str) -> dict:
+    """Per-partition data-file census of a partitioned store location:
+    {partition_dir: {"files": n, "bytes": b}}. Metadata-only — a
+    driver-side directory listing (the Hadoop FS listing in
+    production; never a data scan), the same price every planner pays
+    to enumerate splits. Hidden/bookkeeping files (`_SUCCESS`,
+    `.crc`) and merge-staging directories are excluded."""
+    import os
+
+    census: dict = {}
+    for d in sorted(os.listdir(location)):
+        p = os.path.join(location, d)
+        if not os.path.isdir(p) or d.endswith(".__merge_staging"):
+            continue
+        files = [
+            f for f in os.listdir(p)
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+        census[d] = {
+            "files": len(files),
+            "bytes": sum(os.path.getsize(os.path.join(p, f)) for f in files),
+        }
+    return census
+
+
+def compaction_due(
+    spark,
+    table: str,
+    n_buckets: int = 32,
+    max_files_per_bucket: int = 2,
+    small_file_bytes: int | None = None,
+) -> tuple[bool, dict]:
+    """The compaction CADENCE as a policy, not a docstring. The
+    coalesced write paths keep each partition at exactly n_buckets
+    single-file sorted buckets, so a healthy store is NEVER due — the
+    policy is the tripwire for everything else: a table built before
+    the coalesce discipline, a writer outside the merge path, or
+    (opt-in, for production file sizes) partitions whose mean data
+    file falls below `small_file_bytes` (32 MB is a sane floor on an
+    object store; the default None keeps the trigger off at test
+    scale where every file is tiny). Fragmented buckets are not just
+    a file-count tax: Spark only trusts the bucket sort for
+    single-file buckets, so fragmentation re-inserts a Sort under
+    every downstream merge join — measured at sf1 in
+    PLAN_NOTES_r09.md. Due when any partition carries more than
+    `max_files_per_bucket * n_buckets` data files or trips the
+    small-file floor. Returns (due, census) — census from
+    `store_file_census`, so callers can log WHY."""
+    census = store_file_census(_table_location(spark, table))
+    cap = max_files_per_bucket * n_buckets
+    due = any(c["files"] > cap for c in census.values())
+    if not due and small_file_bytes is not None:
+        due = any(
+            c["files"] > 1 and c["bytes"] / c["files"] < small_file_bytes
+            for c in census.values()
+        )
+    return due, census
+
+
+def compact_store_if_due(
+    spark,
+    table: str,
+    n_buckets: int = 32,
+    max_files_per_bucket: int = 2,
+    small_file_bytes: int | None = None,
+) -> bool:
+    """`compact_store` behind the cadence policy — the call a
+    maintenance loop makes after every merge batch. Returns whether a
+    compaction ran. Idempotent: a fresh or just-compacted table is
+    never due (each (partition, bucket) holds one file), so back-to-
+    back calls are census-only no-ops."""
+    due, _ = compaction_due(
+        spark, table, n_buckets, max_files_per_bucket, small_file_bytes
+    )
+    if due:
+        compact_store(spark, table, n_buckets)
+    return due
 
 
 def filtered(datoms: DataFrame, pred: "F.Column") -> DataFrame:

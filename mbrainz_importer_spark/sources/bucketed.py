@@ -23,12 +23,20 @@ def write_bucketed(
     n_buckets: int = 16,
 ) -> None:
     """Persist as a bucketed+sorted managed table keyed for co-located
-    merges. Sorting within buckets additionally lets SMJ skip its sort."""
+    merges. The write pre-shuffles on the bucket id (the same Murmur3
+    pmod Spark's bucketing uses) so each bucket is ONE sorted file —
+    Spark only trusts sortBy metadata for single-file buckets, so this
+    is what actually lets downstream SMJs skip their Sort (a
+    multi-task write fans out files per (task x bucket) and silently
+    re-inserts the Sort)."""
+    from pyspark.sql import functions as F
+
     from ..plans.eav import _drop_stale_table
 
     _drop_stale_table(df.sparkSession, table)
     (
-        df.write.mode("overwrite")
+        df.repartition(F.pmod(F.hash(bucket_key), F.lit(n_buckets)))
+        .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_key)
         .sortBy(bucket_key)
         .format("parquet")

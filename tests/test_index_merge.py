@@ -385,3 +385,63 @@ def test_live_view_matches_merged_store(spark, tmp_path):
         spark, path, _ops(spark, INCREMENT), card_many={":t/tag"}
     )
     assert live == _sorted(read_datoms(spark, path))
+
+
+def test_compaction_cadence_policy(spark):
+    """The cadence tripwire end-to-end: a table built WITHOUT the
+    coalesced write (the pre-discipline fan-out — one file per input
+    task x bucket) trips compaction_due; compact_store_if_due repairs
+    it to single-file buckets with content preserved; and the healthy
+    invariant holds — a coalesced build and every subsequent merge
+    keep exactly n_buckets files per partition, never due."""
+    import shutil
+
+    from mbrainz_importer_spark.plans.eav import (
+        _table_location,
+        compact_store_if_due,
+        compaction_due,
+        materialize_datoms_bucketed,
+        merge_datoms_increment_bucketed,
+        store_file_census,
+    )
+
+    table = "cadence_test"
+    big = [(f"t:{i}", ":t/x", str(i), float(i)) for i in range(300)]
+    # fragmented build: input arrives as many tasks, each fans out
+    materialize_datoms_bucketed(
+        _store(spark, big).repartition(24), table, n_buckets=4,
+        coalesce_buckets=False,
+    )
+    due, census = compaction_due(spark, table, n_buckets=4, max_files_per_bucket=2)
+    assert due, f"fragmented build not flagged: {census}"
+    want = sorted(tuple(r) for r in spark.table(table)
+                  .select("e", "a", "v", "v_num").collect())
+    assert compact_store_if_due(
+        spark, table, n_buckets=4, max_files_per_bucket=2
+    ), "policy said due but if_due did not compact"
+    due_after, census_after = compaction_due(
+        spark, table, n_buckets=4, max_files_per_bucket=2
+    )
+    assert not due_after, f"just-compacted table still due: {census_after}"
+    assert not compact_store_if_due(spark, table, n_buckets=4)
+    got = sorted(tuple(r) for r in spark.table(table)
+                 .select("e", "a", "v", "v_num").collect())
+    assert got == want
+    # the healthy invariant: merge after merge, exactly n_buckets files
+    for round_no in range(3):
+        merge_datoms_increment_bucketed(
+            spark, table,
+            _ops(spark, [(f"t:{i}", ":t/x", str(i + (round_no + 1) * 1000),
+                          float(i + (round_no + 1) * 1000), 10 + round_no, True)
+                         for i in range(300)]),
+        )
+    census = store_file_census(_table_location(spark, table))
+    assert all(c["files"] <= 4 for c in census.values()), census
+    due, _ = compaction_due(spark, table, n_buckets=4, max_files_per_bucket=2)
+    assert not due
+    n = spark.table(table).count()
+    assert n == 300
+
+    loc = _table_location(spark, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(loc, ignore_errors=True)
