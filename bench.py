@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_substring_coverage",
     "hybrid_rrf_topk",
     "hybrid_rrf_from_index",
+    "hybrid_rrf_serving",
     "fulltext_bm25_from_index",
     "fulltext_incremental_index",
     "fulltext_bm25_batch",

@@ -185,6 +185,48 @@ def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_rrf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid serving shape: same materialized indexes
+    as hybrid_rrf_from_index, but the dense side probes only the 4
+    nearest cells (the approximate latency contract every deployed IVF
+    runs) instead of the exhaustive certification probe. Rows-only by
+    design: partial probing is approximate, so there is no exact SQL
+    twin — the EXACT face (`hybrid_rrf_from_index`, n_probe=all) is
+    the oracle-certified one; this entry exists so the scale tiers
+    measure the latency customers actually pay at 100 TB (pruned
+    postings read + 4 of 16 inverted lists)."""
+    import os
+
+    from ..operators.ann import materialize_ivf_index
+    from ..operators.fulltext import materialize_fulltext_index
+    from ..operators.retrieval import hybrid_rrf_search_indexed
+    from .llm import _ivf_centroids
+
+    ft_path = _ft_index_path(sf_dir, "_prod_v1")
+    if not os.path.exists(os.path.join(ft_path, "_meta.json")):
+        docs = load(spark, sf_dir, "documents")
+        materialize_fulltext_index(docs, ft_path)
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    ivf_path = os.path.join(
+        "spark-warehouse", "ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_prod_v1",
+    )
+    if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+        materialize_ivf_index(emb, centroids, ivf_path)
+    return hybrid_rrf_search_indexed(
+        spark,
+        ft_path,
+        ivf_path,
+        centroids,
+        "vector table scan",
+        emb.where(F.col("vec_id") == 7),
+        n_candidates=20,
+        top_k=10,
+        n_probe=4,
+    )
+
+
 def fulltext_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten on the postings index: every 97th doc is
     excised (operators/fulltext.py:excise_fulltext_docs — O(1)
@@ -279,6 +321,7 @@ QUERIES = {
     "fulltext_bm25_from_index": fulltext_bm25_from_index_docs,
     "fulltext_incremental_index": fulltext_incremental_index,
     "hybrid_rrf_from_index": hybrid_rrf_from_index,
+    "hybrid_rrf_serving": hybrid_rrf_serving,
     "fulltext_excision": fulltext_excision,
     "fulltext_excision_compacted": fulltext_excision_compacted,
     "fulltext_bm25_batch": fulltext_bm25_batch,

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Scale-tier bench runner with the build/steady split the r8 verdict
+asked for (item #4): bucketed layouts, materialized stores and indexes
+build ONCE per sf_dir, so a single-run number charges the one-time
+layout investment to the query and makes the better plan read worse
+(r8: q5_bucketed 30.8s single-run vs 15.4s plain at sf10, while the
+steady state was the reverse). Every query here runs `--runs` times
+(default 3): `build_run_seconds` is run 1 (carries any one-time build),
+`steady_seconds` the median of the remaining runs — the number a
+tool-reader should rank plans by. `value` sums steady seconds.
+
+Usage:
+  python tools/scale_bench.py SF_DIR [--runs N] [--only a,b,c] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the scale-critical headline set: every family with a real data-volume
+# axis. Documented exclusions at specific tiers live in TIER_SKIP.
+SCALE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q3_shipping_priority_bucketed",
+    "q18_large_orders_bucketed",
+    "q5_region_revenue",
+    "q5_region_revenue_bucketed",
+    "upsert_merge",
+    "batch_numbering",
+    "window_topk_per_group",
+    "dedup_exact",
+    "dedup_exact_fast",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_simhash",
+    "dedup_span_level",
+    "dedup_substring_coverage",
+    "text_stats",
+    "sim_topk_bruteforce",
+    "sim_topk_arrow",
+    "sim_ivf_topk",
+    "sim_ivf_incremental_exact",
+    "multimodal_meta",
+    "datalog_region_nations",
+    "datalog_from_store",
+    "datalog_fact_store_scan",
+    "datalog_fact_store_bucketed",
+    "pull_from_store",
+    "store_incremental_merge",
+    "store_merge_bucketed",
+    "datalog_recursive_ancestors",
+    "sequence_packing",
+    "curation_pipeline",
+    "quality_classifier_scores",
+    "semdedup_survivors",
+    "semdedup_survivors_arrow",
+    "hybrid_rrf_topk",
+    "hybrid_rrf_from_index",
+    "hybrid_rrf_serving",
+    "fulltext_bm25_from_index",
+    "fulltext_incremental_index",
+    "fulltext_bm25_batch",
+    "graph_pagerank_topk",
+    "graph_triangle_count",
+    "agg_incremental_view",
+    "embedding_kmeans_assign",
+    "skew_salted_join",
+    "er_resolved_clusters",
+]
+
+# name -> (min sf at which it is skipped, reason recorded in the JSON)
+TIER_SKIP = {
+    "sim_topk_bruteforce": (
+        10.0,
+        "documented O(n*q) exact-oracle face; production twin "
+        "sim_topk_arrow runs at every tier",
+    ),
+    "dedup_minhash_lsh": (
+        100.0,
+        "true-pair mass quadratic in the replicated corpus's copy "
+        "count (~2.5B pairs at sf100 by arithmetic) — result size, "
+        "not plan; sf10 measures the workload",
+    ),
+    "dedup_lsh_verified": (
+        100.0,
+        "same quadratic true-pair mass as dedup_minhash_lsh",
+    ),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--only", default=os.environ.get("SPARK_GRAFT_ONLY", ""))
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    try:
+        sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from mbrainz_importer_spark.queries import all_queries
+    from mbrainz_importer_spark.session import get_spark
+
+    spark = get_spark("scale_bench")
+    queries = all_queries()
+    names = [n for n in SCALE_QUERIES if n in queries]
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+
+    skipped = {}
+    spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+
+    out: dict = {}
+    for name in names:
+        gate = TIER_SKIP.get(name)
+        if gate and sf >= gate[0]:
+            skipped[name] = gate[1]
+            print(f"# {name}: SKIPPED at sf{sf}: {gate[1]}", file=sys.stderr)
+            continue
+        samples, rows = [], -1
+        for _ in range(max(1, args.runs)):
+            t0 = time.perf_counter()
+            rows = queries[name](spark, args.sf_dir).count()
+            samples.append(round(time.perf_counter() - t0, 4))
+        rest = sorted(samples[1:]) or samples
+        entry = {
+            "build_run_seconds": samples[0],
+            "steady_seconds": rest[len(rest) // 2],
+            "samples": samples,
+            "rows": rows,
+        }
+        out[name] = entry
+        print(f"# {name}: build_run {samples[0]:.2f}s steady "
+              f"{entry['steady_seconds']:.2f}s rows={rows}", file=sys.stderr)
+
+    doc = {
+        "metric": "scale_tier_query_wall_seconds",
+        "value": round(sum(e["steady_seconds"] for e in out.values()), 4),
+        "unit": "sec",
+        "sf": sf,
+        "runs": args.runs,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "protocol": (
+            "build_run_seconds = run 1 (carries one-time layout/index "
+            "builds); steady_seconds = median of the remaining runs — "
+            "rank plans by steady_seconds, charge builds separately"
+        ),
+        "skipped": skipped,
+        "queries": out,
+    }
+    line = json.dumps(doc)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
