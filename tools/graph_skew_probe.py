@@ -1,14 +1,20 @@
 #!/usr/bin/env python
 """Skewed-graph probe for triangle counting (r8 verdict item #1): a
-synthetic hub graph where ONE low-id vertex carries most of the edge
-mass — the adversarial case for id-canonical orientation (the low-id
-hub fans out C(deg, 2) wedges) and the case degree-ordering exists
-for (every hub edge points AT the hub, so the hub emits zero wedges).
+synthetic hub graph where ONE vertex carries most of the edge mass.
 
-Graph: hub vertex 0 adjacent to leaves 1..H; rim ring edges (i, i+1)
-close H-1 triangles through the hub; plus a pseudo-random leaf-leaf
-edge set for off-hub triangle mass. Both orientations must return the
-same count (they do — asserted); the probe prints wall seconds.
+The id-canonical wedge join's work is sum_b indeg(b) * outdeg(b) in
+the a<b<c orientation, so its adversary is a MID-ID hub — half its
+neighbors sort below it, half above, and the hub alone generates
+(d/2)^2 wedges (a low-id hub is harmless there: indeg 0). Degree
+ordering is immune BY CONSTRUCTION: the max-degree hub sorts last in
+(degree, id) order, every hub edge points AT it, its out-degree is 0,
+and the hub generates nothing — the work bound is O(|E|^1.5)
+regardless of where the hub's id falls.
+
+Graph: hub vertex id H/2 adjacent to all leaves; rim ring edges
+(i, i+1) close triangles through the hub; plus a pseudo-random
+leaf-leaf edge set. Both orientations must return the same count
+(asserted); the probe prints wall seconds.
 
 Usage: python tools/graph_skew_probe.py [hub_degree] [n_random]
 """
@@ -32,16 +38,23 @@ def main() -> None:
     from mbrainz_importer_spark.session import get_spark
 
     spark = get_spark("graph_skew_probe")
-    hub = spark.range(1, hub_deg + 1).select(
-        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    hub_id = hub_deg // 2
+    # leaves 0..hub_deg, skipping the hub's own id -> indeg ~ outdeg ~ d/2
+    hub = (
+        spark.range(0, hub_deg + 1)
+        .where(F.col("id") != hub_id)
+        .select(
+            F.least(F.col("id"), F.lit(hub_id)).alias("src"),
+            F.greatest(F.col("id"), F.lit(hub_id)).alias("dst"),
+        )
     )
-    rim = spark.range(1, hub_deg).select(
+    rim = spark.range(0, hub_deg).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
-    )
+    ).where((F.col("src") != hub_id) & (F.col("dst") != hub_id))
     rand = spark.range(n_rand).select(
-        (F.pmod(F.col("id") * 7919 + 13, F.lit(hub_deg)) + 1).alias("a"),
-        (F.pmod(F.col("id") * 104729 + 7, F.lit(hub_deg)) + 1).alias("b"),
-    ).where(F.col("a") != F.col("b")).select(
+        F.pmod(F.col("id") * 7919 + 13, F.lit(hub_deg)).alias("a"),
+        F.pmod(F.col("id") * 104729 + 7, F.lit(hub_deg)).alias("b"),
+    ).where((F.col("a") != F.col("b")) & (F.col("a") != hub_id) & (F.col("b") != hub_id)).select(
         F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
     )
     edges = hub.unionByName(rim).unionByName(rand).distinct().persist()
