@@ -587,15 +587,17 @@ def _table_location(spark, table: str) -> str:
     return loc
 
 
-def compact_store(spark, table: str, n_buckets: int = 32) -> None:
-    """Compaction for the bucketed store: every incremental merge adds
-    up to shuffle-partitions x buckets files to each touched partition
-    (the LSM-ish accumulation `merge_datoms_increment_bucketed`
-    documents); on a cadence, rewrite the table from itself so each
-    (partition, bucket) collapses back to one file. Content-preserving
-    by construction — same rows, same layout contract; the reference
-    transactor runs the same periodic re-index."""
+def compact_store(spark, table: str, n_buckets: int | None = None) -> None:
+    """Compaction for the bucketed store: rewrite the table from
+    itself so each (partition, bucket) collapses back to one sorted
+    file. Content-preserving by construction — same rows, same layout
+    contract; the reference transactor runs the same periodic
+    re-index. `n_buckets` defaults to the table's CURRENT bucket spec
+    (compaction repairs files, it doesn't resize the layout — pass a
+    count explicitly to re-bucket)."""
     loc = _table_location(spark, table)
+    if n_buckets is None:
+        n_buckets = _table_buckets(spark, table)
     snapshot = _stage_merge(
         spark, spark.table(table).select("e", "a", "v", "v_num"), loc
     )
@@ -631,7 +633,7 @@ def store_file_census(location: str) -> dict:
 def compaction_due(
     spark,
     table: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     max_files_per_bucket: int = 2,
     small_file_bytes: int | None = None,
 ) -> tuple[bool, dict]:
@@ -651,6 +653,8 @@ def compaction_due(
     `max_files_per_bucket * n_buckets` data files or trips the
     small-file floor. Returns (due, census) — census from
     `store_file_census`, so callers can log WHY."""
+    if n_buckets is None:
+        n_buckets = _table_buckets(spark, table)
     census = store_file_census(_table_location(spark, table))
     cap = max_files_per_bucket * n_buckets
     due = any(c["files"] > cap for c in census.values())
@@ -665,7 +669,7 @@ def compaction_due(
 def compact_store_if_due(
     spark,
     table: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     max_files_per_bucket: int = 2,
     small_file_bytes: int | None = None,
 ) -> bool:

@@ -178,26 +178,35 @@ def _bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     """Build-once-per-sf_dir orderkey-bucketed lineitem/orders tables
     (sources/bucketed.py). Rebuilds when a table predates the current
     workload projection (schema check, not just existence — widening the
-    projection must invalidate old layouts)."""
-    from ..sources.bucketed import write_bucketed
+    projection must invalidate old layouts) or was laid out with a
+    different bucket count. The count is SIZE-ADAPTIVE (~128 MB parquet
+    per bucket, floor 32, both tables share the larger side's count so
+    the fact-fact join stays co-located) — with single-file-per-bucket
+    writes an undersized count OOMs the sorting writers at the sf100
+    tier, and production sizes buckets to data for the same reason."""
+    from ..plans.eav import _table_buckets
+    from ..sources.bucketed import adaptive_buckets, write_bucketed
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    nb = adaptive_buckets(os.path.join(sf_dir, "lineitem.parquet"))
 
     def fresh(table: str, cols: tuple) -> bool:
-        return spark.catalog.tableExists(table) and set(cols) <= set(
-            spark.table(table).columns
+        return (
+            spark.catalog.tableExists(table)
+            and set(cols) <= set(spark.table(table).columns)
+            and _table_buckets(spark, table) == nb
         )
 
     if not fresh(lt, _BUCKETED_LI_COLS):
         write_bucketed(
             load(spark, sf_dir, "lineitem").select(*_BUCKETED_LI_COLS),
-            lt, "l_orderkey", 32,
+            lt, "l_orderkey", nb,
         )
     if not fresh(ot, _BUCKETED_O_COLS):
         write_bucketed(
             load(spark, sf_dir, "orders").select(*_BUCKETED_O_COLS),
-            ot, "o_orderkey", 32,
+            ot, "o_orderkey", nb,
         )
     return spark.table(lt), spark.table(ot)
 

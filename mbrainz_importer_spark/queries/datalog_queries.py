@@ -156,14 +156,22 @@ def datalog_fact_store_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.eav import materialize_datoms_bucketed, table_datoms
 
+    from ..sources.bucketed import adaptive_buckets
+
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     table = f"datoms_orders_{tag}"
     if not spark.catalog.tableExists(table):
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
+        # unpivoting triples the row count vs the source bytes, and the
+        # single-file-per-bucket writer's memory is bounded by bucket
+        # size — size the count to the data (floor 32)
+        nb = adaptive_buckets(
+            os.path.join(sf_dir, "orders.parquet"), expand=3.0
+        )
         materialize_datoms_bucketed(
-            table_datoms(orders, "orders", "o_orderkey"), table
+            table_datoms(orders, "orders", "o_orderkey"), table, nb
         )
     store = spark.table(table).select("e", "a", "v", "v_num")
     query = {

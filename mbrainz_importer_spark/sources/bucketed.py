@@ -44,6 +44,42 @@ def write_bucketed(
     )
 
 
+def adaptive_buckets(
+    *paths: str,
+    target_mb: int = 128,
+    floor: int = 32,
+    expand: float = 1.0,
+) -> int:
+    """Bucket count sized to the DATA, the way production lays out
+    bucketed tables: one bucket ~ one `target_mb` parquet file. With
+    single-file-per-bucket writes (write_bucketed's invariant) the
+    per-task sort/write memory is bounded by the bucket size, so an
+    undersized bucket count doesn't just make big files — it OOMs the
+    writer (measured at the sf100 tier: 10 GB of lineitem into 32
+    buckets = 318 MB files, 32 concurrent sorting writers, 8g heap
+    gone). Power-of-two counts keep co-location stable as data grows
+    (Spark joins bucketed tables whose counts divide each other
+    one-sided). `expand` scales the source-bytes estimate when the
+    written projection is wider than the source (e.g. an unpivot)."""
+    import math
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    need = int(total * expand) // (target_mb * 1024 * 1024)
+    if need <= floor:
+        return floor
+    return 2 ** math.ceil(math.log2(need))
+
+
 def joined_bucketed(spark: SparkSession, left: str, right: str, key: str) -> DataFrame:
     return spark.table(left).join(spark.table(right), key)
 
