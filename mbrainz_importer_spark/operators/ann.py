@@ -98,10 +98,54 @@ def materialize_ivf_index(
     centroid, written cell-PARTITIONED — a probe of n cells becomes a
     partition-pruned scan of n directories instead of a corpus pass
     (the inverted-list layout every production IVF uses; same storage
-    contract as the attribute-partitioned datom store)."""
+    contract as the attribute-partitioned datom store). The centroids
+    are written NEXT TO the lists (`_centroids.json`): they are part
+    of the index, not the caller's memory — every probe and merge
+    verifies the set it was handed against the stored one, so a
+    stale-centroid probe of a retrained layout fails loudly instead
+    of silently searching the wrong cells."""
     _assign(corpus, centroids, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
+    _write_centroids(path, centroids)
+
+
+def _write_centroids(path: str, centroids: list[list[float]]) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def check_centroids(path: str, centroids: list[list[float]]) -> None:
+    """Raise if `centroids` differ from the set the index at `path`
+    was laid out with. Probing or merging with a foreign set is the
+    silent-wrong-cells bug; a missing file (pre-discipline index) is
+    accepted for compatibility."""
+    import json
+    import os
+
+    meta = os.path.join(path, "_centroids.json")
+    if not os.path.exists(meta):
+        return
+    with open(meta) as f:
+        stored = json.load(f)
+    if [[float(x) for x in c] for c in centroids] != stored:
+        raise ValueError(
+            f"centroid set does not match the index layout at {path} — "
+            "after retrain_ivf_index, use the returned centroids "
+            "(read them with stored_centroids())"
+        )
+
+
+def stored_centroids(path: str) -> list[list[float]]:
+    """The centroid set the index at `path` is laid out with."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        return json.load(f)
 
 
 def _assign(
@@ -157,6 +201,7 @@ def merge_ivf_increment(
 
     if on_moved not in ("error", "tombstone"):
         raise ValueError(f"on_moved must be 'error' or 'tombstone', got {on_moved!r}")
+    check_centroids(path, centroids)
     fresh = (
         _assign(arrivals, centroids, id_col, vec_col)
         .groupBy("nid")  # an increment may carry an id twice; one survives
@@ -237,6 +282,11 @@ def retrain_ivf_index(
     staged = _stage_merge(spark, assigned, path, columns=("nid", "nv", "cell"))
     staged.write.mode("overwrite").partitionBy("cell").parquet(path)
     _drop_stage(path)
+    # the static overwrite cleared the directory — the new layout's
+    # centroids ARE the index metadata, written last so a crash
+    # between the two writes reads as a pre-discipline index (no
+    # check) rather than certifying the WRONG set
+    _write_centroids(path, cents)
     return cents
 
 
@@ -255,6 +305,7 @@ def ivf_topk_from_index(
     the interactive-search contract, similarity.py's bounded-queries
     shape) and become a partition filter, so the scan reads exactly the
     probed lists' directories. Ranking identical to `ivf_topk`."""
+    check_centroids(path, centroids)
     probes = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
@@ -301,6 +352,7 @@ def ivf_topk_from_index_arrow(
     import numpy as np
     import pandas as pd
 
+    check_centroids(path, centroids)
     rows = queries.select(id_col, vec_col).collect()
     if not rows:
         raise ValueError("ivf_topk_from_index_arrow needs a non-empty query set")

@@ -235,3 +235,30 @@ def test_retrain_recovers_recall_on_drifted_corpus(spark, tmp_path):
     fresh_recall = len(fresh & truth) / 5
     assert stale_recall < 1.0, "fixture failed to induce the split"
     assert fresh_recall == 1.0, f"retrain did not recover recall: {fresh_recall}"
+
+
+def test_centroids_are_index_metadata(spark, tmp_path):
+    """The centroid set travels WITH the index: probing or merging with
+    a foreign set raises (the silent-wrong-cells bug), stored_centroids
+    reads the layout's set back, and retrain rewrites it."""
+    import pytest
+
+    from mbrainz_importer_spark.operators.ann import (
+        retrain_ivf_index,
+        stored_centroids,
+    )
+
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(_corpus(spark, range(20)), CENTROIDS, path)
+    assert stored_centroids(path) == CENTROIDS
+    foreign = [[0.5, 0.5, 0.0], [0.0, 0.0, 1.0]]
+    queries = _corpus(spark, [0])
+    with pytest.raises(ValueError, match="does not match the index layout"):
+        ivf_topk_from_index(spark, path, queries, foreign, k=3, n_probe=1)
+    with pytest.raises(ValueError, match="does not match the index layout"):
+        merge_ivf_increment(spark, path, _corpus(spark, [30]), foreign)
+    cents = retrain_ivf_index(spark, path, n_cells=2)
+    assert stored_centroids(path) == cents
+    # the consistent set probes fine
+    got = ivf_topk_from_index(spark, path, queries, cents, k=3, n_probe=2)
+    assert got.count() == 3
