@@ -208,7 +208,14 @@ def _bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             load(spark, sf_dir, "orders").select(*_BUCKETED_O_COLS),
             ot, "o_orderkey", nb,
         )
-    return spark.table(lt), spark.table(ot)
+    # MERGE hint: pin the join strategy the bucket layout was built for.
+    # Catalyst otherwise picks by size estimate, and a column-pruned fact
+    # side under autoBroadcastJoinThreshold gets broadcast — a driver-side
+    # hash relation of a fact table instead of the Exchange-free, Sort-free
+    # SMJ (measured 9x on the datom store's e-join at sf10; see
+    # plans/eav.py:read_datoms_bucketed). Dims explicitly F.broadcast()
+    # outrank the merge hint, so dim joins keep broadcasting.
+    return spark.table(lt).hint("merge"), spark.table(ot).hint("merge")
 
 
 def q5_region_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

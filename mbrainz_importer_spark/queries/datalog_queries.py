@@ -173,7 +173,9 @@ def datalog_fact_store_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_datoms_bucketed(
             table_datoms(orders, "orders", "o_orderkey"), table, nb
         )
-    store = spark.table(table).select("e", "a", "v", "v_num")
+    from ..plans.eav import read_datoms_bucketed
+
+    store = read_datoms_bucketed(spark, table)
     query = {
         "find": ["?st", ("count", "?o"), ("min", "?tp"), ("max", "?tp")],
         "where": [
@@ -1124,6 +1126,7 @@ def store_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.eav import (
         materialize_datoms_bucketed,
         merge_datoms_increment_bucketed,
+        read_datoms_bucketed,
         table_datoms,
     )
 
@@ -1139,9 +1142,7 @@ def store_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_datoms_increment_bucketed(
         spark, table, _orders_log_increment(spark, sf_dir)
     )
-    return _status_price_rollup(
-        spark.table(table).select("e", "a", "v", "v_num")
-    )
+    return _status_price_rollup(read_datoms_bucketed(spark, table))
 
 
 def store_excision(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,6 +71,15 @@ def get_spark(
         # bloom filter into the probe-side scan (row-level runtime
         # filtering) — irrelevant at sf0.1, a large win on 100 TB facts
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # trust sortBy metadata on bucketed scans: off by default since
+        # Spark 3.0 because multi-file buckets make the planning-time
+        # file listing wasted work — but every bucketed write in this
+        # repo pre-shuffles to ONE sorted file per bucket exactly so the
+        # sort is trustworthy (sources/bucketed.py:write_bucketed), and
+        # with the flag off that discipline buys nothing: every bucketed
+        # SMJ re-Sorts both pre-sorted sides (at fact scale, a spilling
+        # sort of data that is already in order on disk)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

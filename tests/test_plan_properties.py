@@ -283,7 +283,7 @@ def test_bucketed_store_entity_self_join_no_exchange(spark):
     :find aggregation's."""
     from mbrainz_importer_spark.plans.datalog import q as dq
     from mbrainz_importer_spark.plans.eav import (
-        materialize_datoms_bucketed, table_datoms,
+        materialize_datoms_bucketed, read_datoms_bucketed, table_datoms,
     )
 
     df = spark.createDataFrame(
@@ -293,7 +293,7 @@ def test_bucketed_store_entity_self_join_no_exchange(spark):
     materialize_datoms_bucketed(
         table_datoms(df, "t", "id"), "b_datoms_test", n_buckets=4
     )
-    store = spark.table("b_datoms_test").select("e", "a", "v", "v_num")
+    store = read_datoms_bucketed(spark, "b_datoms_test")
     rel = dq(
         {
             "find": ["?st", ("count", "?o")],
@@ -311,6 +311,18 @@ def test_bucketed_store_entity_self_join_no_exchange(spark):
     # the e-join itself must be exchange-free: no hash exchange may
     # partition on the entity column; the aggregation exchange remains
     assert not any("e#" in ln for ln in exchanges), exchanges
+    # ... and it must actually BE the sort-merge join the layout pays
+    # for. A tiny size estimate would otherwise flip it to broadcast
+    # (BroadcastExchange carries no hashpartitioning, so the assert
+    # above alone cannot catch it): Catalyst builds a hash relation of
+    # a fact-scale side on the driver — measured 9x slower at sf10.
+    # read_datoms_bucketed's merge hint pins the strategy.
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    # single-file sorted buckets: Spark trusts the sortBy metadata, so
+    # no Sort on e appears under the merge join
+    sorts = [ln for ln in p.splitlines() if " Sort [e#" in ln]
+    assert not sorts, sorts
     assert "PartitionFilters: [" in p  # pruning contract intact
     # values survive the layout: 3 statuses x 13 ids
     got = {(r["st"], r["count_o"]) for r in rel.collect()}
