@@ -64,13 +64,29 @@ def write_fulltext_index_bucketed(
       force pruning there too.
 
     Managed table because only the catalog carries bucket metadata
-    (same constraint as sources/bucketed.py)."""
+    (same constraint as sources/bucketed.py). The write pre-shuffles on
+    the bucket id so each bucket is ONE sorted file (the
+    single-file-per-bucket discipline of sources/bucketed.py:
+    write_bucketed) — without it the upstream groupBy's 32 tasks each
+    fan out files into every bucket (tasks x buckets fragments) and the
+    sortBy metadata is never trusted on read."""
+    from ..plans.eav import _drop_stale_table
+    from ..sources.bucketed import table_location, write_bucket_spec
+
+    _drop_stale_table(index.sparkSession, table)
     (
-        index.write.mode("overwrite")
+        index.repartition(F.pmod(F.hash("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
         .bucketBy(n_buckets, "term")
         .sortBy("term")
         .format("parquet")
         .saveAsTable(table)
+    )
+    write_bucket_spec(
+        index.schema,
+        table_location(index.sparkSession, table),
+        "term",
+        n_buckets,
     )
 
 

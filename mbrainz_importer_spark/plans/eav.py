@@ -160,6 +160,19 @@ def materialize_datoms_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+    # drop the on-disk bucket spec LAST so a new process can re-attach
+    # the layout (sources/bucketed.py:adopt_bucketed_table) instead of
+    # rebuilding it; a crash before this line leaves no spec and the
+    # layout stays non-adoptable (rebuild path)
+    from ..sources.bucketed import table_location, write_bucket_spec
+
+    write_bucket_spec(
+        datoms.schema,
+        table_location(datoms.sparkSession, table),
+        "e",
+        n_buckets,
+        partition_col="a",
+    )
 
 
 def _drop_stale_table(spark, table: str) -> None:

@@ -185,15 +185,22 @@ def _bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     writes an undersized count OOMs the sorting writers at the sf100
     tier, and production sizes buckets to data for the same reason."""
     from ..plans.eav import _table_buckets
-    from ..sources.bucketed import adaptive_buckets, write_bucketed
+    from ..sources.bucketed import (
+        adaptive_buckets,
+        ensure_bucketed_table,
+        write_bucketed,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
     nb = adaptive_buckets(os.path.join(sf_dir, "lineitem.parquet"))
 
     def fresh(table: str, cols: tuple) -> bool:
+        # ensure_bucketed_table re-attaches a layout an earlier process
+        # left in the warehouse (in-memory catalog = no metastore), so
+        # the one-time build is per MACHINE, not per process
         return (
-            spark.catalog.tableExists(table)
+            ensure_bucketed_table(spark, table)
             and set(cols) <= set(spark.table(table).columns)
             and _table_buckets(spark, table) == nb
         )

@@ -160,7 +160,9 @@ def datalog_fact_store_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     table = f"datoms_orders_{tag}"
-    if not spark.catalog.tableExists(table):
+    from ..sources.bucketed import ensure_bucketed_table
+
+    if not ensure_bucketed_table(spark, table):
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
@@ -1132,7 +1134,9 @@ def store_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     table = f"datoms_orders_merge_{tag}"
-    if not spark.catalog.tableExists(table):
+    from ..sources.bucketed import ensure_bucketed_table
+
+    if not ensure_bucketed_table(spark, table):
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )

@@ -13,7 +13,98 @@ proves the property from the physical plan.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# written LAST after a successful bucketed write, next to the data —
+# the on-disk twin of the catalog's bucket spec. A crash mid-write
+# leaves no spec, so a half-written layout is never adoptable (the
+# same write-metadata-last posture as the IVF index's _centroids.json).
+_SPEC_NAME = "_bucketspec.json"
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem location of a warehouse table (managed or adopted)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    return os.path.join(wh, table.lower())
+
+
+def _schema_ddl(schema, partition_col: str | None) -> str:
+    """Column DDL with the partition column LAST — the order saveAsTable
+    stores a partitioned table's schema in, which insertInto (position-
+    based) depends on."""
+    fields = [f for f in schema.fields if f.name != partition_col]
+    if partition_col is not None:
+        fields.append(schema[partition_col])
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+
+
+def write_bucket_spec(
+    schema,
+    location: str,
+    bucket_key: str,
+    n_buckets: int,
+    sort_key: str | None = None,
+    partition_col: str | None = None,
+) -> None:
+    spec = {
+        "schema_ddl": _schema_ddl(schema, partition_col),
+        "bucket_key": bucket_key,
+        "sort_key": sort_key or bucket_key,
+        "n_buckets": n_buckets,
+        "partition_col": partition_col,
+    }
+    with open(os.path.join(location, _SPEC_NAME), "w") as f:
+        json.dump(spec, f)
+
+
+def adopt_bucketed_table(spark: SparkSession, table: str) -> bool:
+    """Re-attach catalog metadata for a bucketed layout a previous
+    process left in the warehouse. Bucket metadata lives only in the
+    session catalog, and this deployment's catalog is in-memory — so
+    without adoption every new process REBUILDS a layout whose files
+    are sitting on disk intact (measured: 380s for the sf100 fact
+    layout, vs sub-second adoption). A real cluster keeps a persistent
+    metastore; this is the single-node stand-in for it: CREATE TABLE
+    over the existing LOCATION with the bucket spec replayed from the
+    `_bucketspec.json` the write dropped beside the data, plus a
+    partition-recovery pass for attribute-partitioned stores. Returns
+    False when there is nothing adoptable (no spec — including a
+    layout whose write crashed before completing)."""
+    loc = table_location(spark, table)
+    spec_path = os.path.join(loc, _SPEC_NAME)
+    if not os.path.exists(spec_path):
+        return False
+    with open(spec_path) as f:
+        spec = json.load(f)
+    part = (
+        f"PARTITIONED BY (`{spec['partition_col']}`) "
+        if spec["partition_col"]
+        else ""
+    )
+    spark.sql(
+        f"CREATE TABLE `{table}` ({spec['schema_ddl']}) USING parquet "
+        + part
+        + f"CLUSTERED BY (`{spec['bucket_key']}`) "
+        f"SORTED BY (`{spec['sort_key']}`) "
+        f"INTO {spec['n_buckets']} BUCKETS "
+        f"LOCATION '{os.path.abspath(loc)}'"
+    )
+    if spec["partition_col"]:
+        spark.sql(f"MSCK REPAIR TABLE `{table}`")
+    return True
+
+
+def ensure_bucketed_table(spark: SparkSession, table: str) -> bool:
+    """True when the table is usable: already in the catalog, or
+    adopted from an intact on-disk layout. False means build it."""
+    return spark.catalog.tableExists(table) or adopt_bucketed_table(spark, table)
 
 
 def write_bucketed(
@@ -41,6 +132,9 @@ def write_bucketed(
         .sortBy(bucket_key)
         .format("parquet")
         .saveAsTable(table)
+    )
+    write_bucket_spec(
+        df.schema, table_location(df.sparkSession, table), bucket_key, n_buckets
     )
 
 

@@ -117,3 +117,86 @@ def test_workload_layout_serves_q3_and_q5_exchange_free(spark):
     assert count_exchanges(q18) == 0, "q18 over the layout must not hash-shuffle"
     for t in ("b_lineitem_sf0_001", "b_orders_sf0_001"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_adopt_bucketed_layout_across_catalog_loss(spark):
+    """Catalog re-attach (sources/bucketed.py:adopt_bucketed_table):
+    bucket metadata lives only in the session catalog, and this
+    deployment's catalog is in-memory — a new process would REBUILD a
+    layout whose files sit intact in the warehouse (380s at the sf100
+    tier) unless it can re-create the catalog entry over the existing
+    location from the `_bucketspec.json` the write drops beside the
+    data. Simulated catalog loss: copy the table directory to a name
+    the catalog has never seen, adopt, and require the full layout
+    contract over the adopted table — same rows, same bucket count,
+    and the entity self-join still plans SMJ / zero Exchange / zero
+    Sort. A directory with no spec (a write that crashed before the
+    metadata drop) must NOT be adoptable."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.plans.eav import (
+        _table_buckets,
+        materialize_datoms_bucketed,
+        read_datoms_bucketed,
+        table_datoms,
+    )
+    from mbrainz_importer_spark.sources.bucketed import (
+        adopt_bucketed_table,
+        ensure_bucketed_table,
+        table_location,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(1, 40)],
+        "id long, status string, total double",
+    )
+    materialize_datoms_bucketed(
+        table_datoms(df, "t", "id"), "adopt_probe_src", n_buckets=4
+    )
+    src = table_location(spark, "adopt_probe_src")
+    dst = table_location(spark, "adopt_probe_dst")
+    spark.sql("DROP TABLE IF EXISTS adopt_probe_dst")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+
+    assert adopt_bucketed_table(spark, "adopt_probe_dst")
+    assert _table_buckets(spark, "adopt_probe_dst") == 4
+    assert (
+        spark.table("adopt_probe_dst").orderBy("e", "a").collect()
+        == spark.table("adopt_probe_src").orderBy("e", "a").collect()
+    )
+    store = read_datoms_bucketed(spark, "adopt_probe_dst")
+    j = (
+        store.where(F.col("a") == ":t/status")
+        .select("e", F.col("v").alias("st"))
+        .join(
+            store.where(F.col("a") == ":t/total")
+            .select("e", F.col("v_num").alias("tp")),
+            "e",
+        )
+    )
+    assert j.count() == 39
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    p = physical_plan(j)
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p, p
+    assert not [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln], p
+    assert not [ln for ln in p.splitlines() if " Sort [e#" in ln], p
+
+    # crash posture: no _bucketspec.json -> not adoptable
+    nospec = table_location(spark, "adopt_probe_nospec")
+    spark.sql("DROP TABLE IF EXISTS adopt_probe_nospec")
+    if os.path.exists(nospec):
+        shutil.rmtree(nospec)
+    os.makedirs(nospec)
+    assert not ensure_bucketed_table(spark, "adopt_probe_nospec")
+
+    for t in ("adopt_probe_src", "adopt_probe_dst"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for d in (dst, nospec):
+        if os.path.exists(d):
+            shutil.rmtree(d)
