@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_arrow",
     "sim_ivf_topk",
+    "sim_ivf_pq_serving",
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",

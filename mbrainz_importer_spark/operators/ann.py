@@ -414,6 +414,299 @@ def ivf_topk_from_index_arrow(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF × PQ: cell-partitioned inverted lists of PQ codes (the FAISS
+# "IVFx,PQy" composition — coarse cells bound the scan, product codes
+# bound the bytes scored, exact re-rank bounds the vectors read)
+# ---------------------------------------------------------------------------
+
+
+def _write_codebooks(path: str, codebooks: list[list[list[float]]]) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json"), "w") as f:
+        json.dump(codebooks, f)
+
+
+def stored_codebooks(path: str) -> list[list[list[float]]]:
+    """The PQ codebooks the index at `path` was encoded with."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        return json.load(f)
+
+
+def check_codebooks(path: str, codebooks: list[list[list[float]]]) -> None:
+    """Raise if `codebooks` differ from the set the index at `path` was
+    encoded with — ADC against foreign codebooks is the silent-wrong-
+    scores bug (the codes are meaningless without their tables). Same
+    contract as `check_centroids`; a missing file is accepted."""
+    import json
+    import os
+
+    meta = os.path.join(path, "_codebooks.json")
+    if not os.path.exists(meta):
+        return
+    with open(meta) as f:
+        stored = json.load(f)
+    want = [[[float(x) for x in c] for c in book] for book in codebooks]
+    if want != stored:
+        raise ValueError(
+            f"PQ codebooks do not match the index layout at {path} — "
+            "read the stored set back with stored_codebooks()"
+        )
+
+
+def materialize_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF×PQ index as STORAGE: one narrow pass assigns each vector
+    to its nearest coarse cell AND encodes its PQ code (both centroid
+    tables travel as plan literals — no join, no second scan), written
+    cell-partitioned as (nid, nv, codes). The ADC candidate pass later
+    reads only (nid, codes) of the probed cells — m ints per vector
+    instead of dim floats, the 16-64x residency cut that makes a 100 TB
+    corpus probe memory-resident — and the exact re-rank reads `nv`
+    for the few surviving candidates. Centroids and codebooks are index
+    metadata (written LAST, like `_centroids.json`): probing with a
+    foreign set fails loudly."""
+    from .quantize import pq_codes
+
+    corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        pq_codes(F.col(vec_col), dim, codebooks).alias("codes"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_centroids(path, centroids)
+    _write_codebooks(path, codebooks)
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+    rerank: int = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Top-k per query over the materialized IVF×PQ index — the
+    production ANN serving plan end to end:
+
+    1. coarse probe: each query's n_probe nearest cells become a
+       partition filter (the bounded-queries contract — |Q| x n_probe
+       cell ids collect, the corpus never does);
+    2. ADC candidate generation: asymmetric-distance inner product of
+       the unquantized query against the PROBED CELLS' CODES — a
+       column-pruned scan reading m ints per vector (`nv` never
+       transfers here), scored entirely in whole-stage codegen;
+    3. exact re-rank: only the rerank*k best ADC candidates per query
+       join back for full-precision scoring on `nv`.
+
+    metric="cosine" re-ranks by cosine (rounded 6dp, the sim_* gate
+    convention); metric="ip" by inner product rounded to bigint `dot_q`
+    (the quantize-gate convention — with lossless codebooks ADC equals
+    the exact integer dot, which is what lets the whole path
+    hash-certify against an oracle that has never heard of PQ or IVF).
+    Candidate selection is approximate in the lossy regime by contract;
+    recall is pinned in tests/test_ivf_index.py."""
+    if metric not in ("cosine", "ip"):
+        raise ValueError(f"metric must be 'cosine' or 'ip', got {metric!r}")
+    from .quantize import pq_adc_ip, pq_recon_norm
+
+    check_centroids(path, centroids)
+    check_codebooks(path, codebooks)
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    # ADC pass: (nid, codes) only — parquet column pruning keeps nv on disk.
+    # cosine candidates rank by ip/recon_norm (the query norm is constant
+    # per query); ip candidates by raw ADC
+    coded = spark.read.parquet(path).where(F.col("cell").isin(cells)).select(
+        "nid", "codes", "cell"
+    )
+    adc_score = pq_adc_ip(F.col("qv"), F.col("codes"), dim, codebooks)
+    if metric == "cosine":
+        adc_score = adc_score / pq_recon_norm(F.col("codes"), codebooks)
+    adc = (
+        probes.join(coded, "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", adc_score.alias("adc"))
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    cands = (
+        adc.withColumn("arank", F.row_number().over(w_adc))
+        .where(F.col("arank") <= rerank * k)
+        .select("qid", "nid")
+    )
+    # re-rank pass: full vectors of the survivors only (|Q| * rerank*k
+    # rows — broadcastable by construction)
+    return _ivf_pq_rerank(spark, path, cells, cands, queries, id_col, vec_col, metric, k)
+
+
+def ivf_pq_topk_from_index_arrow(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+    rerank: int = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """The Arrow/LUT face of `ivf_pq_topk_from_index` — the ADC
+    candidate pass as FAISS actually computes it: per (query, subspace)
+    a k-entry lookup table (one small matmul, lut_i = book_i @ q_sub_i)
+    built ONCE per bounded query set, then every corpus code scores by
+    m table lookups (numpy fancy indexing per Arrow batch). This
+    replaces the m*k-literal codegen blob of the expression face —
+    whose plan COMPILE time, not its runtime, dominates at large m*k
+    (4.4 MiB task binaries at m=16/k=64) — while reading the same
+    column-pruned (nid, codes) of the probed cells. Re-rank is the same
+    JVM-side exact pass on the survivors' full vectors, so final scores
+    are identical to the expression face (pinned in tests); candidate
+    sets can differ only on float ties at the rerank cutoff."""
+    import numpy as np
+    import pandas as pd
+
+    if metric not in ("cosine", "ip"):
+        raise ValueError(f"metric must be 'cosine' or 'ip', got {metric!r}")
+    check_centroids(path, centroids)
+    check_codebooks(path, codebooks)
+    rows = queries.select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("ivf_pq_topk_from_index_arrow needs a non-empty query set")
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    sims_qc = (Q @ C.T) / np.outer(qn, cn)
+    order = np.lexsort(
+        (np.arange(C.shape[0])[None, :].repeat(len(Q), 0), -sims_qc)
+    )
+    probed = order[:, :n_probe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi, cs in enumerate(probed):
+        for c in cs:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    all_cells = sorted(cell_to_q)
+    m = len(codebooks)
+    sub = dim // m
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    # per (query, subspace) inner-product LUT; per-centroid squared norms
+    luts = [Q[:, i * sub : (i + 1) * sub] @ books[i].T for i in range(m)]
+    n2s = [(b * b).sum(axis=1) for b in books]
+    want_cos = metric == "cosine"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            nid = pdf["nid"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            rnorm = None
+            if want_cos:
+                rnorm = np.sqrt(
+                    sum(n2s[i][codes[:, i]] for i in range(m))
+                )
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(cells):
+                qsel = cell_to_q.get(int(c))
+                if not qsel:
+                    continue
+                mask = cells == c
+                # (rows_in_cell, |qsel|) ADC inner products via LUTs
+                adc = sum(luts[i][qsel][:, codes[mask, i]] for i in range(m)).T
+                if want_cos:
+                    adc = adc / rnorm[mask][:, None]
+                b, nq = adc.shape
+                out_q.append(np.tile(qids[qsel], b))
+                out_n.append(np.repeat(nid[mask], nq))
+                out_s.append(adc.ravel())
+            if out_q:
+                yield pd.DataFrame({
+                    "qid": np.concatenate(out_q),
+                    "nid": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                })
+
+    coded = spark.read.parquet(path).where(F.col("cell").isin(all_cells)).select(
+        "nid", "codes", "cell"
+    )
+    adc = coded.mapInPandas(
+        score, schema="qid long, nid long, adc double"
+    ).where(F.col("qid") != F.col("nid"))
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    cands = (
+        adc.withColumn("arank", F.row_number().over(w_adc))
+        .where(F.col("arank") <= rerank * k)
+        .select("qid", "nid")
+    )
+    return _ivf_pq_rerank(spark, path, all_cells, cands, queries, id_col, vec_col, metric, k)
+
+
+def _ivf_pq_rerank(
+    spark,
+    path: str,
+    cells: list,
+    cands: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    metric: str,
+    k: int,
+) -> DataFrame:
+    """Shared exact re-rank: the |Q| * rerank*k ADC survivors join back
+    to the probed cells' full vectors (broadcast both small sides) and
+    rank by full-precision score."""
+    from .similarity import cosine, dot
+
+    vecs = spark.read.parquet(path).where(F.col("cell").isin(cells)).select(
+        "nid", "nv"
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    pairs = vecs.join(F.broadcast(cands), "nid").join(F.broadcast(qv), "qid")
+    if metric == "cosine":
+        scored = pairs.select(
+            "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim")
+        )
+        order = [F.desc("cos_sim"), F.asc("nid")]
+    else:
+        scored = pairs.select(
+            "qid", "nid",
+            F.round(dot(F.col("qv"), F.col("nv"))).cast("bigint").alias("dot_q"),
+        )
+        order = [F.desc("dot_q"), F.asc("nid")]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

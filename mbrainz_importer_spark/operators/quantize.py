@@ -167,20 +167,16 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
     return F.array(*[F.array(*[F.lit(x) for x in r]) for r in rows])
 
 
-def pq_encode(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    dim: int,
-    codebooks: list[list[list[float]]],
-) -> DataFrame:
-    """(id, codes array<int>) — each subvector's nearest-centroid index
-    (L2, ties to the lowest index). Codebooks travel as plan literals;
-    the assignment is array_sort over (distance, index) structs, all
-    JVM-side. At scale this runs ONCE and the codes materialize as the
-    stored index (m bytes per vector at k<=256)."""
+def pq_codes(
+    vec: Column, dim: int, codebooks: list[list[list[float]]]
+) -> Column:
+    """array<int> PQ code of one vector column — each subvector's
+    nearest-centroid index (L2, ties to the lowest index). Pure column
+    expression so callers (pq_encode, the IVF×PQ index writer in
+    operators/ann.py) can encode inside a wider projection without a
+    join."""
     m = len(codebooks)
-    subs = _split(F.col(vec_col), m, dim)
+    subs = _split(vec, m, dim)
     code_cols = []
     for i, book in enumerate(codebooks):
         cands = F.array(
@@ -201,7 +197,25 @@ def pq_encode(
             ]
         )
         code_cols.append(F.array_sort(cands)[0]["idx"])
-    return df.select(F.col(id_col).alias("id"), F.array(*code_cols).alias("codes"))
+    return F.array(*code_cols)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, codes array<int>) — `pq_codes` as a projection. Codebooks
+    travel as plan literals; the assignment is array_sort over
+    (distance, index) structs, all JVM-side. At scale this runs ONCE
+    and the codes materialize as the stored index (m bytes per vector
+    at k<=256)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        pq_codes(F.col(vec_col), dim, codebooks).alias("codes"),
+    )
 
 
 def pq_adc_ip(
@@ -222,6 +236,22 @@ def pq_adc_ip(
             lambda acc, x: acc + x,
         )
     return total
+
+
+def pq_recon_norm(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Norm of the vector a PQ code RECONSTRUCTS to: sqrt(Σ_i
+    ||codebook_i[code_i]||²) — exact because subspaces are orthogonal
+    coordinate blocks. The per-centroid squared norms are m k-float
+    literal arrays (precomputed here, not per row), so the lookup is one
+    element_at per subspace. This is what turns ADC inner product into
+    an ADC cosine estimate (ip / recon_norm; the query norm is constant
+    per query and cancels in per-query ranking) — without it, IP
+    candidate generation misranks any corpus whose vector norms vary."""
+    total = F.lit(0.0)
+    for i, book in enumerate(codebooks):
+        n2 = F.array(*[F.lit(sum(x * x for x in c)) for c in book])
+        total = total + F.element_at(n2, codes[i] + 1)
+    return F.sqrt(total)
 
 
 def pq_ip_topk(

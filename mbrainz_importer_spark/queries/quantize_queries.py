@@ -98,12 +98,59 @@ def pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF×PQ serving path (operators/ann.py:
+    materialize_ivf_pq_index / ivf_pq_topk_from_index) in its EXACT
+    regime: the integer-grid corpus subset from pq_exact_topk, lossless
+    codebooks (k >= the 64 distinct subvectors ⇒ ADC == exact integer
+    dot), and an exhaustive probe (n_probe = n_cells) — so the coarse
+    cells, the cell-partitioned code storage, the column-pruned ADC
+    candidate pass, the rerank cutoff, and the full-vector re-rank must
+    together HASH-EQUAL an oracle that has never heard of IVF or PQ.
+    The lossy regime's recall is pinned in tests/test_ivf_index.py; the
+    production-tuned face is sim_ivf_pq_serving."""
+    import os
+
+    from ..operators.ann import (
+        ivf_pq_topk_from_index,
+        materialize_ivf_pq_index,
+        train_centroids_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    grid = emb.where(F.col("vec_id") < 64).select(
+        "vec_id", sq8_code(F.col("embedding"), lo, hi).cast("array<float>").alias("embedding")
+    )
+    books = train_pq_codebooks(
+        grid, "vec_id", "embedding", DIM, m=8, k=256, sample_limit=4096
+    )
+    cents = train_centroids_sample(grid, n_cells=4)
+    path = os.path.join(
+        "spark-warehouse", "ivf_pq_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_exact_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_pq_index(grid, cents, books, DIM, path)
+    queries = grid.where(F.col("vec_id") < 3)
+    return (
+        ivf_pq_topk_from_index(
+            spark, path, queries, cents, books, DIM,
+            k=5, n_probe=len(cents), rerank=2, metric="ip",
+        )
+        .select("qid", "nid", "dot_q", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
 QUERIES = {
     "sq8_quantized_topk": sq8_quantized_topk,
     "pq_exact_topk": pq_exact_topk,
+    "ivf_pq_exact_topk": ivf_pq_exact_topk,
 }
 
 ORACLES = {
     "sq8_quantized_topk": _topk_sql("vec_id < 5", "TRUE", 5),
     "pq_exact_topk": _topk_sql("vec_id < 3", "vec_id < 64", 5),
+    "ivf_pq_exact_topk": _topk_sql("vec_id < 3", "vec_id < 64", 5),
 }

@@ -262,3 +262,136 @@ def test_centroids_are_index_metadata(spark, tmp_path):
     # the consistent set probes fine
     got = ivf_topk_from_index(spark, path, queries, cents, k=3, n_probe=2)
     assert got.count() == 3
+
+# ---------------------------------------------------------------------------
+# IVF × PQ (materialize_ivf_pq_index / ivf_pq_topk_from_index[_arrow])
+# ---------------------------------------------------------------------------
+
+def _vec4(i: int) -> list[float]:
+    if i < 10:
+        return [1.0, 0.01 * i, 0.0, 0.02 * i]
+    return [0.01 * (i - 10), 1.0, 0.03 * (i - 10), 0.0]
+
+
+def _corpus4(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec4(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+CENTROIDS4 = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+
+def _pq_setup(spark, tmp_path, k_book=64):
+    from mbrainz_importer_spark.operators.ann import materialize_ivf_pq_index
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+
+    corpus = _corpus4(spark, range(20))
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=k_book)
+    path = str(tmp_path / "ivfpq")
+    materialize_ivf_pq_index(corpus, CENTROIDS4, books, 4, path)
+    return corpus, books, path
+
+
+def test_ivf_pq_exact_regime_matches_brute_force(spark, tmp_path):
+    """Lossless codebooks (k >= distinct subvectors) + exhaustive probe
+    + exact re-rank == brute-force cosine top-k, bit for bit — the
+    whole serving path certified in its exact regime."""
+    from mbrainz_importer_spark.operators.ann import ivf_pq_topk_from_index
+    from mbrainz_importer_spark.operators.similarity import brute_force_topk
+
+    corpus, books, path = _pq_setup(spark, tmp_path)
+    queries = _corpus4(spark, [0, 10])
+    got = ivf_pq_topk_from_index(
+        spark, path, queries, CENTROIDS4, books, 4, k=4, n_probe=2, rerank=5
+    )
+    want = brute_force_topk(queries, corpus, k=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_pq_faces_agree(spark, tmp_path):
+    """Arrow/LUT face == expression face on both metrics and probe
+    widths (final scores come from the shared exact re-rank)."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_topk_from_index,
+        ivf_pq_topk_from_index_arrow,
+    )
+
+    _, books, path = _pq_setup(spark, tmp_path)
+    queries = _corpus4(spark, [0, 10])
+    for metric in ("cosine", "ip"):
+        for n_probe in (2, 1):
+            expr = ivf_pq_topk_from_index(
+                spark, path, queries, CENTROIDS4, books, 4,
+                k=4, n_probe=n_probe, rerank=2, metric=metric,
+            )
+            arrow = ivf_pq_topk_from_index_arrow(
+                spark, path, queries, CENTROIDS4, books, 4,
+                k=4, n_probe=n_probe, rerank=2, metric=metric,
+            )
+            assert sorted(map(tuple, arrow.collect())) == sorted(
+                map(tuple, expr.collect())
+            ), f"faces diverge at metric={metric} n_probe={n_probe}"
+
+
+def test_ivf_pq_candidate_scan_prunes_cells_and_columns(spark, tmp_path):
+    """The ADC candidate pass is partition-pruned to the probed cells
+    AND column-pruned to (nid, codes) — the full vectors transfer only
+    for the re-rank survivors."""
+    from mbrainz_importer_spark.operators.ann import ivf_pq_topk_from_index
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    _, books, path = _pq_setup(spark, tmp_path)
+    one = ivf_pq_topk_from_index(
+        spark, path, _corpus4(spark, [0]), CENTROIDS4, books, 4,
+        k=3, n_probe=1, rerank=2,
+    )
+    plan = physical_plan(one)
+    assert "PartitionFilters" in plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any(
+        "codes" in ln and "nv" not in ln.split("ReadSchema")[1] for ln in scans
+    ), f"no codes-only scan in plan:\n{plan}"
+    assert all(int(r.nid) < 10 for r in one.collect()), "probe leaked cells"
+
+
+def test_ivf_pq_codebooks_are_index_metadata(spark, tmp_path):
+    """Probing with codebooks that differ from the set the index was
+    encoded with fails loudly (ADC against foreign tables is the
+    silent-wrong-scores bug); stored_codebooks reads the right set
+    back."""
+    import pytest
+
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_topk_from_index,
+        stored_codebooks,
+    )
+
+    _, books, path = _pq_setup(spark, tmp_path)
+    assert stored_codebooks(path) == [
+        [[float(x) for x in c] for c in b] for b in books
+    ]
+    foreign = [[[v + 1.0 for v in c] for c in b] for b in books]
+    with pytest.raises(ValueError, match="codebooks"):
+        ivf_pq_topk_from_index(
+            spark, path, _corpus4(spark, [0]), CENTROIDS4, foreign, 4
+        )
+
+
+def test_ivf_pq_serving_recall_floor(spark, tmp_path):
+    """Partial probe + lossy-by-contract candidates still recover the
+    clustered neighbors: recall@4 vs brute force >= the IVF floor on
+    the two-cluster fixture (candidate loss measured zero at rerank=2
+    here — all approximation is cell pruning, same as sim_ivf_topk)."""
+    from mbrainz_importer_spark.operators.ann import ivf_pq_topk_from_index_arrow
+    from mbrainz_importer_spark.operators.similarity import brute_force_topk
+
+    corpus, books, path = _pq_setup(spark, tmp_path, k_book=4)
+    queries = _corpus4(spark, [0, 10])
+    got = ivf_pq_topk_from_index_arrow(
+        spark, path, queries, CENTROIDS4, books, 4, k=4, n_probe=1, rerank=2
+    )
+    want = brute_force_topk(queries, corpus, k=4)
+    g = {(r.qid, r.nid) for r in got.collect()}
+    w = {(r.qid, r.nid) for r in want.collect()}
+    assert len(g & w) / len(w) >= 0.5, f"recall {len(g & w) / len(w)}"

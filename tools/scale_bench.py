@@ -47,6 +47,7 @@ SCALE_QUERIES = [
     "sim_topk_arrow",
     "sim_ivf_topk",
     "sim_ivf_incremental_exact",
+    "sim_ivf_pq_serving",
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",
