@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -185,6 +186,33 @@ def joined_bucketed(spark: SparkSession, left: str, right: str, key: str) -> Dat
 
 def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextmanager
+def sort_trust(spark: SparkSession, enabled: bool):
+    """Per-query override of the bucket-sort trust flag
+    (`spark.sql.legacy.bucketedTableScan.outputOrdering`, session
+    default ON in session.py). The sf100 A/B (PLAN_NOTES_r09.md §14)
+    showed the trade is SHAPE-dependent: trusting the on-disk sort wins
+    where filters thin the merge inputs (q3's selective dates 16s vs
+    59s; the pruned-partition e-join), while a near-full-corpus merge
+    (q5) runs ~20% faster with the explicit Sort — its bulk vectorized
+    read + tight in-memory merge of sorted runs beats row-at-a-time
+    interleaved pulls. The flag is consulted at PLANNING time (the
+    action), not at DataFrame construction — verified: a frame built
+    inside the manager but planned outside gets the restored value —
+    so the ACTION must run inside the block:
+
+        with sort_trust(spark, False):
+            joined_bucketed(spark, "a", "b", "k").collect()
+    """
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "true" if enabled else "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def count_exchanges(df: DataFrame) -> int:

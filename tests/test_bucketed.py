@@ -200,3 +200,32 @@ def test_adopt_bucketed_layout_across_catalog_loss(spark):
     for d in (dst, nospec):
         if os.path.exists(d):
             shutil.rmtree(d)
+
+
+def test_sort_trust_toggle_is_per_query(spark, bucketed_tables):
+    """sources/bucketed.py:sort_trust — the shape-dependent lever from
+    the sf100 A/B (PLAN_NOTES_r09.md §14): under trust the bucketed SMJ
+    elides the Sorts (the write discipline sorted the files), with it
+    off the explicit Sorts come back (the near-full-corpus-merge plan
+    that measured ~20% faster on q5's shape). The flag is plan-time and
+    must restore afterward."""
+    from mbrainz_importer_spark.sources.bucketed import (
+        physical_plan,
+        sort_trust,
+    )
+
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    before = spark.conf.get(key)
+
+    def sorts(df):
+        return physical_plan(df).count(" Sort [")
+
+    with sort_trust(spark, True):
+        trusted = joined_bucketed(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert sorts(trusted) == 0, physical_plan(trusted)
+    with sort_trust(spark, False):
+        explicit = joined_bucketed(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert sorts(explicit) == 2, physical_plan(explicit)
+        # same rows either way — the toggle is a physical choice only
+        assert explicit.count() == 6000
+    assert spark.conf.get(key) == before
