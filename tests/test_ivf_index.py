@@ -395,3 +395,20 @@ def test_ivf_pq_serving_recall_floor(spark, tmp_path):
     g = {(r.qid, r.nid) for r in got.collect()}
     w = {(r.qid, r.nid) for r in want.collect()}
     assert len(g & w) / len(w) >= 0.5, f"recall {len(g & w) / len(w)}"
+
+
+def test_ivf_pq_arrow_encode_equals_expression_encode(spark, tmp_path):
+    """materialize_ivf_pq_index's bulk-build kernel (encode='arrow',
+    the default) writes byte-identical content to the pure-expression
+    face on a tie-free corpus — cells, codes, and vectors all equal."""
+    from mbrainz_importer_spark.operators.ann import materialize_ivf_pq_index
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+
+    corpus = _corpus4(spark, range(20))
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=8)
+    pa, pe = str(tmp_path / "arrow"), str(tmp_path / "expr")
+    materialize_ivf_pq_index(corpus, CENTROIDS4, books, 4, pa, encode="arrow")
+    materialize_ivf_pq_index(corpus, CENTROIDS4, books, 4, pe, encode="expr")
+    ra = sorted(map(tuple, spark.read.parquet(pa).select("nid", "nv", "codes", "cell").collect()))
+    re_ = sorted(map(tuple, spark.read.parquet(pe).select("nid", "nv", "codes", "cell").collect()))
+    assert ra == re_
