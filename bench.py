@@ -59,6 +59,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "hybrid_rrf_from_index",
     "hybrid_rrf_serving",
+    "hybrid_rrf_pq_serving",
     "fulltext_bm25_from_index",
     "fulltext_incremental_index",
     "fulltext_bm25_batch",

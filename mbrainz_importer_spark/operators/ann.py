@@ -197,8 +197,6 @@ def merge_ivf_increment(
     Within every touched cell the arrival's row wins per id (old rows
     anti-joined out), so a same-cell re-assert is an update, not a
     max-struct coin toss."""
-    from ..plans.eav import _drop_stage, _stage_merge
-
     if on_moved not in ("error", "tombstone"):
         raise ValueError(f"on_moved must be 'error' or 'tombstone', got {on_moved!r}")
     check_centroids(path, centroids)
@@ -208,12 +206,30 @@ def merge_ivf_increment(
         .agg(F.max(F.struct("cell", "nv")).alias("w"))
         .select("nid", F.col("w.nv").alias("nv"), F.col("w.cell").alias("cell"))
     )
+    _merge_fresh_into_cells(
+        spark, path, fresh, ("nid", "nv", "cell"), on_moved, "merge_ivf_increment"
+    )
+
+
+def _merge_fresh_into_cells(
+    spark,
+    path: str,
+    fresh: DataFrame,
+    columns: tuple,
+    on_moved: str,
+    caller: str,
+) -> None:
+    """The shared touched-cells merge core (plain IVF and IVF×PQ faces):
+    moved-id guard, arrival-wins anti-join, staged dynamic overwrite of
+    exactly the touched cell partitions."""
+    from ..plans.eav import _drop_stage, _stage_merge
+
     touched = sorted(r.cell for r in fresh.select("cell").distinct().collect())
     if not touched:
         return
     # cross-cell guard: nid comes from the parquet id column, cell from
     # the partition directory — the scan reads one column of the index
-    idx_cells = read_ivf_index(spark, path).select(
+    idx_cells = spark.read.parquet(path).select(
         "nid", F.col("cell").alias("old_cell")
     )
     moved_cells = sorted(
@@ -227,17 +243,19 @@ def merge_ivf_increment(
     )
     if moved_cells and on_moved == "error":
         raise ValueError(
-            "merge_ivf_increment: arrival ids already indexed in other "
+            f"{caller}: arrival ids already indexed in other "
             f"cells {moved_cells} — a moved vector would duplicate "
             "across cells. Re-merge with on_moved='tombstone' or route "
             "updates through delete + re-add."
         )
     touched = sorted(set(touched) | set(moved_cells))
-    existing = read_ivf_index(spark, path).where(F.col("cell").isin(touched))
+    existing = spark.read.parquet(path).select(*columns).where(
+        F.col("cell").isin(touched)
+    )
     merged = existing.join(
         fresh.select("nid"), "nid", "left_anti"
     ).unionByName(fresh)
-    merged = _stage_merge(spark, merged, path, columns=("nid", "nv", "cell"))
+    merged = _stage_merge(spark, merged, path, columns=columns)
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
@@ -246,6 +264,46 @@ def merge_ivf_increment(
     finally:
         spark.conf.set(mode_key, prev)
     _drop_stage(path)
+
+
+def merge_ivf_pq_increment(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_moved: str = "error",
+) -> None:
+    """Incremental maintenance for the IVF×PQ index — the same contract
+    as `merge_ivf_increment` (arrivals fold into only their cells,
+    redelivery-safe, moved-id guard with error/tombstone), with the
+    arrival pass ALSO encoding PQ codes through the arrow bulk kernel.
+    Centroids and codebooks must both match the stored metadata: an
+    increment encoded against foreign codebooks would poison the ADC
+    scores of just the touched cells — the hardest bug to see, which
+    is why the check runs before any write."""
+    if on_moved not in ("error", "tombstone"):
+        raise ValueError(f"on_moved must be 'error' or 'tombstone', got {on_moved!r}")
+    check_centroids(path, centroids)
+    check_codebooks(path, codebooks)
+    fresh = (
+        _assign_pq_arrow(arrivals, centroids, codebooks, dim, id_col, vec_col)
+        .groupBy("nid")  # an increment may carry an id twice; one survives
+        .agg(F.max(F.struct("cell", "nv", "codes")).alias("w"))
+        .select(
+            "nid",
+            F.col("w.nv").alias("nv"),
+            F.col("w.codes").alias("codes"),
+            F.col("w.cell").alias("cell"),
+        )
+    )
+    _merge_fresh_into_cells(
+        spark, path, fresh, ("nid", "nv", "codes", "cell"), on_moved,
+        "merge_ivf_pq_increment",
+    )
 
 
 def retrain_ivf_index(

@@ -125,6 +125,9 @@ def hybrid_rrf_search_indexed(
     n_candidates: int = 20,
     top_k: int = 10,
     n_probe: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    dim: int | None = None,
+    rerank: int = 4,
 ) -> DataFrame:
     """The hybrid retriever SERVED FROM STORAGE — the production
     counterpart of `hybrid_rrf_search`, which tokenizes the corpus and
@@ -142,22 +145,41 @@ def hybrid_rrf_search_indexed(
     `hybrid_rrf_search`'s oracle — storage serving certified against
     the from-scratch evaluation. Production drops n_probe for the
     approximate latency contract; the fusion is rank-only, so swapping
-    retriever internals never changes its arithmetic."""
-    from .ann import ivf_topk_from_index_arrow
+    retriever internals never changes its arithmetic.
+
+    Passing `codebooks` (+ `dim`) swaps the dense side to the IVF×PQ
+    index at `ivf_path` (`ivf_pq_topk_from_index_arrow`: ADC candidates
+    over codes only, exact re-rank of the survivors) — the fully
+    quantized serving stack. The fusion contract is unchanged: the
+    dense retriever still hands back (doc, rank)."""
+    from .ann import ivf_pq_topk_from_index_arrow, ivf_topk_from_index_arrow
     from .fulltext import fulltext_bm25_from_index
 
     text_top = fulltext_bm25_from_index(
         spark, ft_path, query_text, k=n_candidates, mode="any"
     )
     text_ranked = ranked(text_top, "doc", [F.desc("score"), F.asc("doc")])
-    vec_top = ivf_topk_from_index_arrow(
-        spark,
-        ivf_path,
-        query_vecs,
-        centroids,
-        k=n_candidates,
-        n_probe=len(centroids) if n_probe is None else n_probe,
-    ).select(F.col("nid").alias("doc"), "rank")
+    if codebooks is not None:
+        vec_top = ivf_pq_topk_from_index_arrow(
+            spark,
+            ivf_path,
+            query_vecs,
+            centroids,
+            codebooks,
+            dim,
+            k=n_candidates,
+            n_probe=len(centroids) if n_probe is None else n_probe,
+            rerank=rerank,
+        ).select(F.col("nid").alias("doc"), "rank")
+    else:
+        vec_top = ivf_topk_from_index_arrow(
+            spark,
+            ivf_path,
+            query_vecs,
+            centroids,
+            k=n_candidates,
+            n_probe=len(centroids) if n_probe is None else n_probe,
+        ).select(F.col("nid").alias("doc"), "rank")
     return rrf_fuse(
         [text_ranked.select("doc", "rank"), vec_top], top_k=top_k
     )

@@ -227,6 +227,51 @@ def hybrid_rrf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_rrf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY QUANTIZED hybrid serving stack — what a 100 TB
+    deployment actually runs: pruned postings (BM25 from the term-hash-
+    partitioned index) + IVF×PQ dense side (n_probe=4 pruned cells, ADC
+    candidates over 16-int codes, exact re-rank of survivors), RRF-
+    fused. Shares sim_ivf_pq_serving's materialized index. Rows-only by
+    the partial-probe contract; every piece is certified elsewhere
+    (postings: fulltext_bm25_from_index oracle; PQ machinery:
+    ivf_pq_exact_topk; fusion arithmetic: hybrid_rrf_topk oracle)."""
+    import os
+
+    from ..operators.ann import materialize_ivf_pq_index
+    from ..operators.fulltext import materialize_fulltext_index
+    from ..operators.retrieval import hybrid_rrf_search_indexed
+    from .llm import _ivf_centroids, _pq_codebooks
+
+    ft_path = _ft_index_path(sf_dir, "_prod_v1")
+    if not os.path.exists(os.path.join(ft_path, "_meta.json")):
+        docs = load(spark, sf_dir, "documents")
+        materialize_fulltext_index(docs, ft_path)
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    pq_path = os.path.join(
+        "spark-warehouse", "ivf_pq_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_serving_v1",
+    )
+    if not os.path.exists(os.path.join(pq_path, "_SUCCESS")):
+        materialize_ivf_pq_index(emb, centroids, books, 64, pq_path)
+    return hybrid_rrf_search_indexed(
+        spark,
+        ft_path,
+        pq_path,
+        centroids,
+        "vector table scan",
+        emb.where(F.col("vec_id") == 7),
+        n_candidates=20,
+        top_k=10,
+        n_probe=4,
+        codebooks=books,
+        dim=64,
+        rerank=4,
+    )
+
+
 def fulltext_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten on the postings index: every 97th doc is
     excised (operators/fulltext.py:excise_fulltext_docs — O(1)
@@ -322,6 +367,7 @@ QUERIES = {
     "fulltext_incremental_index": fulltext_incremental_index,
     "hybrid_rrf_from_index": hybrid_rrf_from_index,
     "hybrid_rrf_serving": hybrid_rrf_serving,
+    "hybrid_rrf_pq_serving": hybrid_rrf_pq_serving,
     "fulltext_excision": fulltext_excision,
     "fulltext_excision_compacted": fulltext_excision_compacted,
     "fulltext_bm25_batch": fulltext_bm25_batch,

@@ -143,14 +143,65 @@ def ivf_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_pq_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally MAINTAINED IVF×PQ index in its exact regime:
+    builds once per sf_dir from 90% of the integer-grid corpus, every
+    10th vector arrives through `merge_ivf_pq_increment` (arrow-encoded
+    in the arrival pass, folded into touched cells only, redelivery-
+    safe), and an exhaustive lossless probe must hash-equal the same
+    PQ-unaware oracle — certifying that incremental maintenance left
+    codes AND vectors exactly equal to a full build (the PQ twin of
+    sim_ivf_incremental_exact)."""
+    import os
+
+    from ..operators.ann import (
+        ivf_pq_topk_from_index,
+        materialize_ivf_pq_index,
+        merge_ivf_pq_increment,
+        train_centroids_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    grid = emb.where(F.col("vec_id") < 64).select(
+        "vec_id", sq8_code(F.col("embedding"), lo, hi).cast("array<float>").alias("embedding")
+    )
+    books = train_pq_codebooks(
+        grid, "vec_id", "embedding", DIM, m=8, k=256, sample_limit=4096
+    )
+    cents = train_centroids_sample(grid, n_cells=4)
+    path = os.path.join(
+        "spark-warehouse", "ivf_pq_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_inc_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_pq_index(
+            grid.where(F.col("vec_id") % 10 != 0), cents, books, DIM, path
+        )
+    merge_ivf_pq_increment(
+        spark, path, grid.where(F.col("vec_id") % 10 == 0), cents, books, DIM
+    )
+    queries = grid.where(F.col("vec_id") < 3)
+    return (
+        ivf_pq_topk_from_index(
+            spark, path, queries, cents, books, DIM,
+            k=5, n_probe=len(cents), rerank=2, metric="ip",
+        )
+        .select("qid", "nid", "dot_q", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
 QUERIES = {
     "sq8_quantized_topk": sq8_quantized_topk,
     "pq_exact_topk": pq_exact_topk,
     "ivf_pq_exact_topk": ivf_pq_exact_topk,
+    "ivf_pq_incremental_exact": ivf_pq_incremental_exact,
 }
 
 ORACLES = {
     "sq8_quantized_topk": _topk_sql("vec_id < 5", "TRUE", 5),
     "pq_exact_topk": _topk_sql("vec_id < 3", "vec_id < 64", 5),
     "ivf_pq_exact_topk": _topk_sql("vec_id < 3", "vec_id < 64", 5),
+    "ivf_pq_incremental_exact": _topk_sql("vec_id < 3", "vec_id < 64", 5),
 }

@@ -412,3 +412,70 @@ def test_ivf_pq_arrow_encode_equals_expression_encode(spark, tmp_path):
     ra = sorted(map(tuple, spark.read.parquet(pa).select("nid", "nv", "codes", "cell").collect()))
     re_ = sorted(map(tuple, spark.read.parquet(pe).select("nid", "nv", "codes", "cell").collect()))
     assert ra == re_
+
+
+def test_ivf_pq_merge_folds_codes_into_touched_cells_only(spark, tmp_path):
+    """merge_ivf_pq_increment: arrivals encode + fold into only their
+    cells (untouched cell files untouched); redelivered increments are
+    no-ops; the merged index equals a from-scratch build — codes,
+    vectors, and cells all."""
+    import os as _os
+
+    from mbrainz_importer_spark.operators.ann import (
+        materialize_ivf_pq_index,
+        merge_ivf_pq_increment,
+    )
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+
+    corpus = _corpus4(spark, range(20))
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=8)
+    path = str(tmp_path / "ivfpq")
+    base = _corpus4(spark, [i for i in range(20) if i % 4 != 0])
+    arrivals = _corpus4(spark, [i for i in range(20) if i % 4 == 0 and i < 10])
+    materialize_ivf_pq_index(base, CENTROIDS4, books, 4, path)
+    cell1 = _os.path.join(path, "cell=1")
+    before = sorted(
+        (f, _os.path.getmtime(_os.path.join(cell1, f)))
+        for f in _os.listdir(cell1) if f.endswith(".parquet")
+    )
+    merge_ivf_pq_increment(spark, path, arrivals, CENTROIDS4, books, 4)
+    merge_ivf_pq_increment(spark, path, arrivals, CENTROIDS4, books, 4)  # redelivery
+    after = sorted(
+        (f, _os.path.getmtime(_os.path.join(cell1, f)))
+        for f in _os.listdir(cell1) if f.endswith(".parquet")
+    )
+    assert after == before, "untouched cell partition rewritten"
+    full = str(tmp_path / "ivfpq_full")
+    materialize_ivf_pq_index(
+        _corpus4(spark, sorted({i for i in range(20) if i % 4 != 0} | {0, 4, 8})),
+        CENTROIDS4, books, 4, full,
+    )
+    cols = ["nid", "nv", "codes", "cell"]
+    assert sorted(map(tuple, spark.read.parquet(path).select(*cols).collect())) == \
+        sorted(map(tuple, spark.read.parquet(full).select(*cols).collect()))
+
+
+def test_ivf_pq_merge_rejects_moved_vector_and_foreign_codebooks(spark, tmp_path):
+    import pytest
+
+    from mbrainz_importer_spark.operators.ann import (
+        materialize_ivf_pq_index,
+        merge_ivf_pq_increment,
+    )
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+
+    corpus = _corpus4(spark, range(20))
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=8)
+    path = str(tmp_path / "ivfpq")
+    materialize_ivf_pq_index(corpus, CENTROIDS4, books, 4, path)
+    # id 0 re-asserted with a vector landing in the OTHER cell
+    moved = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="other"):
+        merge_ivf_pq_increment(spark, path, moved, CENTROIDS4, books, 4)
+    foreign = [[[v + 1.0 for v in c] for c in b] for b in books]
+    with pytest.raises(ValueError, match="codebooks"):
+        merge_ivf_pq_increment(
+            spark, path, _corpus4(spark, [5]), CENTROIDS4, foreign, 4
+        )

@@ -65,6 +65,7 @@ SCALE_QUERIES = [
     "hybrid_rrf_topk",
     "hybrid_rrf_from_index",
     "hybrid_rrf_serving",
+    "hybrid_rrf_pq_serving",
     "fulltext_bm25_from_index",
     "fulltext_incremental_index",
     "fulltext_bm25_batch",
