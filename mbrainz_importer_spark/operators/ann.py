@@ -615,6 +615,54 @@ def materialize_ivf_pq_index(
     _write_codebooks(path, codebooks)
 
 
+def retrain_ivf_pq_index(
+    spark,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 16,
+    k: int = 64,
+    max_iter: int = 8,
+    sample_limit: int = 4096,
+    seed: int = IVF_SEED,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Drift repair for the IVF×PQ index — the PQ twin of
+    `retrain_ivf_index`: refit centroids AND codebooks from a bounded
+    ordered sample of the index contents (driver-side Lloyd's; the
+    corpus never collects), re-encode and re-materialize every cell
+    through the arrow bulk kernel, staged through disk. The static
+    overwrite clears the metadata files with the old layout; the new
+    codebooks and centroids write LAST, so a crash mid-rewrite degrades
+    to the unchecked (pre-discipline) state — it can never certify a
+    foreign set against the new layout. Returns (centroids, codebooks):
+    the caller must probe and merge with BOTH returned sets (a stale
+    pair raises via the metadata checks)."""
+    from ..plans.eav import _drop_stage, _stage_merge
+    from .quantize import train_pq_codebooks
+
+    vecs = spark.read.parquet(path).select(
+        F.col("nid").alias("vec_id"), F.col("nv").alias("embedding")
+    )
+    cents = train_centroids_sample(
+        vecs, "vec_id", "embedding",
+        n_cells=n_cells, max_iter=max_iter,
+        sample_limit=sample_limit, seed=seed,
+    )
+    books = train_pq_codebooks(
+        vecs, "vec_id", "embedding", dim, m=m, k=k,
+        sample_limit=sample_limit, max_iter=max_iter, seed=seed,
+    )
+    assigned = _assign_pq_arrow(vecs, cents, books, dim, "vec_id", "embedding")
+    staged = _stage_merge(
+        spark, assigned, path, columns=("nid", "nv", "codes", "cell")
+    )
+    staged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _drop_stage(path)
+    _write_codebooks(path, books)
+    _write_centroids(path, cents)
+    return cents, books
+
+
 def ivf_pq_topk_from_index(
     spark,
     path: str,

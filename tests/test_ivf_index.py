@@ -479,3 +479,53 @@ def test_ivf_pq_merge_rejects_moved_vector_and_foreign_codebooks(spark, tmp_path
         merge_ivf_pq_increment(
             spark, path, _corpus4(spark, [5]), CENTROIDS4, foreign, 4
         )
+
+
+def test_ivf_pq_retrain_rewrites_layout_and_metadata(spark, tmp_path):
+    """retrain_ivf_pq_index: content (nid, nv) survives the rewrite
+    byte-identically, codes re-encode under the RETURNED codebooks,
+    stored metadata matches the returned pair, and probing with the
+    stale codebooks raises."""
+    import pytest
+
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_topk_from_index,
+        materialize_ivf_pq_index,
+        retrain_ivf_pq_index,
+        stored_centroids,
+        stored_codebooks,
+    )
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+
+    corpus = _corpus4(spark, range(20))
+    old_books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=4)
+    path = str(tmp_path / "ivfpq")
+    materialize_ivf_pq_index(corpus, CENTROIDS4, old_books, 4, path)
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("nid", "nv").collect())
+    )
+    cents, books = retrain_ivf_pq_index(
+        spark, path, 4, n_cells=2, m=2, k=8
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(path).select("nid", "nv").collect())
+    )
+    assert after == before, "retrain changed index content"
+    assert stored_codebooks(path) == [
+        [[float(x) for x in c] for c in b] for b in books
+    ]
+    assert stored_centroids(path) == [[float(x) for x in c] for c in cents]
+    with pytest.raises(ValueError, match="codebooks"):
+        ivf_pq_topk_from_index(
+            spark, path, _corpus4(spark, [0]), cents, old_books, 4
+        )
+    # the returned pair probes fine; exhaustive probe + a rerank window
+    # covering the whole corpus (rerank*k = 20) must equal brute force
+    from mbrainz_importer_spark.operators.similarity import brute_force_topk
+
+    got = ivf_pq_topk_from_index(
+        spark, path, _corpus4(spark, [0, 10]), cents, books, 4,
+        k=4, n_probe=len(cents), rerank=5,
+    )
+    want = brute_force_topk(_corpus4(spark, [0, 10]), corpus, k=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
