@@ -529,3 +529,62 @@ def test_ivf_pq_retrain_rewrites_layout_and_metadata(spark, tmp_path):
     )
     want = brute_force_topk(_corpus4(spark, [0, 10]), corpus, k=4)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_corpus(draw):
+    """Small random embedding corpora: n vectors of dim 4, float values
+    on a coarse grid (ties possible but exact across engines)."""
+    n = draw(st.integers(6, 14))
+    vals = st.integers(-8, 8).map(lambda x: x / 4.0)
+    vecs = draw(
+        st.lists(
+            st.lists(vals, min_size=4, max_size=4).filter(
+                lambda v: any(x != 0 for x in v)
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    return vecs
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_random_corpus())
+def test_ivf_pq_exact_regime_property(spark, tmp_path_factory, vecs):
+    """For ANY corpus: lossless codebooks (k >= corpus size) +
+    exhaustive probe + a rerank window covering the corpus must
+    reproduce brute-force cosine top-k exactly — the exact-regime
+    certification as a property, not a fixture."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_topk_from_index,
+        materialize_ivf_pq_index,
+        train_centroids_sample,
+    )
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+    from mbrainz_importer_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq_codebooks(
+        corpus, "vec_id", "embedding", 4, m=2, k=len(vecs) + 1
+    )
+    cents = train_centroids_sample(corpus, n_cells=2, max_iter=4)
+    path = str(tmp_path_factory.mktemp("pqprop") / "idx")
+    materialize_ivf_pq_index(corpus, cents, books, 4, path)
+    queries = corpus.where(F.col("vec_id") < 2)
+    k = 3
+    got = ivf_pq_topk_from_index(
+        spark, path, queries, cents, books, 4,
+        k=k, n_probe=len(cents), rerank=(len(vecs) + k - 1) // k,
+    )
+    want = brute_force_topk(queries, corpus, k=k)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -33,6 +33,8 @@ SCALE_QUERIES = [
     "q5_region_revenue",
     "q5_region_revenue_bucketed",
     "upsert_merge",
+    "broadcast_dim_join",
+    "nested_collect",
     "batch_numbering",
     "window_topk_per_group",
     "dedup_exact",
@@ -69,6 +71,7 @@ SCALE_QUERIES = [
     "fulltext_bm25_from_index",
     "fulltext_incremental_index",
     "fulltext_bm25_batch",
+    "fulltext_excision",
     "graph_pagerank_topk",
     "graph_triangle_count",
     "agg_incremental_view",

@@ -38,7 +38,12 @@ def main() -> None:
     print("# Cross-tier scaling report (steady seconds)\n")
     print("Data grows 10x per column; a per-decade ratio near or below 10x")
     print("is the pass bar, and flat rows mean idle cores absorb the tier.")
-    print("`-` = not measured at that tier (see the skip table).\n")
+    print("`-` = not measured at that tier: either a documented skip (table")
+    print("below) or outside that tier's curated set — the sf100 set is the")
+    print("24-query core whose plans change at fact scale, plus the serving")
+    print("faces; plain fact-fact shuffle shapes at sf100 need the 24g heap")
+    print("profile (PLAN_NOTES_r09.md §9) and families whose sf100 plan is")
+    print("identical to sf10's are recorded at sf10.\n")
     header = "| query | " + " | ".join(labels) + " | worst per-decade |"
     print(header)
     print("|" + "---|" * (len(labels) + 2))
