@@ -38,3 +38,35 @@ def start_ivf_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_ivf_pq_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """The IVF×PQ twin of start_ivf_ingest: each micro-batch encodes
+    (arrow kernel) and folds through merge_ivf_pq_increment — touched
+    cells only, replay-safe by id, foreign centroids/codebooks raise
+    before any write (a stream configured with the wrong tables would
+    otherwise poison every cell it touches, batch after batch)."""
+    from ..operators.ann import merge_ivf_pq_increment
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_ivf_pq_increment(
+            batch_df.sparkSession, index_path,
+            batch_df.select(id_col, vec_col), centroids, codebooks, dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -588,3 +588,33 @@ def test_ivf_pq_exact_regime_property(spark, tmp_path_factory, vecs):
     )
     want = brute_force_topk(queries, corpus, k=k)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_pq_ingest(spark, tmp_path):
+    """Vector micro-batches stream into the IVF×PQ index; the drained
+    index equals a full rebuild over base + arrivals — codes included."""
+    from mbrainz_importer_spark.operators.ann import materialize_ivf_pq_index
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+    from mbrainz_importer_spark.streaming.vector_ingest import start_ivf_pq_ingest
+
+    corpus = _corpus4(spark, range(15))
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=8)
+    path = str(tmp_path / "ivfpq")
+    materialize_ivf_pq_index(_corpus4(spark, range(10)), CENTROIDS4, books, 4, path)
+    drop = tmp_path / "vecs"
+    _corpus4(spark, [10, 11, 12]).write.parquet(str(drop / "d1"))
+    _corpus4(spark, [13, 14]).write.parquet(str(drop / "d2"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*/")
+    )
+    q = start_ivf_pq_ingest(
+        stream, path, CENTROIDS4, books, 4, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    materialize_ivf_pq_index(corpus, CENTROIDS4, books, 4, full)
+    cols = ["nid", "nv", "codes", "cell"]
+    assert sorted(map(tuple, spark.read.parquet(path).select(*cols).collect())) == \
+        sorted(map(tuple, spark.read.parquet(full).select(*cols).collect()))
