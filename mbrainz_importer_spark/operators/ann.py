@@ -550,6 +550,13 @@ def _assign_pq_arrow(
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             xn = np.sqrt((X * X).sum(axis=1))
+            if (xn == 0).any():
+                bad = pdf[id_col].to_numpy()[xn == 0][:5].tolist()
+                raise ValueError(
+                    "zero-norm vector(s) cannot be cell-assigned by "
+                    f"cosine (ids {bad}) — NaN cosines would silently "
+                    "land in cell 0, diverging from the expression face"
+                )
             cell = ((X @ C.T) / np.outer(xn, cn)).argmax(axis=1)
             codes = np.empty((len(X), m), dtype=np.int64)
             for i in range(m):

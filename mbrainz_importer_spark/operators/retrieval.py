@@ -152,6 +152,12 @@ def hybrid_rrf_search_indexed(
     over codes only, exact re-rank of the survivors) — the fully
     quantized serving stack. The fusion contract is unchanged: the
     dense retriever still hands back (doc, rank)."""
+    if codebooks is not None and dim is None:
+        raise ValueError(
+            "hybrid_rrf_search_indexed: the PQ route needs `dim` alongside "
+            "`codebooks` (the ADC LUTs split the vector into dim // m "
+            "subspaces)"
+        )
     from .ann import ivf_pq_topk_from_index_arrow, ivf_topk_from_index_arrow
     from .fulltext import fulltext_bm25_from_index
 

@@ -27,7 +27,37 @@ _SPEC_NAME = "_bucketspec.json"
 
 
 def table_location(spark: SparkSession, table: str) -> str:
-    """Filesystem location of a warehouse table (managed or adopted)."""
+    """Filesystem location of a warehouse table (managed or adopted).
+
+    Only unqualified default-database names are supported: a `db.tbl`
+    name does NOT live at <warehouse>/<name>, so guessing would write
+    or look up the bucket spec in the wrong directory (and adoption
+    would silently fail — or adopt a stray directory). When the table
+    is already in the catalog its REAL location is resolved from the
+    catalog instead of assumed."""
+    if "." in table:
+        raise ValueError(
+            f"table_location: qualified name {table!r} is not supported — "
+            "bucketed stores live in the default database so the on-disk "
+            "_bucketspec.json sits at <warehouse>/<table>"
+        )
+    try:
+        if spark.catalog.tableExists(table):
+            detail = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED `{table}`"
+                ).collect()
+            }
+            loc = detail.get("Location", "")
+            for prefix in ("file://", "file:"):
+                if loc.startswith(prefix):
+                    loc = loc[len(prefix):]
+                    break
+            if loc:
+                return loc
+    except Exception:
+        pass  # fall back to the warehouse convention
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
         if wh.startswith(prefix):
@@ -65,6 +95,42 @@ def write_bucket_spec(
         json.dump(spec, f)
 
 
+def _validate_bucket_spec(spec: dict, spec_path: str) -> None:
+    """Refuse to adopt a malformed or internally inconsistent spec. A
+    stale / hand-edited `_bucketspec.json` would otherwise produce a
+    catalog entry whose bucket metadata misdescribes the files — and
+    with sort-trust ON a wrong n_buckets plans Exchange-free joins over
+    wrongly-bucketed data (silent wrong results). Raising (rather than
+    returning False into a rebuild) keeps the corruption loud."""
+    missing = {"schema_ddl", "bucket_key", "sort_key", "n_buckets"} - set(spec)
+    if missing:
+        raise ValueError(
+            f"corrupt bucket spec {spec_path}: missing keys {sorted(missing)}"
+        )
+    n = spec["n_buckets"]
+    if not isinstance(n, int) or isinstance(n, bool) or n <= 0:
+        raise ValueError(
+            f"corrupt bucket spec {spec_path}: n_buckets={n!r} is not a "
+            "positive int"
+        )
+    ddl_cols = {
+        c.strip().split("`")[1]
+        for c in spec["schema_ddl"].split(",")
+        if "`" in c
+    }
+    for role in ("bucket_key", "sort_key"):
+        if spec[role] not in ddl_cols:
+            raise ValueError(
+                f"corrupt bucket spec {spec_path}: {role}={spec[role]!r} "
+                f"is not a column of the stored schema ({sorted(ddl_cols)})"
+            )
+    if spec.get("partition_col") and spec["partition_col"] not in ddl_cols:
+        raise ValueError(
+            f"corrupt bucket spec {spec_path}: partition_col="
+            f"{spec['partition_col']!r} is not a column of the stored schema"
+        )
+
+
 def adopt_bucketed_table(spark: SparkSession, table: str) -> bool:
     """Re-attach catalog metadata for a bucketed layout a previous
     process left in the warehouse. Bucket metadata lives only in the
@@ -84,6 +150,7 @@ def adopt_bucketed_table(spark: SparkSession, table: str) -> bool:
         return False
     with open(spec_path) as f:
         spec = json.load(f)
+    _validate_bucket_spec(spec, spec_path)
     part = (
         f"PARTITIONED BY (`{spec['partition_col']}`) "
         if spec["partition_col"]
@@ -207,7 +274,10 @@ def sort_trust(spark: SparkSession, enabled: bool):
             joined_bucketed(spark, "a", "b", "k").collect()
     """
     key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    prev = spark.conf.get(key)
+    # Spark's built-in default is false; a session not built by
+    # session.py:get_spark may never have set the key, and a
+    # no-default conf.get raises before the body runs.
+    prev = spark.conf.get(key, "false")
     spark.conf.set(key, "true" if enabled else "false")
     try:
         yield

@@ -229,3 +229,68 @@ def test_sort_trust_toggle_is_per_query(spark, bucketed_tables):
         # same rows either way — the toggle is a physical choice only
         assert explicit.count() == 6000
     assert spark.conf.get(key) == before
+
+
+def test_bucket_spec_validation_rejects_corruption(spark, tmp_path):
+    """ADVICE r9: a stale or hand-edited _bucketspec.json must not be
+    adopted silently — with sort-trust ON a wrong n_buckets plans
+    Exchange-free joins over wrongly-bucketed files (silent wrong
+    results). Malformed specs raise loudly instead of rebuilding."""
+    import json
+    import os
+
+    import pytest
+
+    from mbrainz_importer_spark.sources.bucketed import (
+        _validate_bucket_spec,
+        adopt_bucketed_table,
+        table_location,
+    )
+
+    good = {
+        "schema_ddl": "`e` bigint, `a` string, `v` string",
+        "bucket_key": "e",
+        "sort_key": "e",
+        "n_buckets": 4,
+        "partition_col": None,
+    }
+    _validate_bucket_spec(good, "probe")  # no raise
+
+    for mutate, frag in [
+        (lambda s: s.pop("n_buckets"), "missing"),
+        (lambda s: s.update(n_buckets=0), "positive int"),
+        (lambda s: s.update(n_buckets="4"), "positive int"),
+        (lambda s: s.update(n_buckets=True), "positive int"),
+        (lambda s: s.update(bucket_key="nope"), "not a column"),
+        (lambda s: s.update(sort_key="nope"), "not a column"),
+        (lambda s: s.update(partition_col="nope"), "not a column"),
+    ]:
+        bad = dict(good)
+        mutate(bad)
+        with pytest.raises(ValueError, match=frag):
+            _validate_bucket_spec(bad, "probe")
+
+    # end-to-end: a directory with a corrupt spec raises on adopt
+    loc = table_location(spark, "adopt_probe_corrupt")
+    spark.sql("DROP TABLE IF EXISTS adopt_probe_corrupt")
+    os.makedirs(loc, exist_ok=True)
+    bad = dict(good)
+    bad["n_buckets"] = -1
+    with open(os.path.join(loc, "_bucketspec.json"), "w") as f:
+        json.dump(bad, f)
+    with pytest.raises(ValueError, match="positive int"):
+        adopt_bucketed_table(spark, "adopt_probe_corrupt")
+    import shutil
+
+    shutil.rmtree(loc)
+
+
+def test_table_location_rejects_qualified_names(spark):
+    """ADVICE r9: db.tbl does not live at <warehouse>/<name> — guessing
+    would read/write the bucket spec in the wrong directory."""
+    import pytest
+
+    from mbrainz_importer_spark.sources.bucketed import table_location
+
+    with pytest.raises(ValueError, match="qualified name"):
+        table_location(spark, "otherdb.facts")

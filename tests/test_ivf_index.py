@@ -618,3 +618,25 @@ def test_streaming_pq_ingest(spark, tmp_path):
     cols = ["nid", "nv", "codes", "cell"]
     assert sorted(map(tuple, spark.read.parquet(path).select(*cols).collect())) == \
         sorted(map(tuple, spark.read.parquet(full).select(*cols).collect()))
+
+
+def test_pq_arrow_assign_rejects_zero_norm_vectors(spark, tmp_path):
+    """ADVICE r9 (ann.py:_assign_pq_arrow): a zero-norm corpus vector
+    yields NaN cosines and numpy's argmax would silently assign cell 0
+    (RuntimeWarning only) — diverging from the expression face on the
+    same row. The Arrow kernel must refuse loudly instead."""
+    import pytest
+
+    from mbrainz_importer_spark.operators.ann import materialize_ivf_pq_index
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+
+    good = _corpus4(spark, range(8))
+    books = train_pq_codebooks(good, "vec_id", "embedding", 4, m=2, k=8)
+    zero = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = good.unionByName(zero)
+    with pytest.raises(Exception, match="zero-norm"):
+        materialize_ivf_pq_index(
+            corpus, CENTROIDS4, books, 4, str(tmp_path / "z"), encode="arrow"
+        )

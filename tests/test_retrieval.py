@@ -81,3 +81,19 @@ def test_hybrid_pq_dense_route_matches_ivf_route_at_exhaustive(spark, tmp_path):
     assert sorted(map(tuple, via_pq.collect())) == sorted(
         map(tuple, via_ivf.collect())
     )
+
+
+def test_hybrid_indexed_pq_route_requires_dim():
+    """ADVICE r9 (retrieval.py): codebooks without dim used to fail deep
+    inside the ADC LUT math with an opaque TypeError on dim // m — the
+    precondition is now checked at entry."""
+    import pytest
+
+    from mbrainz_importer_spark.operators.retrieval import (
+        hybrid_rrf_search_indexed,
+    )
+
+    with pytest.raises(ValueError, match="needs `dim`"):
+        hybrid_rrf_search_indexed(
+            None, "ft", "ivf", [[1.0]], "q", None, codebooks=[[[0.0]]]
+        )
