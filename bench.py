@@ -85,6 +85,7 @@ def main() -> None:
 
     from mbrainz_importer_spark.queries import all_queries
     from mbrainz_importer_spark.session import get_spark
+    from mbrainz_importer_spark.sources.bucketed import shape_trust
 
     spark = get_spark("bench")
     queries = all_queries()
@@ -118,7 +119,11 @@ def main() -> None:
         for _ in range(runs):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
-            n = df.count()
+            # automatic plan selection for bucketed merges (shape rule
+            # measured in PLAN_NOTES_r09.md §14/§25); its pre-check cost
+            # is charged to the query — it is part of the served path
+            with shape_trust(df):
+                n = df.count()
             samples.append(time.perf_counter() - t0)
         med = sorted(samples)[len(samples) // 2]
         timings[name] = round(med, 4)

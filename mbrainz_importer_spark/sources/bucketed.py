@@ -285,6 +285,150 @@ def sort_trust(spark: SparkSession, enabled: bool):
         spark.conf.set(key, prev)
 
 
+# ---------------------------------------------------------------------------
+# Shape-based plan selection: pick the sort-trust setting the measured
+# A/Bs showed to be best for THIS query's merge shape, automatically.
+#
+# The sf100 A/B (PLAN_NOTES_r09.md §14/§25) split the bucketed-merge
+# world in two: filtered merges (q3's selective dates, the partition-
+# pruned e-join) run up to 3.7x faster TRUSTING the on-disk bucket sort
+# (the Sort's full materialization dominates), while a NEAR-FULL-CORPUS
+# merge (q5's unfiltered fact-fact join) runs ~20% faster with the
+# explicit Sort — bulk vectorized read + tight in-memory merge of
+# sorted runs beats the sort-free SMJ's row-at-a-time interleaved
+# pulls once the merge inputs dwarf memory. The reference hand-plans
+# this per pipeline (importer.clj:286-289); here the engine inspects
+# the physical plan and picks, with no per-query human input:
+#
+#   1. find every SortMergeJoin whose BOTH inputs are clean
+#      scan -> Filter/Project chains over bucketed file scans (an
+#      aggregate or join in between means the scan's size is not the
+#      merge input's size — excluded);
+#   2. estimate each scan's post-filter row fraction by counting ONE
+#      bucket file (buckets are hash-random on the key, so any single
+#      bucket is an unbiased sample; partition-pruned scans are
+#      thinned by construction);
+#   3. trust OFF only when every certifiable merge is near-full-corpus
+#      (all input fractions >= threshold) — q5's shape; anything
+#      thinned keeps the measured-default trust ON.
+# ---------------------------------------------------------------------------
+
+_CHAIN_OK = {"ProjectExec", "FilterExec", "SortExec"}
+
+
+def _iter_plan(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_plan(node.children().apply(i))
+
+
+def _chain_scan(node):
+    """Descend through Project/Filter/Sort to a single file scan; None
+    when anything else (aggregate, join, exchange...) intervenes — then
+    the scan's row count is not the merge input's row count."""
+    cls = node.getClass().getSimpleName()
+    if cls == "FileSourceScanExec":
+        return node
+    if cls in _CHAIN_OK and node.children().size() == 1:
+        return _chain_scan(node.children().apply(0))
+    return None
+
+
+# sampled-fraction memo: the same (file, condition) re-estimates on
+# every run of a repeated query; the layout is immutable between
+# writes (a rewrite changes the file NAME — part-...-<uuid>), so the
+# key is stable exactly as long as the estimate is
+_FRACTION_CACHE: dict[tuple[str, str], float] = {}
+
+
+def _scan_merge_fraction(spark: SparkSession, scan) -> float | None:
+    """Estimated post-filter row fraction of a bucketed scan, from ONE
+    bucket file. None = not a bucketed scan (shape not certifiable)."""
+    import re
+
+    md = scan.metadata()
+    if not (md.contains("Bucketed") and md.apply("Bucketed") == "true"):
+        return None
+    if scan.partitionFilters().size() > 0:
+        return 0.0  # partition-pruned: thinned by construction
+    flt = scan.dataFilters()
+    sqls = [flt.apply(i).sql() for i in range(flt.size())]
+    # join-key IS NOT NULL guards don't thin a merge input — skip the
+    # sample (this is q5's whole filter set; the sample would read a
+    # bucket file per run for a known answer)
+    sqls = [s for s in sqls if not re.fullmatch(r"\(.+ IS NOT NULL\)", s)]
+    if not sqls:
+        return 1.0
+    files = scan.relation().location().inputFiles()
+    if len(files) == 0:
+        return 1.0
+    one = files[0]
+    cond = " AND ".join(sqls)
+    # Expression.sql() qualifies columns as spark_catalog.<db>.<tbl>.<col>;
+    # the single-file read has bare names
+    cond = re.sub(r"\b\w+\.\w+\.\w+\.(\w+)", r"\1", cond)
+    if (one, cond) in _FRACTION_CACHE:
+        return _FRACTION_CACHE[(one, cond)]
+    import pyarrow.parquet as pq
+
+    path = re.sub(r"^file:(//)?", "", one)
+    total = pq.ParquetFile(path).metadata.num_rows
+    frac = 1.0 if total == 0 else (
+        spark.read.parquet(one).where(cond).count() / total
+    )
+    _FRACTION_CACHE[(one, cond)] = frac
+    return frac
+
+
+def shape_selected_trust(df: DataFrame, full_threshold: float = 0.9) -> bool | None:
+    """The sort-trust setting the measured shape rule picks for this
+    plan: False (explicit Sort) when every certifiable bucketed merge is
+    near-full-corpus, True when any is thinned, None when the plan has
+    no certifiable bucketed fact-fact merge (leave the session default
+    alone). Results are flag-invariant either way — this is a physical
+    choice only (pinned in test_sort_trust_toggle_is_per_query)."""
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().sparkPlan()
+    full = thinned = 0
+    for node in _iter_plan(plan):
+        if node.getClass().getSimpleName() != "SortMergeJoinExec":
+            continue
+        sides = [_chain_scan(node.children().apply(i)) for i in (0, 1)]
+        if any(s is None for s in sides):
+            continue
+        fracs = [_scan_merge_fraction(spark, s) for s in sides]
+        if any(fr is None for fr in fracs):
+            continue
+        if all(fr >= full_threshold for fr in fracs):
+            full += 1
+        else:
+            thinned += 1
+    if thinned:
+        return True
+    if full:
+        return False
+    return None
+
+
+@contextmanager
+def shape_trust(df: DataFrame, full_threshold: float = 0.9):
+    """Run an action under the shape-selected sort-trust setting:
+
+        df = q5_region_revenue_bucketed(spark, sf_dir)
+        with shape_trust(df):
+            df.count()
+
+    Yields the picked setting (None = no certifiable merge, session
+    default untouched). Same plan-time caveat as sort_trust: the ACTION
+    must run inside the block."""
+    pick = shape_selected_trust(df, full_threshold)
+    if pick is None:
+        yield None
+        return
+    with sort_trust(df.sparkSession, pick):
+        yield pick
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan."""
     plan = physical_plan(df)

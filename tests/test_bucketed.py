@@ -294,3 +294,59 @@ def test_table_location_rejects_qualified_names(spark):
 
     with pytest.raises(ValueError, match="qualified name"):
         table_location(spark, "otherdb.facts")
+
+
+def test_shape_selected_trust_picks_measured_best_plan(spark):
+    """Verdict r9 #1 — the engine picks the q5-shape plan it measured
+    to be best, automatically (sources/bucketed.py:shape_selected_trust).
+    The sf100 A/B (PLAN_NOTES_r09.md §14/§25) is the ground truth the
+    rule encodes: a near-full-corpus bucketed fact-fact merge prefers
+    the explicit Sort (trust OFF, ~12-20% at sf100), every thinned
+    merge (selective filters, pruned partitions) prefers trusting the
+    on-disk bucket sort (up to 3.7x), and a plan with no certifiable
+    bucketed merge leaves the session default alone."""
+    from mbrainz_importer_spark.queries.core import (
+        q1_pricing_summary,
+        q3_shipping_priority_bucketed,
+        q5_region_revenue_bucketed,
+        q18_large_orders_bucketed,
+    )
+    from mbrainz_importer_spark.sources.bucketed import (
+        physical_plan,
+        shape_selected_trust,
+        shape_trust,
+    )
+
+    q5 = q5_region_revenue_bucketed(spark, SF)
+    q3 = q3_shipping_priority_bucketed(spark, SF)
+    q18 = q18_large_orders_bucketed(spark, SF)
+
+    # unfiltered fact-fact merge -> explicit Sort (the §14 q5 winner)
+    assert shape_selected_trust(q5) is False
+    # date-thinned merge -> trust the on-disk sort (the §14 q3 winner)
+    assert shape_selected_trust(q3) is True
+    # q18's lineitem side reaches the merge through an aggregate — the
+    # scan fraction is not the merge input's size, so no certification
+    assert shape_selected_trust(q18) is None
+    # no bucketed merge at all -> hands off
+    assert shape_selected_trust(q1_pricing_summary(spark, SF)) is None
+
+    # the picked setting actually lands in the physical plan: q5 under
+    # shape_trust plans explicit Sorts before its SMJ; q3 stays
+    # Sort-free; rows are flag-invariant (same oracle either way)
+    with shape_trust(q5) as pick:
+        assert pick is False
+        assert q5.count() == 10
+        merge_sorts = [
+            ln for ln in physical_plan(q5).splitlines()
+            if " Sort [l_orderkey" in ln or " Sort [o_orderkey" in ln
+        ]
+        assert merge_sorts, physical_plan(q5)
+    with shape_trust(q3) as pick:
+        assert pick is True
+        assert q3.count() == 10
+        smj_sorts = [
+            ln for ln in physical_plan(q3).splitlines()
+            if " Sort [l_orderkey" in ln or " Sort [o_orderkey" in ln
+        ]
+        assert not smj_sorts, smj_sorts

@@ -115,6 +115,7 @@ def main() -> None:
 
     from mbrainz_importer_spark.queries import all_queries
     from mbrainz_importer_spark.session import get_spark
+    from mbrainz_importer_spark.sources.bucketed import shape_trust
 
     spark = get_spark("scale_bench")
     queries = all_queries()
@@ -134,9 +135,16 @@ def main() -> None:
             print(f"# {name}: SKIPPED at sf{sf}: {gate[1]}", file=sys.stderr)
             continue
         samples, rows = [], -1
+        picks = []
         for _ in range(max(1, args.runs)):
             t0 = time.perf_counter()
-            rows = queries[name](spark, args.sf_dir).count()
+            df = queries[name](spark, args.sf_dir)
+            # automatic plan selection for bucketed merges (the shape
+            # rule measured in PLAN_NOTES_r09.md §14/§25); the pre-check
+            # is charged to the run — it is part of the served path
+            with shape_trust(df) as pick:
+                picks.append(pick)
+                rows = df.count()
             samples.append(round(time.perf_counter() - t0, 4))
         rest = sorted(samples[1:]) or samples
         entry = {
@@ -145,6 +153,8 @@ def main() -> None:
             "samples": samples,
             "rows": rows,
         }
+        if any(p is not None for p in picks):
+            entry["sort_trust_picked"] = picks[-1]
         out[name] = entry
         print(f"# {name}: build_run {samples[0]:.2f}s steady "
               f"{entry['steady_seconds']:.2f}s rows={rows}", file=sys.stderr)
