@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_topk_arrow",
     "sim_ivf_topk",
     "sim_ivf_pq_serving",
+    "sim_ivf_sq8_exact",
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",
@@ -71,6 +72,7 @@ HEADLINE = [
     "quality_classifier_scores",
     "semdedup_survivors",
     "semdedup_survivors_arrow",
+    "semdedup_pq_serving",
     "skew_salted_join",
     "er_resolved_clusters",
 ]

@@ -887,6 +887,217 @@ def _ivf_pq_rerank(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF×SQ8 — the scalar-quantized in-index code (r9 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def _write_sq8_bounds(path: str, lo: list[float], hi: list[float]) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, "_sq8_bounds.json"), "w") as f:
+        json.dump({"lo": lo, "hi": hi}, f)
+
+
+def stored_sq8_bounds(path: str) -> tuple[list[float], list[float]]:
+    """The per-dim grid bounds the index at `path` was encoded with."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_sq8_bounds.json")) as f:
+        b = json.load(f)
+    return b["lo"], b["hi"]
+
+
+def check_sq8_bounds(path: str, lo: list[float], hi: list[float]) -> None:
+    """Raise if the grid bounds differ from the index's stored set —
+    integer dots of codes from two different grids are meaningless
+    (the SQ8 twin of check_codebooks); a missing file is accepted."""
+    import json
+    import os
+
+    meta = os.path.join(path, "_sq8_bounds.json")
+    if not os.path.exists(meta):
+        return
+    with open(meta) as f:
+        stored = json.load(f)
+    want = {"lo": [float(x) for x in lo], "hi": [float(x) for x in hi]}
+    if want != stored:
+        raise ValueError(
+            f"SQ8 bounds do not match the index layout at {path} — "
+            "read the stored grid back with stored_sq8_bounds()"
+        )
+
+
+def materialize_ivf_sq8_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    lo: list[float],
+    hi: list[float],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF×SQ8 index: same storage contract as the PQ face —
+    (nid, nv, codes) cell-partitioned in one narrow pass, metadata
+    (centroids + grid bounds) written LAST — with int8 scalar codes
+    instead of product codes: 4x residency cut vs PQ's 16-64x, but
+    ZERO training (the grid is a closed-form per-dim min/max) and the
+    code dot is EXACTLY recomputable in SQL, so the oracle gate
+    certifies the whole corpus — no lossless-regime subset needed
+    (faiss "IVFx,SQ8"; sq8 encode is a pure column expression, so the
+    build needs no Arrow kernel either)."""
+    from .quantize import sq8_code
+
+    assigned = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        sq8_code(F.col(vec_col), lo, hi).alias("codes"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_centroids(path, centroids)
+    _write_sq8_bounds(path, lo, hi)
+
+
+def ivf_sq8_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Quantized inner-product top-k over the materialized IVF×SQ8
+    index: queries encode on the stored grid, the probe prunes to
+    n_probe cell directories and reads (nid, codes) ONLY — the 4x
+    column cut, `nv` stays on disk — and ranks by the exact integer
+    dot (dot_q DESC, nid ASC), the sq8_ip_topk contract served from
+    storage. With n_probe = n_cells the result equals the Flat,SQ8
+    scan over the whole corpus, which is what the oracle recomputes."""
+    from .quantize import int_dot, sq8_code
+
+    check_centroids(path, centroids)
+    check_sq8_bounds(path, lo, hi)
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        sq8_code(F.col(vec_col), lo, hi).alias("qc"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    index = spark.read.parquet(path).select("nid", "codes", "cell").where(
+        F.col("cell").isin(cells)
+    )
+    pairs = (
+        probes.join(index, "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", int_dot(F.col("qc"), F.col("codes")).alias("dot_q"))
+        .groupBy("qid", "nid")
+        .agg(F.max("dot_q").alias("dot_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot_q"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def merge_ivf_sq8_increment(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    centroids: list[list[float]],
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_moved: str = "error",
+) -> None:
+    """Incremental maintenance for the IVF×SQ8 index — the exact
+    contract of `merge_ivf_pq_increment` (touched cells only,
+    redelivery-safe, moved-id guard) through the shared
+    `_merge_fresh_into_cells` core, with the arrival pass encoding on
+    the STORED grid (an increment encoded against foreign bounds would
+    poison the integer dots of the touched cells — checked before any
+    write)."""
+    from .quantize import sq8_code
+
+    if on_moved not in ("error", "tombstone"):
+        raise ValueError(f"on_moved must be 'error' or 'tombstone', got {on_moved!r}")
+    check_centroids(path, centroids)
+    check_sq8_bounds(path, lo, hi)
+    fresh = (
+        arrivals.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            sq8_code(F.col(vec_col), lo, hi).alias("codes"),
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        )
+        .groupBy("nid")  # an increment may carry an id twice; one survives
+        .agg(F.max(F.struct("cell", "nv", "codes")).alias("w"))
+        .select(
+            "nid",
+            F.col("w.nv").alias("nv"),
+            F.col("w.codes").alias("codes"),
+            F.col("w.cell").alias("cell"),
+        )
+    )
+    _merge_fresh_into_cells(
+        spark, path, fresh, ("nid", "nv", "codes", "cell"), on_moved,
+        "merge_ivf_sq8_increment",
+    )
+
+
+def retrain_ivf_sq8_index(
+    spark,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    max_iter: int = 8,
+    sample_limit: int = 4096,
+    seed: int = IVF_SEED,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Drift repair for the IVF×SQ8 index: refit centroids from a
+    bounded ordered sample (the corpus never collects) and the grid
+    bounds from the FULL index contents (sq8_train_bounds is one exact
+    min/max aggregation — no sampling error in the artifact that
+    decides code values), then re-encode and re-materialize every cell
+    staged through disk, metadata written LAST. Returns
+    (centroids, lo, hi): probe and merge with the returned set — the
+    stale grid raises via check_sq8_bounds."""
+    from ..plans.eav import _drop_stage, _stage_merge
+    from .quantize import sq8_code, sq8_train_bounds
+
+    vecs = spark.read.parquet(path).select(
+        F.col("nid").alias("vec_id"), F.col("nv").alias("embedding")
+    )
+    cents = train_centroids_sample(
+        vecs, "vec_id", "embedding",
+        n_cells=n_cells, max_iter=max_iter,
+        sample_limit=sample_limit, seed=seed,
+    )
+    lo, hi = sq8_train_bounds(vecs, "embedding", dim)
+    assigned = vecs.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        sq8_code(F.col("embedding"), lo, hi).alias("codes"),
+        _nearest_cells(F.col("embedding"), cents, 1)[0].alias("cell"),
+    )
+    staged = _stage_merge(
+        spark, assigned, path, columns=("nid", "nv", "codes", "cell")
+    )
+    staged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _drop_stage(path)
+    _write_sq8_bounds(path, lo, hi)
+    _write_centroids(path, cents)
+    return cents, lo, hi
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -423,6 +423,196 @@ def _semdedup_dups_arrow(cells: DataFrame, threshold: float) -> DataFrame:
     return cells.groupBy("pcell").applyInPandas(find_dups, schema="doc long")
 
 
+# -------------------------------------------------------------------------
+# SemDeDup served from the IVF×PQ index (r9 verdict #2): candidate
+# generation probes the MATERIALIZED codes instead of re-scoring cells
+# -------------------------------------------------------------------------
+
+def materialize_semdedup_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF×PQ storage whose cell assignment is semdedup_assign_arrow's
+    ROUNDED cosine argmax — the engine-portable rule the semdedup
+    oracle embeds — instead of ann.materialize_ivf_pq_index's unrounded
+    one (the two differ only when two cells' cosines land within 1e-6;
+    the dedup gates must never flip on that). Same storage contract:
+    one narrow pass emits (nid, nv, codes) cell-partitioned, centroid
+    and codebook metadata written LAST so probing with a foreign set
+    fails loudly (ann.check_centroids / check_codebooks)."""
+    import pandas as pd
+
+    from .ann import _write_centroids, _write_codebooks
+
+    C = np.array(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    vtype = df.schema[vec_col].dataType.simpleString()
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            S = (X @ C.T) / np.outer(xn, cn)
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6  # HALF_UP
+            cell = S.argmax(axis=1)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for i in range(m):
+                Si = X[:, i * sub : (i + 1) * sub]
+                d2 = ((Si[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=-1)
+                codes[:, i] = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                "nid": pdf[id_col].to_numpy(dtype=np.int64),
+                "nv": pdf[vec_col],
+                "codes": list(codes),
+                "cell": cell.astype("int32"),
+            })
+
+    df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"nid long, nv {vtype}, codes array<int>, cell int"
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_centroids(path, centroids)
+    _write_codebooks(path, codebooks)
+
+
+def _semdedup_index_candidates(
+    spark,
+    path: str,
+    codebooks: list[list[list[float]]],
+    threshold: float,
+    margin: float,
+) -> DataFrame:
+    """Candidate rep pairs (id_a < id_b, co-celled, ADC cosine >=
+    threshold - margin) from the index's CODES — the scan this stage
+    plans reads (nid, codes, cell) and never `nv` (plan-asserted in
+    tests): m ints per vector instead of dim floats, the same 17.4x
+    fetch-bytes cut the ANN probe measured at sf100. Identical codes
+    collapse to their min-nid representative BEFORE the per-cell Gram
+    (identical vectors encode identically, so a replicated corpus pays
+    pair work on distinct codes only — the collapse_identical analogue,
+    exact in the lossless regime where codes are injective). Per-cell
+    cost is |distinct codes in cell|² via per-subspace k×k LUTs
+    (T_i = B_i @ B_i.T, built once per task)."""
+    import pandas as pd
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    luts = [B @ B.T for B in books]
+
+    reps = (
+        spark.read.parquet(path)
+        .select("nid", "codes", "cell")
+        .groupBy("cell", "codes")
+        .agg(F.min("nid").alias("rep"))
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["rep"].to_numpy())
+        ids = pdf["rep"].to_numpy()[order]
+        Cd = np.array(pdf["codes"].tolist(), dtype=np.int64)[order]
+        S = np.zeros((len(ids), len(ids)))
+        rn2 = np.zeros(len(ids))
+        for i, T in enumerate(luts):
+            ci = Cd[:, i]
+            S += T[ci[:, None], ci[None, :]]
+            rn2 += T[ci, ci]
+        rn = np.sqrt(rn2)
+        S = S / np.outer(rn, rn)
+        hit = np.triu(S >= threshold - margin, k=1)
+        a, b = np.nonzero(hit)
+        return pd.DataFrame(
+            {"id_a": ids[a].astype("int64"), "id_b": ids[b].astype("int64")}
+        )
+
+    return reps.groupBy("cell").applyInPandas(pairs, schema="id_a long, id_b long")
+
+
+def semdedup_from_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    threshold: float = 0.3,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """SemDeDup SERVED FROM STORAGE: the production counterpart of
+    `semdedup`, which re-assigns every embedding to a cell and rescans
+    full vectors per run. All three stages read the materialized
+    IVF×PQ layout instead:
+
+    1. cell assignment IS the index's partition layout (zero scoring);
+    2. candidate pairs come from the column-pruned CODES scan
+       (_semdedup_index_candidates — `nv` stays on disk);
+    3. only candidate pairs read full vectors, for the exact rounded
+       cosine the oracle computes (JVM expressions, same arithmetic as
+       the expression face).
+
+    EXACT in the lossless regime (k >= distinct subvectors: ADC == the
+    true cosine up to float addition order, covered by the default
+    1e-6 margin against the round-6 threshold compare, and codes are
+    injective so the rep collapse is the collapse_identical argument
+    verbatim) — certified against the PQ-unaware semdedup oracle by the
+    `semdedup_pq_exact` gate. With lossy codebooks the candidate stage
+    is approximate (pairs whose ADC cosine falls below threshold -
+    margin are missed): widen `margin` to trade scan bytes for recall,
+    the same knob order as ivf_pq serving's rerank. Precondition:
+    threshold <= 1 - 1e-6 (above it, self-similarity rounding makes
+    'duplicate' ill-defined — same contract as semdedup's collapse).
+    Returns (doc, cell, keep) for every indexed row."""
+    from .ann import check_centroids, check_codebooks
+
+    if threshold > 1.0 - 1e-6:
+        raise ValueError(
+            f"semdedup_from_index needs threshold <= 1 - 1e-6, got {threshold}"
+        )
+    check_centroids(path, centroids)
+    check_codebooks(path, codebooks)
+
+    idx = spark.read.parquet(path)
+    members = idx.select(
+        "nid", "cell",
+        F.min("nid").over(Window.partitionBy("cell", "codes")).alias("rep"),
+    )
+    cand = _semdedup_index_candidates(spark, path, codebooks, threshold, margin)
+    vecs = idx.select(
+        F.col("nid").alias("vid"), F.col("nv").alias("vv"),
+        norm(F.col("nv")).alias("vn"),
+    )
+    sim = F.round(
+        dot(F.col("va.vv"), F.col("vb.vv")) / (F.col("va.vn") * F.col("vb.vn")), 6
+    )
+    dups = (
+        cand.join(vecs.alias("va"), cand["id_a"] == F.col("va.vid"))
+        .join(vecs.alias("vb"), cand["id_b"] == F.col("vb.vid"))
+        .where(sim >= threshold)
+        .select(F.col("id_b").alias("dup_rep"))
+        .distinct()
+    )
+    return members.join(
+        dups, members["rep"] == dups["dup_rep"], "left"
+    ).select(
+        F.col("nid").alias("doc"),
+        "cell",
+        (
+            (F.col("nid") == F.col("rep")) & F.col("dup_rep").isNull()
+        ).alias("keep"),
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int,

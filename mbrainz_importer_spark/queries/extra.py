@@ -534,6 +534,30 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_topk(edges, k=20, iters=3)
 
 
+def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution on a sink-bearing
+    DIRECTED graph (customer -> supplier trade edges, un-symmetrized:
+    every supplier node is a sink). Each round adds one scalar
+    aggregation — the sinks' total mass, integer-split dm DIV n and
+    teleported into every node's update (operators/graph.py
+    dangling="redistribute"); the default drop policy stays exact for
+    the symmetric gate. Three unrolled DuckDB rounds with the same
+    scalar subquery must reproduce every rank bit-for-bit."""
+    from ..operators.graph import pagerank_topk
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_topk(edges, k=20, iters=3, dangling="redistribute")
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (parts sharing an order,
     canonical p1 < p2 edges) — the clustering-structure probe next to
@@ -711,6 +735,7 @@ QUERIES = {
     "json_parse_roundtrip": json_parse_roundtrip,
     "approx_distinct_users": approx_distinct_users,
     "graph_pagerank_topk": graph_pagerank_topk,
+    "graph_pagerank_directed": graph_pagerank_directed,
     "graph_triangle_count": graph_triangle_count,
     "agg_incremental_view": agg_incremental_view,
 }
@@ -1211,6 +1236,63 @@ ORACLES["graph_pagerank_topk"] = """
     ORDER BY rank DESC, node ASC
     LIMIT 20
 """
+
+def _pagerank_directed_oracle() -> str:
+    """Three unrolled integer-PageRank rounds with the dangling term:
+    each round's dm = total rank mass on out-degree-0 nodes, teleported
+    as dm DIV n into every node's update — the SQL twin of
+    operators/graph.py dangling='redistribute'."""
+    head = """
+    WITH edges AS (
+        SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (
+        SELECT DISTINCT s AS v FROM edges
+        UNION SELECT DISTINCT t FROM edges
+    ),
+    outd AS (
+        SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS od
+        FROM edges GROUP BY s
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes)"""
+    rounds = []
+    for i in range(1, 4):
+        p = i - 1
+        rounds.append(f""",
+    d{i} AS (
+        SELECT COALESCE(SUM(r.r), 0) // (SELECT n FROM nn) AS ds
+        FROM r{p} r LEFT JOIN outd o ON r.v = o.v
+        WHERE o.v IS NULL
+    ),
+    c{i} AS (
+        SELECT e.t AS v, SUM(r.r // o.od) AS c
+        FROM edges e
+          JOIN r{p} r ON e.s = r.v
+          JOIN outd o ON e.s = o.v
+        GROUP BY e.t
+    ),
+    r{i} AS (
+        SELECT n.v,
+               (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * (COALESCE(c{i}.c, 0)
+                            + (SELECT ds FROM d{i}))) // 100 AS r
+        FROM nodes n LEFT JOIN c{i} ON n.v = c{i}.v
+    )""")
+    return (
+        head
+        + "".join(rounds)
+        + """
+    SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+    FROM r3
+    ORDER BY rank DESC, node ASC
+    LIMIT 20
+    """
+    )
+
+
+ORACLES["graph_pagerank_directed"] = _pagerank_directed_oracle()
 
 ORACLES["graph_triangle_count"] = """
     WITH pairs AS (

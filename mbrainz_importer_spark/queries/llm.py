@@ -512,6 +512,40 @@ def semdedup_survivors_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(emb, cents, threshold=0.3, use_arrow=True).orderBy("doc")
 
 
+def semdedup_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from the materialized IVF×PQ index — the
+    production face (operators/similarity.py:semdedup_from_index):
+    cell assignment IS the index's partition layout, candidate pairs
+    come from a codes-only column-pruned scan (identical codes collapse
+    to min-id reps first, so a replicated corpus pays pair work on
+    distinct codes only), and only candidates read full vectors for the
+    exact rounded-cosine verdict. Rows-only by the same contract as
+    sim_ivf_pq_serving: lossy codebooks (m=16/k=64) make the CANDIDATE
+    stage approximate (margin widens it); the machinery is
+    hash-certified end-to-end by semdedup_pq_exact in its lossless
+    regime, and the lossless face equals plain semdedup bit-for-bit in
+    tests/test_semdedup_index.py."""
+    import os
+
+    from ..operators.similarity import (
+        materialize_semdedup_index,
+        semdedup_from_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.hyperplanes(64, 16, seed=7)
+    books = _pq_codebooks(spark, sf_dir)
+    path = os.path.join(
+        "spark-warehouse", "semdedup_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_serving_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_semdedup_index(emb, cents, books, 64, path)
+    return semdedup_from_index(
+        spark, path, cents, books, 64, threshold=0.3, margin=0.05
+    ).orderBy("doc")
+
+
 def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (rows-only registry
     contract: DEFLATE is deterministic but not SQL-expressible; exact
@@ -658,6 +692,7 @@ QUERIES = {
     "compression_ratio_stats": compression_ratio_stats,
     "semdedup_survivors": semdedup_survivors,
     "semdedup_survivors_arrow": semdedup_survivors_arrow,
+    "semdedup_pq_serving": semdedup_pq_serving,
     "text_quality_quartiles": text_quality_quartiles,
     "dedup_exact": dedup_exact,
     "dedup_exact_fast": dedup_exact_fast,

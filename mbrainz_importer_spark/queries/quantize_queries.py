@@ -192,11 +192,169 @@ def ivf_pq_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_sq8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF×SQ8 index (operators/ann.py:materialize_ivf_sq8_index /
+    ivf_sq8_topk_from_index) certified CORPUS-WIDE: SQ8's grid is a
+    closed form the oracle recomputes exactly (no lossless-regime
+    subset — the whole embeddings table is the corpus), and with
+    n_probe = n_cells the partition-pruned probe must hash-equal the
+    Flat,SQ8 ranking of an oracle that has never heard of IVF. The
+    cell layout, the codes-only candidate read, and the integer-dot
+    ranking all sit under the hash."""
+    import os
+
+    from ..operators.ann import (
+        ivf_sq8_topk_from_index,
+        materialize_ivf_sq8_index,
+        train_centroids_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    cents = train_centroids_sample(emb, n_cells=4)
+    path = os.path.join(
+        "spark-warehouse", "ivf_sq8_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_exact_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_sq8_index(emb, cents, lo, hi, path)
+    queries = emb.where(F.col("vec_id") < 5)
+    return (
+        ivf_sq8_topk_from_index(
+            spark, path, queries, cents, lo, hi, k=5, n_probe=len(cents)
+        )
+        .select("qid", "nid", "dot_q", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+def sim_ivf_sq8_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally MAINTAINED IVF×SQ8 index, corpus-wide exact:
+    builds once from 90% of the embeddings, every 10th vector arrives
+    through `merge_ivf_sq8_increment` (encoded on the STORED grid,
+    folded into touched cells only through the shared
+    _merge_fresh_into_cells core, redelivery-safe), and the exhaustive
+    probe must hash-equal the same IVF-unaware Flat,SQ8 oracle —
+    incremental maintenance left codes AND vectors exactly equal to a
+    full build."""
+    import os
+
+    from ..operators.ann import (
+        ivf_sq8_topk_from_index,
+        materialize_ivf_sq8_index,
+        merge_ivf_sq8_increment,
+        train_centroids_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    cents = train_centroids_sample(emb, n_cells=4)
+    path = os.path.join(
+        "spark-warehouse", "ivf_sq8_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_inc_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_sq8_index(
+            emb.where(F.col("vec_id") % 10 != 0), cents, lo, hi, path
+        )
+    merge_ivf_sq8_increment(
+        spark, path, emb.where(F.col("vec_id") % 10 == 0), cents, lo, hi
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return (
+        ivf_sq8_topk_from_index(
+            spark, path, queries, cents, lo, hi, k=5, n_probe=len(cents)
+        )
+        .select("qid", "nid", "dot_q", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+def semdedup_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from the IVF×PQ index in its EXACT regime (r9
+    verdict #2): the integer-grid corpus subset, lossless codebooks
+    (k >= the 64 distinct subvectors ⇒ the codes-only ADC Gram IS the
+    exact pairwise cosine up to float order, covered by the 1e-6
+    margin), threshold 0.9 (the grid corpus's pairwise cosines span
+    0.856-0.942 — the bar discriminates). Candidate generation reads
+    (nid, codes, cell) and never `nv` (plan-asserted in
+    tests/test_semdedup_index.py); only candidates read vectors, for
+    the rounded cosine the PQ-unaware oracle computes. Must hash-equal
+    the same semdedup math DuckDB runs on raw grid vectors."""
+    import os
+
+    from ..operators.similarity import (
+        hyperplanes,
+        materialize_semdedup_index,
+        semdedup_from_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    grid = emb.where(F.col("vec_id") < 64).select(
+        "vec_id", sq8_code(F.col("embedding"), lo, hi).cast("array<float>").alias("embedding")
+    )
+    books = train_pq_codebooks(
+        grid, "vec_id", "embedding", DIM, m=8, k=256, sample_limit=4096
+    )
+    cents = hyperplanes(DIM, 4, seed=7)
+    path = os.path.join(
+        "spark-warehouse", "semdedup_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_exact_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_semdedup_index(grid, cents, books, DIM, path)
+    return semdedup_from_index(
+        spark, path, cents, books, DIM, threshold=0.9
+    ).orderBy("doc")
+
+
+def _semdedup_pq_oracle() -> str:
+    from ..operators.similarity import hyperplanes
+
+    cents = hyperplanes(DIM, 4, seed=7)
+    rows = ", ".join(
+        "{'cell': %d, 'c': [%s]::DOUBLE[]}"
+        % (i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH {_CODES_CTE},
+        grid AS (
+            SELECT vec_id, c::DOUBLE[] AS v FROM codes WHERE vec_id < 64
+        ),
+        sims AS (
+            SELECT vec_id, u.cell AS cell,
+                   ROUND(list_cosine_similarity(v, u.c), 6) AS sim
+            FROM grid, UNNEST([{rows}]) AS t(u)
+        ),
+        assign AS (
+            SELECT vec_id, CAST(cell AS INT) AS cell FROM sims
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1
+        ),
+        dups AS (
+            SELECT DISTINCT b.vec_id AS doc
+            FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN grid ga ON ga.vec_id = a.vec_id
+              JOIN grid gb ON gb.vec_id = b.vec_id
+            WHERE ROUND(list_cosine_similarity(ga.v, gb.v), 6) >= 0.9
+        )
+        SELECT a.vec_id AS doc, a.cell, (d.doc IS NULL) AS keep
+        FROM assign a LEFT JOIN dups d ON a.vec_id = d.doc
+        ORDER BY doc
+    """
+
+
 QUERIES = {
     "sq8_quantized_topk": sq8_quantized_topk,
     "pq_exact_topk": pq_exact_topk,
     "ivf_pq_exact_topk": ivf_pq_exact_topk,
     "ivf_pq_incremental_exact": ivf_pq_incremental_exact,
+    "sim_ivf_sq8_exact": sim_ivf_sq8_exact,
+    "sim_ivf_sq8_incremental_exact": sim_ivf_sq8_incremental_exact,
+    "semdedup_pq_exact": semdedup_pq_exact,
 }
 
 ORACLES = {
@@ -204,4 +362,7 @@ ORACLES = {
     "pq_exact_topk": _topk_sql("vec_id < 3", "vec_id < 64", 5),
     "ivf_pq_exact_topk": _topk_sql("vec_id < 3", "vec_id < 64", 5),
     "ivf_pq_incremental_exact": _topk_sql("vec_id < 3", "vec_id < 64", 5),
+    "sim_ivf_sq8_exact": _topk_sql("vec_id < 5", "TRUE", 5),
+    "sim_ivf_sq8_incremental_exact": _topk_sql("vec_id < 5", "TRUE", 5),
+    "semdedup_pq_exact": _semdedup_pq_oracle(),
 }

@@ -189,3 +189,116 @@ def test_pagerank_deep_iterations_no_plan_blowup(spark):
     assert len(out) == 5
     assert sum(out.values()) <= PR_SCALE
     assert out[1] > out[5]
+
+
+def test_pagerank_dangling_redistribute_hand_computed(spark):
+    """dangling='redistribute' (r9 verdict #5): directed a(1)->b(2),
+    b is a sink. One integer round by hand: b's parked base mass
+    teleports as dm DIV n into BOTH nodes' updates; the default drop
+    policy must leave it leaked (strictly lower ranks)."""
+    pairs = [(1, 2)]
+    e = _edges(spark, pairs)
+    base = PR_SCALE // 2
+    teleport = (15 * base) // 100
+    ds = base // 2  # round-1 dangling mass = b's base rank, split by n=2
+    want = {
+        1: teleport + (85 * ds) // 100,
+        2: teleport + (85 * (base + ds)) // 100,
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=1, dangling="redistribute").collect()
+    }
+    assert got == want
+    dropped = {
+        r["node"]: r["rank"] for r in pagerank(e, iters=1).collect()
+    }
+    assert dropped[1] < got[1] and dropped[2] < got[2]
+
+
+def test_pagerank_dangling_noop_on_sink_free_graph(spark):
+    """On a symmetric (sink-free) graph the redistribute term is zero:
+    both policies must produce identical ranks — the symmetric gates
+    keep their hashes with either setting."""
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e, iters=3, dangling="redistribute").collect()))
+    assert a == b
+
+
+def test_pagerank_rejects_unknown_dangling_policy(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(_edges(spark, [(1, 2)]), dangling="teleport-all")
+
+
+def test_pagerank_topk_releases_statics_on_demand(spark):
+    """r9 verdict #6 — cache hygiene with an explicit handle: the
+    statics cache is size-ONE (a new graph evicts and unpersists the
+    old one), repeated runs on the same graph reuse it (the
+    delta-independent prefix), pagerank_topk's result never references
+    it (k rows requified eagerly), and release_pagerank_statics()
+    leaves no persistent RDD behind; triangle_count already releases
+    inside the call."""
+    from mbrainz_importer_spark.operators.graph import (
+        _PR_STATICS,
+        pagerank_topk,
+        release_pagerank_statics,
+        triangle_count,
+    )
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jmap.keys())
+
+    release_pagerank_statics()
+    before = persistent_ids()
+    pairs = [(1, 2), (1, 3), (1, 4), (4, 5), (2, 3)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e_sym = _edges(spark, sym)
+    out = pagerank_topk(e_sym, k=3, iters=3)
+    assert out.count() == 3
+    assert len(_PR_STATICS) == 1
+    first_key = next(iter(_PR_STATICS))
+    # the same edge plan again: the cached prefix is REUSED, not
+    # rebuilt (local test frames only hash-match when the plan object
+    # is reused; parquet-derived plans — the gates — match across
+    # rebuilds, pinned in test_pagerank_statics_reuse_across_rebuilds)
+    pagerank_topk(e_sym, k=3, iters=3).count()
+    assert set(_PR_STATICS) == {first_key}
+    # a different graph EVICTS it — the cache is bounded at one entry
+    out2 = pagerank_topk(
+        _edges(spark, pairs), k=3, iters=3, dangling="redistribute"
+    )
+    assert out2.count() == 3
+    assert len(_PR_STATICS) == 1 and first_key not in _PR_STATICS
+    triangle_count(_edges(spark, pairs)).collect()
+    # the explicit handle returns every byte: nothing persistent remains
+    release_pagerank_statics()
+    leaked = persistent_ids() - before
+    assert not leaked, f"persistent RDDs leaked: {leaked}"
+
+
+def test_pagerank_statics_reuse_across_rebuilds(spark):
+    """The statics cache must hit when the gate's edge plan is REBUILT
+    from storage (every bench run reconstructs the query): two
+    independent constructions of the parquet-derived trade graph
+    semantically hash equal, so the second run reuses the persisted
+    prefix instead of re-materializing it."""
+    from mbrainz_importer_spark.operators.graph import (
+        _PR_STATICS,
+        pagerank_topk,
+        release_pagerank_statics,
+    )
+    from mbrainz_importer_spark.queries.extra import graph_pagerank_topk
+
+    release_pagerank_statics()
+    graph_pagerank_topk(spark, "/root/testdata/sf0.001").count()
+    assert len(_PR_STATICS) == 1
+    key = next(iter(_PR_STATICS))
+    graph_pagerank_topk(spark, "/root/testdata/sf0.001").count()
+    assert set(_PR_STATICS) == {key}
+    release_pagerank_statics()
+    assert not _PR_STATICS

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mbrainz_importer_spark.operators.ann import (
@@ -640,3 +642,128 @@ def test_pq_arrow_assign_rejects_zero_norm_vectors(spark, tmp_path):
         materialize_ivf_pq_index(
             corpus, CENTROIDS4, books, 4, str(tmp_path / "z"), encode="arrow"
         )
+
+
+# ---------------------------------------------------------------------------
+# IVF × SQ8 (materialize_ivf_sq8_index / ivf_sq8_topk_from_index /
+# merge_ivf_sq8_increment / retrain_ivf_sq8_index) — r9 verdict #4
+# ---------------------------------------------------------------------------
+
+
+def _sq8_setup(spark, tmp_path):
+    from mbrainz_importer_spark.operators.ann import materialize_ivf_sq8_index
+    from mbrainz_importer_spark.operators.quantize import sq8_train_bounds
+
+    corpus = _corpus4(spark, range(20))
+    lo, hi = sq8_train_bounds(corpus, "embedding", 4)
+    path = str(tmp_path / "sq8idx")
+    materialize_ivf_sq8_index(corpus, CENTROIDS4, lo, hi, path)
+    return corpus, lo, hi, path
+
+
+def test_sq8_index_probe_reads_codes_not_vectors(spark, tmp_path):
+    """The probe's candidate scan carries codes and never nv — the 4x
+    column cut is the point of the in-index code (same assertion
+    discipline as the PQ face)."""
+    from mbrainz_importer_spark.operators.ann import ivf_sq8_topk_from_index
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    corpus, lo, hi, path = _sq8_setup(spark, tmp_path)
+    out = ivf_sq8_topk_from_index(
+        spark, path, _corpus4(spark, [0, 1]), CENTROIDS4, lo, hi,
+        k=3, n_probe=1,
+    )
+    # the probe's only file scan is the index (queries are a local
+    # relation); the tmp path truncates in the plan string, so match
+    # the scan node, not the path
+    scans = [
+        ln for ln in physical_plan(out).splitlines()
+        if "FileScan parquet" in ln
+    ]
+    assert scans, physical_plan(out)
+    for ln in scans:
+        assert "codes" in ln and "nv" not in ln.replace("nvl", ""), ln
+
+
+def test_sq8_merge_equals_full_build(spark, tmp_path):
+    """Incremental maintenance through the shared touched-cells core
+    must leave the index content byte-identical to a from-scratch
+    materialization of the full corpus — codes included."""
+    from mbrainz_importer_spark.operators.ann import (
+        materialize_ivf_sq8_index,
+        merge_ivf_sq8_increment,
+    )
+    from mbrainz_importer_spark.operators.quantize import sq8_train_bounds
+
+    full = _corpus4(spark, range(24))
+    lo, hi = sq8_train_bounds(full, "embedding", 4)
+    inc_path = str(tmp_path / "inc")
+    materialize_ivf_sq8_index(
+        full.where("vec_id % 4 != 0"), CENTROIDS4, lo, hi, inc_path
+    )
+    merge_ivf_sq8_increment(
+        spark, inc_path, full.where("vec_id % 4 = 0"), CENTROIDS4, lo, hi
+    )
+    ref_path = str(tmp_path / "ref")
+    materialize_ivf_sq8_index(full, CENTROIDS4, lo, hi, ref_path)
+    got = sorted(map(tuple, spark.read.parquet(inc_path)
+                 .select("nid", "nv", "codes", "cell").collect()))
+    want = sorted(map(tuple, spark.read.parquet(ref_path)
+                  .select("nid", "nv", "codes", "cell").collect()))
+    assert got == want
+    # redelivery: merging the same arrivals again is a content no-op
+    merge_ivf_sq8_increment(
+        spark, inc_path, full.where("vec_id % 4 = 0"), CENTROIDS4, lo, hi
+    )
+    again = sorted(map(tuple, spark.read.parquet(inc_path)
+                   .select("nid", "nv", "codes", "cell").collect()))
+    assert again == want
+
+
+def test_sq8_foreign_metadata_raises(spark, tmp_path):
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_sq8_topk_from_index,
+        merge_ivf_sq8_increment,
+        stored_sq8_bounds,
+    )
+
+    corpus, lo, hi, path = _sq8_setup(spark, tmp_path)
+    q = _corpus4(spark, [0])
+    bad_hi = [h + 1.0 for h in hi]
+    with pytest.raises(ValueError, match="SQ8 bounds"):
+        ivf_sq8_topk_from_index(spark, path, q, CENTROIDS4, lo, bad_hi)
+    with pytest.raises(ValueError, match="SQ8 bounds"):
+        merge_ivf_sq8_increment(spark, path, q, CENTROIDS4, lo, bad_hi)
+    with pytest.raises(ValueError, match="centroid"):
+        ivf_sq8_topk_from_index(
+            spark, path, q, [[0.5, 0.5, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]],
+            lo, hi,
+        )
+    assert stored_sq8_bounds(path) == (lo, hi)
+
+
+def test_sq8_retrain_preserves_content_and_rotates_grid(spark, tmp_path):
+    """retrain_ivf_sq8_index refits centroids + grid from the index
+    contents and re-materializes: (nid, nv) survive byte-identical,
+    probing with the STALE grid raises, probing with the returned one
+    works."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_sq8_topk_from_index,
+        retrain_ivf_sq8_index,
+    )
+
+    corpus, lo, hi, path = _sq8_setup(spark, tmp_path)
+    before = sorted(map(tuple, spark.read.parquet(path)
+                    .select("nid", "nv").collect()))
+    cents2, lo2, hi2 = retrain_ivf_sq8_index(spark, path, 4, n_cells=2)
+    after = sorted(map(tuple, spark.read.parquet(path)
+                   .select("nid", "nv").collect()))
+    assert before == after
+    q = _corpus4(spark, [0, 1])
+    if (lo2, hi2) != (lo, hi) or cents2 != CENTROIDS4:
+        with pytest.raises(ValueError):
+            ivf_sq8_topk_from_index(spark, path, q, CENTROIDS4, lo, hi)
+    out = ivf_sq8_topk_from_index(
+        spark, path, q, cents2, lo2, hi2, k=3, n_probe=len(cents2)
+    )
+    assert out.count() == 6

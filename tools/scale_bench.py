@@ -50,6 +50,7 @@ SCALE_QUERIES = [
     "sim_ivf_topk",
     "sim_ivf_incremental_exact",
     "sim_ivf_pq_serving",
+    "sim_ivf_sq8_exact",
     "multimodal_meta",
     "datalog_region_nations",
     "datalog_from_store",
@@ -64,6 +65,7 @@ SCALE_QUERIES = [
     "quality_classifier_scores",
     "semdedup_survivors",
     "semdedup_survivors_arrow",
+    "semdedup_pq_serving",
     "hybrid_rrf_topk",
     "hybrid_rrf_from_index",
     "hybrid_rrf_serving",
@@ -97,6 +99,27 @@ TIER_SKIP = {
         100.0,
         "same quadratic true-pair mass as dedup_minhash_lsh",
     ),
+    "sim_ivf_sq8_exact": (
+        100.0,
+        "exhaustive-probe exact-oracle face (the corpus-wide SQ8 "
+        "certification scans every cell by design); the partial-probe "
+        "serving plan is the same scan shape as sim_ivf_pq_serving",
+    ),
+}
+
+
+# memory/partition profiles (r9 verdict #7): the sf100 PLAIN fact-fact
+# shapes need a bigger heap + more shuffle partitions than the default
+# 8g/32 (PLAN_NOTES_r09.md §9/§25 ran them by hand) — `--profile 24g`
+# makes every such row reproducible in one command. Must be applied
+# BEFORE the JVM starts, which is why this is a launcher flag and not
+# a per-query knob.
+PROFILES = {
+    "default": {},
+    "24g": {
+        "SPARK_GRAFT_DRIVER_MEM": "24g",
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": "64",
+    },
 }
 
 
@@ -106,7 +129,13 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default=os.environ.get("SPARK_GRAFT_ONLY", ""))
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--profile", default="default", choices=sorted(PROFILES),
+        help="session memory/partition profile; set before the JVM starts",
+    )
     args = ap.parse_args()
+    for k, v in PROFILES[args.profile].items():
+        os.environ.setdefault(k, v)
 
     try:
         sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -165,6 +194,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "runs": args.runs,
+        "profile": args.profile,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "protocol": (
             "build_run_seconds = run 1 (carries one-time layout/index "
