@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_topk_arrow",
     "sim_ivf_topk",
     "sim_ivf_pq_serving",
+    "sim_ivf_pq_adc_serving",
     "sim_ivf_sq8_exact",
     "multimodal_meta",
     "datalog_region_nations",

@@ -840,6 +840,34 @@ def ivf_pq_topk_from_index_arrow(
         score, schema="qid long, nid long, adc double"
     ).where(F.col("qid") != F.col("nid"))
     w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    if rerank == 0:
+        # ADC-ONLY serving (FAISS's no-refine mode): rank by the
+        # quantized score and never touch `nv` — the probe's END-TO-END
+        # fetch is the codes column alone (the §24 cut as wall time; the
+        # exact re-rank's point-reads otherwise pull whole nv chunks of
+        # the probed cells, measured 205 MB vs 11.6 at sf100 geometry —
+        # PLAN_NOTES_r10). Scores are reconstruction-normalized ADC
+        # (plus query-norm for cosine — comparable across queries),
+        # NOT exact: §15/§22 measured ADC candidate recall at the plain
+        # IVF cell-pruning ceiling for these settings, so the ranks
+        # this mode serves are the ones rerank would read vectors to
+        # re-score.
+        # query norms as a bounded literal map (|Q| entries — the
+        # interactive contract), JVM-side; no UDF in the hot path
+        qn_map = F.create_map(
+            *[x for q, n in zip(qids, qn) for x in (F.lit(int(q)), F.lit(float(n)))]
+        )
+        score_col = (
+            F.round(F.col("adc") / qn_map[F.col("qid")], 6)
+            if want_cos
+            else F.round("adc").cast("bigint")
+        )
+        name = "adc_sim" if want_cos else "adc_dot"
+        return (
+            adc.withColumn("rank", F.row_number().over(w_adc).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("qid", "nid", score_col.alias(name), "rank")
+        )
     cands = (
         adc.withColumn("arank", F.row_number().over(w_adc))
         .where(F.col("arank") <= rerank * k)

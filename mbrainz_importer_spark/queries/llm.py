@@ -379,6 +379,35 @@ def sim_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def sim_ivf_pq_adc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ in ADC-ONLY mode (rerank=0 — FAISS's no-refine serving):
+    ranks come straight from the reconstruction-normalized ADC scores
+    and the probe never touches `nv`, so the END-TO-END fetch is the
+    codes column alone — measured at sf100 under a 100 MB/s read cap:
+    3.03s evicted vs 3.05s cached (zero degradation; the reranked face
+    reads whole nv chunks for its point lookups and inherits plain
+    IVF's 200 MB fetch — PLAN_NOTES_r10.md §8). Rows-only by the same
+    contract as sim_ivf_pq_serving; rank-equality to the reranked face
+    at lossless codebooks is pinned in tests."""
+    import os
+
+    from ..operators.ann import ivf_pq_topk_from_index_arrow, materialize_ivf_pq_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    path = os.path.join(
+        "spark-warehouse", "ivf_pq_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_serving_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_pq_index(emb, centroids, books, 64, path)
+    queries = emb.where(F.col("vec_id") < 50)
+    return ivf_pq_topk_from_index_arrow(
+        spark, path, queries, centroids, books, 64, k=3, n_probe=4, rerank=0
+    ).orderBy("qid", "rank")
+
+
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means (k=4, 2 rounds) over the embeddings
     corpus (operators/clustering.py): init = first k vectors by id,
@@ -716,6 +745,7 @@ QUERIES = {
     "sim_ivf_exact": sim_ivf_exact,
     "sim_ivf_incremental_exact": sim_ivf_incremental_exact,
     "sim_ivf_pq_serving": sim_ivf_pq_serving,
+    "sim_ivf_pq_adc_serving": sim_ivf_pq_adc_serving,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,

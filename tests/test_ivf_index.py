@@ -767,3 +767,41 @@ def test_sq8_retrain_preserves_content_and_rotates_grid(spark, tmp_path):
         spark, path, q, cents2, lo2, hi2, k=3, n_probe=len(cents2)
     )
     assert out.count() == 6
+
+
+def test_pq_adc_only_mode_ranks_like_rerank_at_lossless(spark, tmp_path):
+    """rerank=0 (ADC-only serving, FAISS's no-refine mode): in the
+    lossless regime ADC IS the exact score, so the ADC-only ranks must
+    equal the reranked face's ranks — and the probe plan must read
+    codes and never nv (the end-to-end fetch cut the I/O-pressure A/B
+    demonstrates; with rerank on, the exact stage's point-reads pull
+    whole nv chunks)."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_topk_from_index_arrow,
+        materialize_ivf_pq_index,
+    )
+    from mbrainz_importer_spark.operators.quantize import train_pq_codebooks
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    corpus = _corpus4(spark, range(20))
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=64)
+    path = str(tmp_path / "adconly")
+    materialize_ivf_pq_index(corpus, CENTROIDS4, books, 4, path)
+    queries = _corpus4(spark, [0, 10])
+    adc_only = ivf_pq_topk_from_index_arrow(
+        spark, path, queries, CENTROIDS4, books, 4, k=4, n_probe=2, rerank=0
+    )
+    reranked = ivf_pq_topk_from_index_arrow(
+        spark, path, queries, CENTROIDS4, books, 4, k=4, n_probe=2, rerank=5
+    )
+    assert sorted(
+        (r["qid"], r["nid"], r["rank"]) for r in adc_only.collect()
+    ) == sorted((r["qid"], r["nid"], r["rank"]) for r in reranked.collect())
+    assert adc_only.columns == ["qid", "nid", "adc_sim", "rank"]
+    scans = [
+        ln for ln in physical_plan(adc_only).splitlines()
+        if "FileScan parquet" in ln
+    ]
+    assert scans
+    for ln in scans:
+        assert "codes" in ln and "nv" not in ln.replace("nvl", ""), ln

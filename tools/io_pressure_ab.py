@@ -29,12 +29,41 @@ def drop_caches() -> None:
         f.write("3")
 
 
+def throttle_reads(device: str, bps: int) -> None:
+    """Enroll this process (and the Spark JVM it is ABOUT to launch —
+    children inherit the cgroup) into a blkio cgroup with a read
+    bandwidth cap. This is the missing half of the instrument: on
+    local NVMe, drop_caches makes probes hit storage but the reads
+    still are not the bottleneck (§24 measured the 200 MB delta as
+    ~25 ms); a cluster's cost model is fetch bytes x CONSTRAINED
+    bandwidth, and the cap recreates that constraint honestly —
+    buffered reads are synchronous, so blkio v1 throttling applies to
+    the cache-missing probe reads."""
+    cg = "/sys/fs/cgroup/blkio/graft_io_ab"
+    os.makedirs(cg, exist_ok=True)
+    with open(os.path.join(cg, "blkio.throttle.read_bps_device"), "w") as f:
+        f.write(f"{device} {bps}")
+    with open(os.path.join(cg, "cgroup.procs"), "w") as f:
+        f.write(str(os.getpid()))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default=".bench_data/sf100")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--n-probe", type=int, default=4)
+    ap.add_argument(
+        "--read-bps", type=int, default=0,
+        help="blkio read-bandwidth cap in bytes/s (0 = uncapped); "
+        "applied before the JVM starts so Spark inherits it",
+    )
+    ap.add_argument(
+        "--device", default="254:0",
+        help="block device MAJ:MIN for the throttle (vda here)",
+    )
     args = ap.parse_args()
+    if args.read_bps:
+        throttle_reads(args.device, args.read_bps)
 
     from pyspark.sql import functions as F
 
@@ -77,23 +106,60 @@ def main() -> None:
             k=3, n_probe=args.n_probe, rerank=8,
         ).count()
 
-    arms = {"plain_ivf": probe_ivf, "ivf_pq": probe_pq}
+    def cg_read_bytes() -> int:
+        """Bytes actually read from disk by this cgroup (throttle
+        accounting) — attributes the probe's REAL fetch, including
+        re-faulted jars and rerank row-groups, not just the columns
+        the plan claims."""
+        p = "/sys/fs/cgroup/blkio/graft_io_ab/blkio.throttle.io_service_bytes"
+        if not os.path.exists(p):
+            return -1
+        total = 0
+        for ln in open(p):
+            parts = ln.split()
+            if len(parts) == 3 and parts[1] == "Read":
+                total += int(parts[2])
+        return total
+
+    def probe_pq_adc_only():
+        return ivf_pq_topk_from_index_arrow(
+            spark, pq_path, queries, pq_cents, books, 64,
+            k=3, n_probe=args.n_probe, rerank=0,
+        ).count()
+
+    arms = {
+        "plain_ivf": probe_ivf,
+        "ivf_pq": probe_pq,
+        "ivf_pq_adc_only": probe_pq_adc_only,
+    }
     out: dict = {}
     for mode in ("cached", "evicted"):
         for name, fn in arms.items():
-            samples = []
+            samples, fetched = [], []
             for i in range(args.iters):
                 if mode == "evicted":
                     drop_caches()
+                b0 = cg_read_bytes()
                 t0 = time.perf_counter()
                 fn()
                 samples.append(round(time.perf_counter() - t0, 3))
+                fetched.append(cg_read_bytes() - b0)
             rest = sorted(samples[1:])
-            out[f"{name}_{mode}"] = {
+            entry = {
                 "median_seconds": rest[len(rest) // 2],
                 "samples": samples,
             }
-            print(f"# {name} {mode}: {samples}", file=sys.stderr)
+            if fetched[-1] >= 0:
+                fb = sorted(fetched[1:])
+                entry["median_read_mb"] = round(
+                    fb[len(fb) // 2] / 1048576, 1
+                )
+                entry["read_mb_samples"] = [
+                    round(x / 1048576, 1) for x in fetched
+                ]
+            out[f"{name}_{mode}"] = entry
+            print(f"# {name} {mode}: {samples} read_mb={entry.get('read_mb_samples')}",
+                  file=sys.stderr)
 
     doc = {
         "metric": "ann_probe_io_pressure_ab",
@@ -101,6 +167,7 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "n_probe": args.n_probe,
         "eviction": "drop_caches=3 before every probe",
+        "read_bps_cap": args.read_bps or None,
         "arms": out,
     }
     print(json.dumps(doc))

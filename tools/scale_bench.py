@@ -50,6 +50,7 @@ SCALE_QUERIES = [
     "sim_ivf_topk",
     "sim_ivf_incremental_exact",
     "sim_ivf_pq_serving",
+    "sim_ivf_pq_adc_serving",
     "sim_ivf_sq8_exact",
     "multimodal_meta",
     "datalog_region_nations",
