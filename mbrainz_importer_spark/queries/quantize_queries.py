@@ -204,7 +204,7 @@ def sim_ivf_sq8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.ann import (
-        ivf_sq8_topk_from_index,
+        ivf_sq8_topk_from_index_arrow,
         materialize_ivf_sq8_index,
         train_centroids_sample,
     )
@@ -220,7 +220,7 @@ def sim_ivf_sq8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_ivf_sq8_index(emb, cents, lo, hi, path)
     queries = emb.where(F.col("vec_id") < 5)
     return (
-        ivf_sq8_topk_from_index(
+        ivf_sq8_topk_from_index_arrow(
             spark, path, queries, cents, lo, hi, k=5, n_probe=len(cents)
         )
         .select("qid", "nid", "dot_q", "rank")
@@ -240,7 +240,7 @@ def sim_ivf_sq8_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
 
     from ..operators.ann import (
-        ivf_sq8_topk_from_index,
+        ivf_sq8_topk_from_index_arrow,
         materialize_ivf_sq8_index,
         merge_ivf_sq8_increment,
         train_centroids_sample,
@@ -262,7 +262,7 @@ def sim_ivf_sq8_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     queries = emb.where(F.col("vec_id") < 5)
     return (
-        ivf_sq8_topk_from_index(
+        ivf_sq8_topk_from_index_arrow(
             spark, path, queries, cents, lo, hi, k=5, n_probe=len(cents)
         )
         .select("qid", "nid", "dot_q", "rank")

@@ -805,3 +805,65 @@ def test_pq_adc_only_mode_ranks_like_rerank_at_lossless(spark, tmp_path):
     assert scans
     for ln in scans:
         assert "codes" in ln and "nv" not in ln.replace("nvl", ""), ln
+
+
+def test_sq8_arrow_probe_face_equals_expression_face(spark, tmp_path):
+    """ivf_sq8_topk_from_index_arrow == ivf_sq8_topk_from_index on the
+    same index, exhaustive and partial probes — integer dots have no
+    rounding faces to diverge, and the arrow query encode emulates
+    Spark's HALF_UP on the identical double-precision grid arithmetic.
+    The arrow face is what the corpus-wide certification gates run
+    (the expression face's interpreted 64-element fold per pair
+    measured 48.5s on the sf10 exhaustive scan)."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_sq8_topk_from_index,
+        ivf_sq8_topk_from_index_arrow,
+    )
+
+    corpus, lo, hi, path = _sq8_setup(spark, tmp_path)
+    queries = _corpus4(spark, [0, 10, 19])
+    for n_probe in (2, 1):
+        expr = ivf_sq8_topk_from_index(
+            spark, path, queries, CENTROIDS4, lo, hi, k=4, n_probe=n_probe
+        )
+        arrow = ivf_sq8_topk_from_index_arrow(
+            spark, path, queries, CENTROIDS4, lo, hi, k=4, n_probe=n_probe
+        )
+        assert sorted(map(tuple, arrow.collect())) == sorted(
+            map(tuple, expr.collect())
+        ), f"faces diverge at n_probe={n_probe}"
+
+
+def test_sq8_arrow_face_on_real_corpus_batches(spark, tmp_path):
+    """The hand corpus above can't catch pair/score misalignment: its
+    per-cell rankings are the same for every query, so shuffling scores
+    across (query, row) pairs leaves top-k unchanged (a dots.T bug
+    shipped past it and was caught at the sf0.01 gate). Real 64-dim
+    embeddings with multi-row Arrow batches and query-DEPENDENT
+    rankings pin the alignment."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_sq8_topk_from_index,
+        ivf_sq8_topk_from_index_arrow,
+        materialize_ivf_sq8_index,
+        train_centroids_sample,
+    )
+    from mbrainz_importer_spark.operators.quantize import sq8_train_bounds
+    from mbrainz_importer_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lo, hi = sq8_train_bounds(emb, "embedding", 64)
+    cents = train_centroids_sample(emb, n_cells=4)
+    path = str(tmp_path / "sq8real")
+    materialize_ivf_sq8_index(emb, cents, lo, hi, path)
+    queries = emb.where(F.col("vec_id") < 5)
+    expr = ivf_sq8_topk_from_index(
+        spark, path, queries, cents, lo, hi, k=5, n_probe=len(cents)
+    )
+    arrow = ivf_sq8_topk_from_index_arrow(
+        spark, path, queries, cents, lo, hi, k=5, n_probe=len(cents)
+    )
+    assert sorted(map(tuple, arrow.collect())) == sorted(
+        map(tuple, expr.collect())
+    )

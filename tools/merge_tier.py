@@ -22,6 +22,13 @@ def main() -> None:
         part = json.load(f)
     if part.get("sf") != tier.get("sf"):
         raise SystemExit(f"sf mismatch: {part.get('sf')} vs {tier.get('sf')}")
+    # entries measured under a non-default memory profile carry it, so
+    # the tier report can mark the rows (r9 verdict #7: every number's
+    # profile must be reproducible from the record)
+    if part.get("profile", "default") != "default":
+        for e in part.get("queries", {}).values():
+            if isinstance(e, dict):
+                e["profile"] = part["profile"]
     tier["queries"].update(part.get("queries", {}))
     tier.setdefault("skipped", {}).update(part.get("skipped", {}))
     tier["value"] = round(

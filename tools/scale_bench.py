@@ -106,6 +106,27 @@ TIER_SKIP = {
         "certification scans every cell by design); the partial-probe "
         "serving plan is the same scan shape as sim_ivf_pq_serving",
     ),
+    "graph_triangle_count": (
+        100.0,
+        "key-shifted replication reuses the part vocabulary, so 100x "
+        "orders DENSIFY the co-purchase graph (mean degree ~x100): "
+        "triangle/intersection mass grows superquadratically — "
+        "workload shape, not plan; sf10 measures the operator",
+    ),
+    "skew_salted_join": (
+        100.0,
+        "the hash-certification face materializes the full salted pair "
+        "stream through a sort spill (>30 GB at sf100 — exhausted this "
+        "box's free disk mid-run); bounded by local spill space, not "
+        "plan. sf10 measures the operator; the session default for "
+        "production skew is AQE skew-join",
+    ),
+    "er_resolved_clusters": (
+        100.0,
+        "replication duplicates every person 100x, so linkage blocks "
+        "grow 100x and within-block pair mass ~10^4x — result size, "
+        "not plan; sf10 measures the workload",
+    ),
 }
 
 
@@ -188,7 +209,22 @@ def main() -> None:
         out[name] = entry
         print(f"# {name}: build_run {samples[0]:.2f}s steady "
               f"{entry['steady_seconds']:.2f}s rows={rows}", file=sys.stderr)
+        # checkpoint the record after EVERY query: a crash (an sf100
+        # OOM killed a 45-minute run once) must never lose the
+        # measurements already taken
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(_doc(args, sf, skipped, out, partial=True), f, indent=1)
 
+    doc = _doc(args, sf, skipped, out)
+    line = json.dumps(doc)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+    print(line)
+
+
+def _doc(args, sf, skipped, out, partial: bool = False) -> dict:
     doc = {
         "metric": "scale_tier_query_wall_seconds",
         "value": round(sum(e["steady_seconds"] for e in out.values()), 4),
@@ -206,11 +242,9 @@ def main() -> None:
         "skipped": skipped,
         "queries": out,
     }
-    line = json.dumps(doc)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(doc, f, indent=1)
-    print(line)
+    if partial:
+        doc["partial"] = True  # checkpoint mid-run; cleared on completion
+    return doc
 
 
 if __name__ == "__main__":

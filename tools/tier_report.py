@@ -15,10 +15,12 @@ import json
 import sys
 
 
-def steady(entry) -> float:
+def steady(entry):
+    """(seconds, profile-or-None) — profile marks rows measured under a
+    non-default memory profile (scale_bench --profile / merge_tier)."""
     if isinstance(entry, dict):
-        return entry["steady_seconds"]
-    return float(entry)
+        return entry["steady_seconds"], entry.get("profile")
+    return float(entry), None
 
 
 def main() -> None:
@@ -39,11 +41,10 @@ def main() -> None:
     print("Data grows 10x per column; a per-decade ratio near or below 10x")
     print("is the pass bar, and flat rows mean idle cores absorb the tier.")
     print("`-` = not measured at that tier: either a documented skip (table")
-    print("below) or outside that tier's curated set — the sf100 set is the")
-    print("24-query core whose plans change at fact scale, plus the serving")
-    print("faces; plain fact-fact shuffle shapes at sf100 need the 24g heap")
-    print("profile (PLAN_NOTES_r09.md §9) and families whose sf100 plan is")
-    print("identical to sf10's are recorded at sf10.\n")
+    print("below) or outside that tier's curated set. Cells marked with a")
+    print("dagger were measured under the named memory profile (one command:")
+    print("tools/scale_bench.py --profile 24g, merged via merge_tier.py);")
+    print("unmarked cells are the default 8g/32-partition session.\n")
     header = "| query | " + " | ".join(labels) + " | worst per-decade |"
     print(header)
     print("|" + "---|" * (len(labels) + 2))
@@ -51,10 +52,16 @@ def main() -> None:
         vals = [t.get(n) for t in tiers]
         ratios = []
         for a, b in zip(vals, vals[1:]):
-            if a and b and a > 0.05:  # sub-50ms cells are noise floors
-                ratios.append(b / a)
+            av = a[0] if a else None
+            bv = b[0] if b else None
+            if av and bv and av > 0.05:  # sub-50ms cells are noise floors
+                ratios.append(bv / av)
         worst = f"{max(ratios):.1f}x" if ratios else "n/a"
-        cells = " | ".join("-" if v is None else f"{v:.2f}" for v in vals)
+        cells = " | ".join(
+            "-" if v is None
+            else f"{v[0]:.2f}" + (f" †{v[1]}" if v[1] else "")
+            for v in vals
+        )
         print(f"| {n} | {cells} | {worst} |")
     if skipped:
         print("\n## Documented tier skips\n")
