@@ -741,42 +741,31 @@ def ivf_pq_topk_from_index(
     return _ivf_pq_rerank(spark, path, cells, cands, queries, id_col, vec_col, metric, k)
 
 
-def ivf_pq_topk_from_index_arrow(
+def _pq_adc_scores_arrow(
     spark,
     path: str,
     queries: DataFrame,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
     dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    n_probe: int = 4,
-    rerank: int = 4,
-    metric: str = "cosine",
-) -> DataFrame:
-    """The Arrow/LUT face of `ivf_pq_topk_from_index` — the ADC
-    candidate pass as FAISS actually computes it: per (query, subspace)
-    a k-entry lookup table (one small matmul, lut_i = book_i @ q_sub_i)
-    built ONCE per bounded query set, then every corpus code scores by
-    m table lookups (numpy fancy indexing per Arrow batch). This
-    replaces the m*k-literal codegen blob of the expression face —
-    whose plan COMPILE time, not its runtime, dominates at large m*k
-    (4.4 MiB task binaries at m=16/k=64) — while reading the same
-    column-pruned (nid, codes) of the probed cells. Re-rank is the same
-    JVM-side exact pass on the survivors' full vectors, so final scores
-    are identical to the expression face (pinned in tests); candidate
-    sets can differ only on float ties at the rerank cutoff."""
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    want_cos: bool,
+):
+    """The shared Arrow/LUT ADC candidate kernel (FAISS's per-query
+    lookup tables): collect the bounded query set, pick each query's
+    n_probe nearest coarse cells, and score every code of the probed
+    cells by m table lookups per Arrow batch — reading (nid, codes,
+    cell) ONLY. Returns (adc DataFrame[qid, nid, adc], qids, query
+    norms, probed cell ids); callers rank/cut the ADC stream their own
+    way (exact nv re-rank, ADC-only serving, SQ8 refine)."""
     import numpy as np
     import pandas as pd
 
-    if metric not in ("cosine", "ip"):
-        raise ValueError(f"metric must be 'cosine' or 'ip', got {metric!r}")
-    check_centroids(path, centroids)
-    check_codebooks(path, codebooks)
     rows = queries.select(id_col, vec_col).collect()
     if not rows:
-        raise ValueError("ivf_pq_topk_from_index_arrow needs a non-empty query set")
+        raise ValueError("the PQ index probe needs a non-empty query set")
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in rows], dtype=np.float64)
     C = np.array(centroids, dtype=np.float64)
@@ -798,7 +787,6 @@ def ivf_pq_topk_from_index_arrow(
     # per (query, subspace) inner-product LUT; per-centroid squared norms
     luts = [Q[:, i * sub : (i + 1) * sub] @ books[i].T for i in range(m)]
     n2s = [(b * b).sum(axis=1) for b in books]
-    want_cos = metric == "cosine"
 
     def score(batches):
         for pdf in batches:
@@ -839,6 +827,44 @@ def ivf_pq_topk_from_index_arrow(
     adc = coded.mapInPandas(
         score, schema="qid long, nid long, adc double"
     ).where(F.col("qid") != F.col("nid"))
+    return adc, qids, qn, all_cells
+
+
+def ivf_pq_topk_from_index_arrow(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+    rerank: int = 4,
+    metric: str = "cosine",
+) -> DataFrame:
+    """The Arrow/LUT face of `ivf_pq_topk_from_index` — the ADC
+    candidate pass as FAISS actually computes it: per (query, subspace)
+    a k-entry lookup table (one small matmul, lut_i = book_i @ q_sub_i)
+    built ONCE per bounded query set, then every corpus code scores by
+    m table lookups (numpy fancy indexing per Arrow batch). This
+    replaces the m*k-literal codegen blob of the expression face —
+    whose plan COMPILE time, not its runtime, dominates at large m*k
+    (4.4 MiB task binaries at m=16/k=64) — while reading the same
+    column-pruned (nid, codes) of the probed cells. Re-rank is the same
+    JVM-side exact pass on the survivors' full vectors, so final scores
+    are identical to the expression face (pinned in tests); candidate
+    sets can differ only on float ties at the rerank cutoff."""
+    if metric not in ("cosine", "ip"):
+        raise ValueError(f"metric must be 'cosine' or 'ip', got {metric!r}")
+    check_centroids(path, centroids)
+    check_codebooks(path, codebooks)
+    adc, qids, qn, all_cells = _pq_adc_scores_arrow(
+        spark, path, queries, centroids, codebooks, dim,
+        id_col, vec_col, n_probe, want_cos=(metric == "cosine"),
+    )
+    want_cos = metric == "cosine"
     w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
     if rerank == 0:
         # ADC-ONLY serving (FAISS's no-refine mode): rank by the
@@ -1261,3 +1287,215 @@ def ivf_topk(
         pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ + SQ8 refine — the two-stage quantized serving stack (r10).
+#
+# The I/O-pressure A/B (PLAN_NOTES_r10.md §8) measured the uncomfortable
+# half of the §24 fetch-bytes story: the exact re-rank's point-reads pull
+# the probed cells' WHOLE nv column chunks (205 MB at sf100 geometry —
+# parity with plain IVF), because scattered survivor ids can't prune
+# single-row-group cell files. This tier removes nv from the probe path
+# entirely: PQ codes generate candidates (ADC LUTs, m ints/vector), and a
+# second, finer quantizer — SQ8, dim bytes/vector, exactly recomputable
+# in SQL — re-scores the survivors. FAISS ships the same shape as a
+# refine index (IndexRefine over IVFPQ with a scalar-quantized refiner);
+# the reference's analog is serving reads from a compact covering index
+# instead of the base segment (style guide only — the engine is ours).
+# ---------------------------------------------------------------------------
+
+
+def materialize_ivf_pq_refine_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    lo: list[float],
+    hi: list[float],
+    dim: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The refine index as STORAGE: (nid, nv, codes, sq8, cell) written
+    cell-partitioned in one pass — PQ codes via the arrow bulk kernel,
+    SQ8 codes as a pure column expression over the same frame (no second
+    scan). All three artifacts (centroids, codebooks, grid bounds) are
+    checked metadata written LAST; probing or merging with a foreign set
+    raises. `nv` is kept for offline exact audits and retrains, but the
+    serving probe never reads it — that is the point of the tier."""
+    from .quantize import sq8_code
+
+    assigned = _assign_pq_arrow(
+        corpus, centroids, codebooks, dim, id_col, vec_col
+    ).withColumn("sq8", sq8_code(F.col("nv"), lo, hi))
+    assigned.select("nid", "nv", "codes", "sq8", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    _write_centroids(path, centroids)
+    _write_codebooks(path, codebooks)
+    _write_sq8_bounds(path, lo, hi)
+
+
+def ivf_pq_sq8_refine_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    lo: list[float],
+    hi: list[float],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+    rerank: int = 8,
+) -> DataFrame:
+    """Two-stage quantized top-k over the refine index:
+
+    1. coarse probe + ADC candidates — the shared arrow LUT kernel over
+       the probed cells' (nid, codes, cell), m ints per vector;
+    2. SQ8 refine — the rerank*k ADC survivors per query re-score by the
+       EXACT integer dot of SQ8 codes (dim bytes per vector), ranked
+       (dot_q DESC, nid ASC), the Flat,SQ8 convention.
+
+    `nv` never transfers: end-to-end probe fetch is codes + sq8 of the
+    probed cells (plan-asserted in tests), vs the exact re-rank's
+    whole-chunk nv point-reads that cost it the §8 A/B. With an
+    exhaustive band (n_probe = n_cells, rerank*k >= corpus) the result
+    is exactly the Flat,SQ8 ranking — the hash-certified regime of
+    sim_ivf_pq_sq8_refine_exact; under selective bands candidates are
+    approximate by the PQ contract (recall pinned in tests)."""
+    from .quantize import int_dot, sq8_code
+
+    check_centroids(path, centroids)
+    check_codebooks(path, codebooks)
+    check_sq8_bounds(path, lo, hi)
+    adc, _qids, _qn, all_cells = _pq_adc_scores_arrow(
+        spark, path, queries, centroids, codebooks, dim,
+        id_col, vec_col, n_probe, want_cos=False,
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    cands = (
+        adc.withColumn("arank", F.row_number().over(w_adc))
+        .where(F.col("arank") <= rerank * k)
+        .select("qid", "nid")
+    )
+    # refine pass: SQ8 codes of the probed cells; survivors and query
+    # codes broadcast (|Q| * rerank*k rows — bounded by construction)
+    qc = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            sq8_code(F.col(vec_col), lo, hi).alias("qc"),
+        )
+    )
+    refined = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(all_cells))
+        .select("nid", "sq8")
+        .join(F.broadcast(cands), "nid")
+        .join(qc, "qid")
+        .select(
+            "qid", "nid", int_dot(F.col("qc"), F.col("sq8")).alias("dot_q")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot_q"), F.asc("nid"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def merge_ivf_pq_refine_increment(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    lo: list[float],
+    hi: list[float],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_moved: str = "error",
+) -> None:
+    """Incremental maintenance for the refine index — the exact contract
+    of `merge_ivf_pq_increment` (touched cells only, redelivery-safe,
+    moved-id guard) with the arrival pass encoding BOTH codes: PQ via
+    the arrow kernel, SQ8 on the STORED grid. All three metadata sets
+    are checked before any write — an increment encoded against a
+    foreign grid or codebook would poison exactly the touched cells."""
+    from .quantize import sq8_code
+
+    if on_moved not in ("error", "tombstone"):
+        raise ValueError(f"on_moved must be 'error' or 'tombstone', got {on_moved!r}")
+    check_centroids(path, centroids)
+    check_codebooks(path, codebooks)
+    check_sq8_bounds(path, lo, hi)
+    fresh = (
+        _assign_pq_arrow(arrivals, centroids, codebooks, dim, id_col, vec_col)
+        .withColumn("sq8", sq8_code(F.col("nv"), lo, hi))
+        .groupBy("nid")  # an increment may carry an id twice; one survives
+        .agg(F.max(F.struct("cell", "nv", "codes", "sq8")).alias("w"))
+        .select(
+            "nid",
+            F.col("w.nv").alias("nv"),
+            F.col("w.codes").alias("codes"),
+            F.col("w.sq8").alias("sq8"),
+            F.col("w.cell").alias("cell"),
+        )
+    )
+    _merge_fresh_into_cells(
+        spark, path, fresh, ("nid", "nv", "codes", "sq8", "cell"), on_moved,
+        "merge_ivf_pq_refine_increment",
+    )
+
+
+def retrain_ivf_pq_refine_index(
+    spark,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 16,
+    k: int = 64,
+    max_iter: int = 8,
+    sample_limit: int = 4096,
+    seed: int = IVF_SEED,
+) -> tuple[list[list[float]], list[list[list[float]]], list[float], list[float]]:
+    """Drift repair for the refine index: centroids and codebooks refit
+    from a bounded ordered sample (driver-side Lloyd's — the corpus
+    never collects), the SQ8 grid from the FULL index contents (one
+    exact min/max aggregation — no sampling error in the artifact that
+    decides code values), then every cell re-encodes and re-materializes
+    staged through disk, metadata written LAST. Returns (centroids,
+    codebooks, lo, hi) — the caller must probe and merge with the
+    returned sets (a stale set raises via the metadata checks)."""
+    from ..plans.eav import _drop_stage, _stage_merge
+    from .quantize import sq8_code, sq8_train_bounds, train_pq_codebooks
+
+    vecs = spark.read.parquet(path).select(
+        F.col("nid").alias("vec_id"), F.col("nv").alias("embedding")
+    )
+    cents = train_centroids_sample(
+        vecs, "vec_id", "embedding",
+        n_cells=n_cells, max_iter=max_iter,
+        sample_limit=sample_limit, seed=seed,
+    )
+    books = train_pq_codebooks(
+        vecs, "vec_id", "embedding", dim, m=m, k=k,
+        sample_limit=sample_limit, max_iter=max_iter, seed=seed,
+    )
+    lo, hi = sq8_train_bounds(vecs, "embedding", dim)
+    assigned = _assign_pq_arrow(
+        vecs, cents, books, dim, "vec_id", "embedding"
+    ).withColumn("sq8", sq8_code(F.col("nv"), lo, hi))
+    staged = _stage_merge(
+        spark, assigned, path, columns=("nid", "nv", "codes", "sq8", "cell")
+    )
+    staged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _drop_stage(path)
+    _write_codebooks(path, books)
+    _write_sq8_bounds(path, lo, hi)
+    _write_centroids(path, cents)
+    return cents, books, lo, hi

@@ -408,6 +408,59 @@ def sim_ivf_pq_adc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+_SQ8_BOUNDS_CACHE: dict[str, tuple[list[float], list[float]]] = {}
+
+
+def _sq8_bounds(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
+    """Train-once SQ8 grid cache — the bounds are one exact min/max
+    aggregation over the corpus, shipped as plan literals (the same
+    offline-training contract as _ivf_centroids/_pq_codebooks)."""
+    if sf_dir not in _SQ8_BOUNDS_CACHE:
+        from ..operators.quantize import sq8_train_bounds
+
+        emb = load(spark, sf_dir, "embeddings")
+        _SQ8_BOUNDS_CACHE[sf_dir] = sq8_train_bounds(emb, "embedding", 64)
+    return _SQ8_BOUNDS_CACHE[sf_dir]
+
+
+def sim_ivf_pq_sq8_refine_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage quantized serving stack at production settings
+    (FAISS "IVF16,PQ16" + SQ8 refine): ADC candidates from the PQ codes
+    (m=16 ints/vector), the rerank*k survivors re-scored by the EXACT
+    integer dot of SQ8 codes (64 small ints/vector) — so the probe
+    never reads `nv` at all. The exact rerank's nv point-reads pull
+    whole column chunks of the probed cells (measured 205 MB ≈ plain
+    IVF at sf100 geometry — PLAN_NOTES_r10.md §8); this face's
+    end-to-end fetch is codes + sq8, the quantized columns only.
+    Rows-only by the same contract as sim_ivf_pq_serving (training
+    engine-specific, partial probing approximate); the machinery is
+    hash-certified corpus-wide by sim_ivf_pq_sq8_refine_exact with an
+    exhaustive band, and the never-reads-nv property is plan-asserted
+    in tests/test_ivf_index.py."""
+    import os
+
+    from ..operators.ann import (
+        ivf_pq_sq8_refine_topk,
+        materialize_ivf_pq_refine_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    lo, hi = _sq8_bounds(spark, sf_dir)
+    path = os.path.join(
+        "spark-warehouse", "ivf_pq_refine_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_serving_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_pq_refine_index(emb, centroids, books, lo, hi, 64, path)
+    queries = emb.where(F.col("vec_id") < 50)
+    return ivf_pq_sq8_refine_topk(
+        spark, path, queries, centroids, books, lo, hi, 64,
+        k=3, n_probe=4, rerank=8,
+    ).orderBy("qid", "rank")
+
+
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means (k=4, 2 rounds) over the embeddings
     corpus (operators/clustering.py): init = first k vectors by id,
@@ -746,6 +799,7 @@ QUERIES = {
     "sim_ivf_incremental_exact": sim_ivf_incremental_exact,
     "sim_ivf_pq_serving": sim_ivf_pq_serving,
     "sim_ivf_pq_adc_serving": sim_ivf_pq_adc_serving,
+    "sim_ivf_pq_sq8_refine_serving": sim_ivf_pq_sq8_refine_serving,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "multimodal_meta": multimodal_meta,

@@ -270,6 +270,49 @@ def sim_ivf_sq8_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def sim_ivf_pq_sq8_refine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage quantized serving stack (operators/ann.py:
+    materialize_ivf_pq_refine_index / ivf_pq_sq8_refine_topk) certified
+    CORPUS-WIDE: PQ ADC candidates with an exhaustive band (n_probe =
+    n_cells, rerank*k >= corpus) feed the SQ8 refine stage, whose exact
+    integer dots the oracle recomputes on the closed-form grid — so the
+    final ranking must hash-equal Flat,SQ8 from an oracle that has never
+    heard of IVF, PQ, or the two-stage split. The probe reads codes +
+    sq8 and NEVER `nv` (plan-asserted in tests/test_ivf_index.py); the
+    production band is sim_ivf_pq_sq8_refine_serving."""
+    import os
+
+    from ..operators.ann import (
+        ivf_pq_sq8_refine_topk,
+        materialize_ivf_pq_refine_index,
+        train_centroids_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", DIM, m=16, k=64, sample_limit=4096
+    )
+    cents = train_centroids_sample(emb, n_cells=4)
+    path = os.path.join(
+        "spark-warehouse", "ivf_pq_refine_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_exact_v1",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_pq_refine_index(emb, cents, books, lo, hi, DIM, path)
+    k = 5
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    return (
+        ivf_pq_sq8_refine_topk(
+            spark, path, queries, cents, books, lo, hi, DIM,
+            k=k, n_probe=len(cents), rerank=(n + k - 1) // k,
+        )
+        .select("qid", "nid", "dot_q", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
 def semdedup_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup served from the IVF×PQ index in its EXACT regime (r9
     verdict #2): the integer-grid corpus subset, lossless codebooks
@@ -354,6 +397,7 @@ QUERIES = {
     "ivf_pq_incremental_exact": ivf_pq_incremental_exact,
     "sim_ivf_sq8_exact": sim_ivf_sq8_exact,
     "sim_ivf_sq8_incremental_exact": sim_ivf_sq8_incremental_exact,
+    "sim_ivf_pq_sq8_refine_exact": sim_ivf_pq_sq8_refine_exact,
     "semdedup_pq_exact": semdedup_pq_exact,
 }
 
@@ -364,5 +408,6 @@ ORACLES = {
     "ivf_pq_incremental_exact": _topk_sql("vec_id < 3", "vec_id < 64", 5),
     "sim_ivf_sq8_exact": _topk_sql("vec_id < 5", "TRUE", 5),
     "sim_ivf_sq8_incremental_exact": _topk_sql("vec_id < 5", "TRUE", 5),
+    "sim_ivf_pq_sq8_refine_exact": _topk_sql("vec_id < 5", "TRUE", 5),
     "semdedup_pq_exact": _semdedup_pq_oracle(),
 }

@@ -396,7 +396,14 @@ def shape_selected_trust(df: DataFrame, full_threshold: float = 0.9) -> bool | N
         sides = [_chain_scan(node.children().apply(i)) for i in (0, 1)]
         if any(s is None for s in sides):
             continue
-        fracs = [_scan_merge_fraction(spark, s) for s in sides]
+        try:
+            fracs = [_scan_merge_fraction(spark, s) for s in sides]
+        except Exception:
+            # the estimator re-parses Expression.sql() output against a
+            # single-file read; a filter whose SQL doesn't round-trip
+            # (exotic literal quoting, nested-field paths) must degrade
+            # to "shape not certifiable", never crash the query runner
+            continue
         if any(fr is None for fr in fracs):
             continue
         if all(fr >= full_threshold for fr in fracs):

@@ -350,3 +350,21 @@ def test_shape_selected_trust_picks_measured_best_plan(spark):
             if " Sort [l_orderkey" in ln or " Sort [o_orderkey" in ln
         ]
         assert not smj_sorts, smj_sorts
+
+
+def test_shape_selected_trust_survives_estimator_failure(spark, monkeypatch):
+    """A filter whose Expression.sql() doesn't round-trip through the
+    single-file sample read must degrade to "shape not certifiable"
+    (session default untouched), never crash the query runner."""
+    import mbrainz_importer_spark.sources.bucketed as B
+    from mbrainz_importer_spark.queries.core import q5_region_revenue_bucketed
+
+    def boom(spark_, scan):
+        raise RuntimeError("unparseable condition")
+
+    monkeypatch.setattr(B, "_scan_merge_fraction", boom)
+    q5 = q5_region_revenue_bucketed(spark, SF)
+    assert B.shape_selected_trust(q5) is None
+    with B.shape_trust(q5) as pick:
+        assert pick is None
+        assert q5.count() == 10

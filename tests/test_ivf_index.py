@@ -867,3 +867,185 @@ def test_sq8_arrow_face_on_real_corpus_batches(spark, tmp_path):
     assert sorted(map(tuple, arrow.collect())) == sorted(
         map(tuple, expr.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ + SQ8 refine (materialize_ivf_pq_refine_index /
+# ivf_pq_sq8_refine_topk / merge_ivf_pq_refine_increment /
+# retrain_ivf_pq_refine_index) — the two-stage quantized serving stack:
+# PQ codes generate candidates, SQ8 codes re-score them, `nv` never
+# transfers (the fix for the §8 finding that the exact rerank's
+# point-reads pull whole nv chunks).
+# ---------------------------------------------------------------------------
+
+
+def _refine_setup(spark, tmp_path, ids=range(20), k_book=64):
+    from mbrainz_importer_spark.operators.ann import (
+        materialize_ivf_pq_refine_index,
+    )
+    from mbrainz_importer_spark.operators.quantize import (
+        sq8_train_bounds,
+        train_pq_codebooks,
+    )
+
+    corpus = _corpus4(spark, ids)
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=k_book)
+    lo, hi = sq8_train_bounds(corpus, "embedding", 4)
+    path = str(tmp_path / "refine")
+    materialize_ivf_pq_refine_index(corpus, CENTROIDS4, books, lo, hi, 4, path)
+    return corpus, books, lo, hi, path
+
+
+def test_pq_refine_exhaustive_band_equals_flat_sq8(spark, tmp_path):
+    """Exhaustive band (n_probe = n_cells, rerank*k >= corpus) == the
+    Flat,SQ8 ranking bit for bit — the regime the oracle gate certifies
+    corpus-wide."""
+    from mbrainz_importer_spark.operators.ann import ivf_pq_sq8_refine_topk
+    from mbrainz_importer_spark.operators.quantize import sq8_ip_topk
+
+    corpus, books, lo, hi, path = _refine_setup(spark, tmp_path)
+    queries = _corpus4(spark, [0, 10])
+    got = ivf_pq_sq8_refine_topk(
+        spark, path, queries, CENTROIDS4, books, lo, hi, 4,
+        k=4, n_probe=2, rerank=5,  # rerank*k = 20 >= the 20-row corpus
+    )
+    want = sq8_ip_topk(queries, corpus, lo, hi, k=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pq_refine_selective_band_matches_exhaustive_here(spark, tmp_path):
+    """On this fixture (lossless books: ADC == exact dot per subvector
+    count) a selective band already contains the SQ8 top-k, so the
+    served ranks equal the exhaustive face — approximation enters only
+    through the band, never through the refine arithmetic."""
+    from mbrainz_importer_spark.operators.ann import ivf_pq_sq8_refine_topk
+
+    corpus, books, lo, hi, path = _refine_setup(spark, tmp_path)
+    queries = _corpus4(spark, [0, 10])
+    selective = ivf_pq_sq8_refine_topk(
+        spark, path, queries, CENTROIDS4, books, lo, hi, 4,
+        k=3, n_probe=2, rerank=2,
+    )
+    exhaustive = ivf_pq_sq8_refine_topk(
+        spark, path, queries, CENTROIDS4, books, lo, hi, 4,
+        k=3, n_probe=2, rerank=7,
+    )
+    assert sorted(map(tuple, selective.collect())) == \
+        sorted(map(tuple, exhaustive.collect()))
+
+
+def test_pq_refine_probe_never_reads_nv(spark, tmp_path):
+    """BOTH probe scans — the ADC candidate pass (nid, codes, cell) and
+    the refine pass (nid, sq8) — leave `nv` on disk. This is the tier's
+    whole point: the §8 A/B measured the exact rerank's nv point-reads
+    at whole-chunk cost (205 MB at sf100 geometry, parity with plain
+    IVF); here no scan carries the vector column at all."""
+    from mbrainz_importer_spark.operators.ann import ivf_pq_sq8_refine_topk
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    corpus, books, lo, hi, path = _refine_setup(spark, tmp_path)
+    out = ivf_pq_sq8_refine_topk(
+        spark, path, _corpus4(spark, [0, 1]), CENTROIDS4, books, lo, hi, 4,
+        k=3, n_probe=1, rerank=2,
+    )
+    scans = [
+        ln for ln in physical_plan(out).splitlines()
+        if "FileScan parquet" in ln
+    ]
+    assert len(scans) >= 2, physical_plan(out)
+    for ln in scans:
+        assert "nv" not in ln.replace("nvl", ""), ln
+    assert any("codes" in ln for ln in scans)
+    assert any("sq8" in ln for ln in scans)
+
+
+def test_pq_refine_merge_equals_full_build(spark, tmp_path):
+    """Incremental maintenance through the shared touched-cells core
+    leaves the refine index content — BOTH code columns included —
+    byte-identical to a from-scratch build; redelivery is a no-op."""
+    from mbrainz_importer_spark.operators.ann import (
+        materialize_ivf_pq_refine_index,
+        merge_ivf_pq_refine_increment,
+    )
+    from mbrainz_importer_spark.operators.quantize import (
+        sq8_train_bounds,
+        train_pq_codebooks,
+    )
+
+    full = _corpus4(spark, range(24))
+    books = train_pq_codebooks(full, "vec_id", "embedding", 4, m=2, k=64)
+    lo, hi = sq8_train_bounds(full, "embedding", 4)
+    inc_path = str(tmp_path / "inc")
+    materialize_ivf_pq_refine_index(
+        full.where("vec_id % 4 != 0"), CENTROIDS4, books, lo, hi, 4, inc_path
+    )
+    cols = ["nid", "nv", "codes", "sq8", "cell"]
+    for _ in range(2):  # second pass = redelivery
+        merge_ivf_pq_refine_increment(
+            spark, inc_path, full.where("vec_id % 4 = 0"),
+            CENTROIDS4, books, lo, hi, 4,
+        )
+    ref_path = str(tmp_path / "ref")
+    materialize_ivf_pq_refine_index(full, CENTROIDS4, books, lo, hi, 4, ref_path)
+    got = sorted(map(tuple, spark.read.parquet(inc_path).select(*cols).collect()))
+    want = sorted(map(tuple, spark.read.parquet(ref_path).select(*cols).collect()))
+    assert got == want
+
+
+def test_pq_refine_foreign_metadata_raises(spark, tmp_path):
+    """All three artifacts are checked: foreign grid bounds, foreign
+    codebooks, and foreign centroids each fail loudly on probe AND
+    merge — a mismatch would poison scores silently otherwise."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_sq8_refine_topk,
+        merge_ivf_pq_refine_increment,
+    )
+
+    corpus, books, lo, hi, path = _refine_setup(spark, tmp_path)
+    q = _corpus4(spark, [0])
+    bad_hi = [h + 1.0 for h in hi]
+    foreign_books = [[[x + 0.5 for x in c] for c in b] for b in books]
+    foreign_cents = [[0.5, 0.5, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    with pytest.raises(ValueError, match="SQ8 bounds"):
+        ivf_pq_sq8_refine_topk(spark, path, q, CENTROIDS4, books, lo, bad_hi, 4)
+    with pytest.raises(ValueError, match="SQ8 bounds"):
+        merge_ivf_pq_refine_increment(
+            spark, path, q, CENTROIDS4, books, lo, bad_hi, 4
+        )
+    with pytest.raises(ValueError, match="codebook"):
+        ivf_pq_sq8_refine_topk(
+            spark, path, q, CENTROIDS4, foreign_books, lo, hi, 4
+        )
+    with pytest.raises(ValueError, match="centroid"):
+        ivf_pq_sq8_refine_topk(
+            spark, path, q, foreign_cents, books, lo, hi, 4
+        )
+
+
+def test_pq_refine_retrain_lifecycle(spark, tmp_path):
+    """retrain_ivf_pq_refine_index refits all three artifacts from the
+    index contents and re-materializes: (nid, nv) survive byte-identical
+    and the probe works with the RETURNED sets (stale sets raise via the
+    metadata checks when the artifacts rotated)."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_sq8_refine_topk,
+        retrain_ivf_pq_refine_index,
+    )
+    from mbrainz_importer_spark.operators.quantize import sq8_ip_topk
+
+    corpus, books, lo, hi, path = _refine_setup(spark, tmp_path)
+    before = sorted(map(tuple, spark.read.parquet(path)
+                    .select("nid", "nv").collect()))
+    cents2, books2, lo2, hi2 = retrain_ivf_pq_refine_index(
+        spark, path, 4, n_cells=2, m=2, k=64
+    )
+    after = sorted(map(tuple, spark.read.parquet(path)
+                   .select("nid", "nv").collect()))
+    assert before == after
+    queries = _corpus4(spark, [0, 10])
+    got = ivf_pq_sq8_refine_topk(
+        spark, path, queries, cents2, books2, lo2, hi2, 4,
+        k=4, n_probe=2, rerank=5,
+    )
+    want = sq8_ip_topk(queries, corpus, lo2, hi2, k=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
