@@ -314,3 +314,59 @@ def triangle_count(
     return spark.createDataFrame(
         [(int(n) if n is not None else 0,)], "n_triangles bigint"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance — the reachability member of the
+    iterative family next to PageRank (weighted propagation) and the
+    pointer-jumping duplicate clusters: every node reachable from the
+    seed set within `max_hops` directed edges, labeled with its MINIMUM
+    hop count. Returns (node BIGINT, hop BIGINT).
+
+    Semi-naive frontier expansion (the same delta discipline as the
+    datalog recursive fixpoint, plans/datalog.py): per round the
+    FRONTIER joins the edge list on `src` — work is O(frontier-incident
+    edges), never O(all paths) — and a left-anti join against the
+    visited set keeps first reach only, which IS the minimum hop since
+    rounds advance in hop order. The visited set localCheckpoints each
+    round: loop-termination reads it anyway, so the checkpoint is free
+    and the plan stays flat at any depth (the measured trade from the
+    PageRank cadence A/B does not apply — BFS reads its delta per
+    round). Frontiers empty out early on bounded-diameter graphs; the
+    loop stops at the first empty frontier.
+
+    The caller dedups edges; seeds outside the edge set are still
+    reported at hop 0 (they are reachable from themselves)."""
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("s"),
+        F.col(dst_col).cast("bigint").alias("t"),
+    )
+    seed_col = sources.columns[0]
+    visited = (
+        sources.select(F.col(seed_col).cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("bigint"))
+        )
+        frontier = fresh.localCheckpoint()
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited

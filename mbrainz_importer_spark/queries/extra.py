@@ -558,6 +558,35 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_topk(edges, k=20, iters=3, dangling="redistribute")
 
 
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py:bfs_hops) over
+    the symmetric customer-supplier trade graph, seeded at the first
+    five customer nodes, 3 hops: hop 1 = their suppliers, hop 2 = other
+    customers sharing a supplier, hop 3 = those customers' suppliers.
+    Semi-naive frontier expansion — work per round is frontier-incident
+    edges, never path enumeration. The DuckDB oracle walks the same
+    graph with a recursive CTE (UNION-dedup keeps states bounded by
+    nodes x hops) and takes MIN(hop) — first-reach order certified
+    equal to minimum distance."""
+    from ..operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    eg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (parts sharing an order,
     canonical p1 < p2 edges) — the clustering-structure probe next to
@@ -736,6 +765,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_pagerank_directed": graph_pagerank_directed,
+    "graph_bfs_hops": graph_bfs_hops,
     "graph_triangle_count": graph_triangle_count,
     "agg_incremental_view": agg_incremental_view,
 }
@@ -1293,6 +1323,26 @@ def _pagerank_directed_oracle() -> str:
 
 
 ORACLES["graph_pagerank_directed"] = _pagerank_directed_oracle()
+
+ORACLES["graph_bfs_hops"] = """
+    WITH RECURSIVE eg AS (
+        SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT s, t FROM eg UNION SELECT t AS s, s AS t FROM eg
+    ),
+    walk(node, hop) AS (
+        SELECT CAST(v.node AS BIGINT), CAST(0 AS BIGINT)
+        FROM (VALUES (0), (2), (4), (6), (8)) AS v(node)
+        UNION
+        SELECT e.t, w.hop + 1
+        FROM walk w JOIN edges e ON e.s = w.node
+        WHERE w.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node ORDER BY node
+"""
 
 ORACLES["graph_triangle_count"] = """
     WITH pairs AS (

@@ -302,3 +302,37 @@ def test_pagerank_statics_reuse_across_rebuilds(spark):
     assert set(_PR_STATICS) == {key}
     release_pagerank_statics()
     assert not _PR_STATICS
+
+
+def test_bfs_hops_min_distance_and_bounds(spark):
+    """bfs_hops on a hand graph: chain 1->2->3->4->5, a shortcut 1->3
+    (3 must report hop 1, not 2 — first reach is MIN distance), a
+    cycle edge 3->1 (revisits never re-enter), a seed with no edges
+    (reported at hop 0), and max_hops cutting the chain's tail."""
+    from mbrainz_importer_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (3, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        (r.node, r.hop)
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {(1, 0), (99, 0), (2, 1), (3, 1), (4, 2), (5, 3)}
+    # max_hops=2 drops node 5; everything else unchanged
+    got2 = {
+        (r.node, r.hop)
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got2 == {(1, 0), (99, 0), (2, 1), (3, 1), (4, 2)}
+    # early exit: a 1-node frontier that dies in round 1 terminates
+    # before max_hops without error
+    lone = spark.createDataFrame([(7, 8)], "src long, dst long")
+    got3 = {
+        (r.node, r.hop)
+        for r in bfs_hops(lone, spark.createDataFrame([(8,)], "node long"),
+                          max_hops=10).collect()
+    }
+    assert got3 == {(8, 0)}
