@@ -43,6 +43,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_ivf_pq_serving",
     "sim_ivf_pq_adc_serving",
+    "sim_ivf_pq_sq8_refine_serving",
     "sim_ivf_sq8_exact",
     "multimodal_meta",
     "datalog_region_nations",
@@ -68,6 +69,7 @@ HEADLINE = [
     "fulltext_excision",
     "embedding_kmeans_assign",
     "graph_pagerank_topk",
+    "graph_bfs_hops",
     "graph_triangle_count",
     "agg_incremental_view",
     "quality_classifier_scores",

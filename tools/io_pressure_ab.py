@@ -68,10 +68,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_sq8_refine_topk,
         ivf_pq_topk_from_index_arrow,
         ivf_topk_from_index_arrow,
         stored_centroids,
         stored_codebooks,
+        stored_sq8_bounds,
     )
     from mbrainz_importer_spark.session import get_spark
     from mbrainz_importer_spark.tables import load
@@ -81,10 +83,18 @@ def main() -> None:
     pq_path = os.path.join(
         "spark-warehouse", "ivf_pq_index", f"{tag}_serving_v1"
     )
+    refine_path = os.path.join(
+        "spark-warehouse", "ivf_pq_refine_index", f"{tag}_serving_v1"
+    )
     spark = get_spark("io_pressure_ab")
     cents = stored_centroids(ivf_path)
     pq_cents = stored_centroids(pq_path)
     books = stored_codebooks(pq_path)
+    have_refine = os.path.exists(os.path.join(refine_path, "_SUCCESS"))
+    if have_refine:
+        ref_cents = stored_centroids(refine_path)
+        ref_books = stored_codebooks(refine_path)
+        ref_lo, ref_hi = stored_sq8_bounds(refine_path)
 
     queries = (
         load(spark, args.sf_dir, "embeddings")
@@ -127,11 +137,22 @@ def main() -> None:
             k=3, n_probe=args.n_probe, rerank=0,
         ).count()
 
+    def probe_pq_sq8_refine():
+        return ivf_pq_sq8_refine_topk(
+            spark, refine_path, queries, ref_cents, ref_books,
+            ref_lo, ref_hi, 64, k=3, n_probe=args.n_probe, rerank=8,
+        ).count()
+
     arms = {
         "plain_ivf": probe_ivf,
         "ivf_pq": probe_pq,
         "ivf_pq_adc_only": probe_pq_adc_only,
     }
+    if have_refine:
+        # the r10 two-stage stack: ADC candidates + SQ8 refine, nv never
+        # read — the arm that should hold BOTH the ADC arm's flat latency
+        # AND a real (re-scored) refine stage under the cap
+        arms["ivf_pq_sq8_refine"] = probe_pq_sq8_refine
     out: dict = {}
     for mode in ("cached", "evicted"):
         for name, fn in arms.items():
