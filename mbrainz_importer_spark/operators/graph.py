@@ -370,3 +370,61 @@ def bfs_hops(
             break
         visited = visited.unionByName(frontier).localCheckpoint()
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous mode-label propagation (community detection) — the
+    label-spreading member of the iterative family. Labels initialize
+    to the node id; each round EVERY node simultaneously adopts the most
+    frequent label among its in-neighbors (ties break to the SMALLEST
+    label; a node with no in-edges keeps its label). Fixed rounds,
+    all-integer, fully deterministic — so an oracle unrolling the same
+    rounds reproduces every label bit-for-bit (the same certification
+    posture as integer PageRank; float-free by construction).
+
+    Distinct from the pointer-jumping connected components in dedup.py:
+    min-label CC converges to one label per component regardless of
+    structure, while the MODE rule finds dense neighborhoods inside a
+    component. Pass a symmetric edge list for the undirected semantics.
+
+    Scale shape: two shuffles per round — (dst, label) count, then the
+    per-dst argmax — both keyed on the destination node so AQE reuses
+    the exchange; the edge frame is the delta-independent prefix and
+    localCheckpoints once. Returns (node BIGINT, label BIGINT)."""
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("s"),
+        F.col(dst_col).cast("bigint").alias("t"),
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        counted = (
+            e.join(labels, e["s"] == labels["node"])
+            .groupBy(F.col("t").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = counted.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("label").alias("l")
+                )
+            )["l"].alias("new_label")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -587,6 +587,33 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
 
 
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous mode-label propagation (operators/graph.py:
+    label_propagation), 3 rounds over the symmetric trade graph: every
+    node simultaneously adopts its neighbors' most frequent label (ties
+    to the smallest). All-integer and fully deterministic, so the
+    DuckDB oracle unrolling the same 3 rounds (count -> per-node argmax
+    with the same tie order) must reproduce every label bit-for-bit —
+    distinct from pointer-jumping connected components, which converge
+    on ANY spanning structure; the mode rule is density-sensitive."""
+    from ..operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    eg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return label_propagation(edges, iters=3).orderBy("node")
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (parts sharing an order,
     canonical p1 < p2 edges) — the clustering-structure probe next to
@@ -766,6 +793,7 @@ QUERIES = {
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_pagerank_directed": graph_pagerank_directed,
     "graph_bfs_hops": graph_bfs_hops,
+    "graph_label_propagation": graph_label_propagation,
     "graph_triangle_count": graph_triangle_count,
     "agg_incremental_view": agg_incremental_view,
 }
@@ -1323,6 +1351,55 @@ def _pagerank_directed_oracle() -> str:
 
 
 ORACLES["graph_pagerank_directed"] = _pagerank_directed_oracle()
+
+def _label_propagation_oracle(iters: int = 3) -> str:
+    """The same 3 synchronous mode-label rounds, unrolled: per round a
+    (node, label) count over in-edges, argmax with (cnt DESC, lab ASC)
+    ties, keep-own-label for in-degree-0 nodes."""
+    head = """
+    WITH eg AS (
+        SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT s, t FROM eg UNION SELECT t AS s, s AS t FROM eg
+    ),
+    nodes AS (
+        SELECT DISTINCT s AS v FROM edges
+        UNION SELECT DISTINCT t FROM edges
+    ),
+    l0 AS (SELECT v, v AS lab FROM nodes)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        rounds.append(f""",
+    c{i} AS (
+        SELECT e.t AS v, l.lab, COUNT(*) AS cnt
+        FROM edges e JOIN l{p} l ON e.s = l.v
+        GROUP BY e.t, l.lab
+    ),
+    b{i} AS (
+        SELECT v, lab FROM c{i}
+        QUALIFY row_number() OVER (
+            PARTITION BY v ORDER BY cnt DESC, lab ASC) = 1
+    ),
+    l{i} AS (
+        SELECT n.v, COALESCE(b.lab, p.lab) AS lab
+        FROM nodes n
+          JOIN l{p} p ON p.v = n.v
+          LEFT JOIN b{i} b ON b.v = n.v
+    )""")
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+    SELECT CAST(v AS BIGINT) AS node, CAST(lab AS BIGINT) AS label
+    FROM l{iters} ORDER BY node
+    """
+    )
+
+
+ORACLES["graph_label_propagation"] = _label_propagation_oracle()
 
 ORACLES["graph_bfs_hops"] = """
     WITH RECURSIVE eg AS (

@@ -336,3 +336,20 @@ def test_bfs_hops_min_distance_and_bounds(spark):
                           max_hops=10).collect()
     }
     assert got3 == {(8, 0)}
+
+
+def test_label_propagation_keeps_dense_communities_apart(spark):
+    """Mode-label propagation on two triangles joined by one bridge
+    edge: after 3 synchronous rounds each triangle settles on its own
+    label ({1,2,3} -> 1, {4,5,6} -> 3 by hand computation) — the
+    density-sensitive behavior that distinguishes it from min-label
+    connected components, which would collapse the whole (connected)
+    graph to one label."""
+    from mbrainz_importer_spark.operators.graph import label_propagation
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {(r.node, r.label) for r in label_propagation(edges, iters=3).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 3), (5, 3), (6, 3)}
