@@ -343,10 +343,15 @@ def bfs_hops(
 
     The caller dedups edges; seeds outside the edge set are still
     reported at hop 0 (they are reachable from themselves)."""
+    # the edge list is the delta-independent prefix: checkpoint it ONCE
+    # (same discipline as label_propagation) — without this every
+    # round's frontier checkpoint re-executes the caller's whole edge
+    # derivation (a fact-fact join at gate scale), and the re-planned
+    # derivation is free to pick a driver-fatal broadcast each round
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
-    )
+    ).localCheckpoint()
     seed_col = sources.columns[0]
     visited = (
         sources.select(F.col(seed_col).cast("bigint").alias("node"))

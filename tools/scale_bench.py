@@ -51,6 +51,7 @@ SCALE_QUERIES = [
     "sim_ivf_incremental_exact",
     "sim_ivf_pq_serving",
     "sim_ivf_pq_adc_serving",
+    "sim_ivf_pq_sq8_refine_serving",
     "sim_ivf_sq8_exact",
     "multimodal_meta",
     "datalog_region_nations",
@@ -76,6 +77,8 @@ SCALE_QUERIES = [
     "fulltext_bm25_batch",
     "fulltext_excision",
     "graph_pagerank_topk",
+    "graph_bfs_hops",
+    "graph_label_propagation",
     "graph_triangle_count",
     "agg_incremental_view",
     "embedding_kmeans_assign",
