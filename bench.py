@@ -70,6 +70,7 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "graph_pagerank_topk",
     "graph_bfs_hops",
+    "graph_sssp_bounded",
     "graph_label_propagation",
     "graph_triangle_count",
     "agg_incremental_view",

@@ -614,6 +614,38 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iters=3).orderBy("node")
 
 
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted shortest paths (operators/graph.py:
+    sssp_bounded — distributed Bellman-Ford, 3 relaxations) over the
+    symmetric trade graph weighted by the number of distinct orders
+    linking each customer-supplier pair: after 3 rounds every node
+    reachable within 3 hops carries its minimum path weight — min-PLUS,
+    so a cheap 2-hop route beats an expensive direct edge (the
+    semantics BFS's first-reach cannot express). All-integer; the
+    DuckDB oracle unrolls the same 3 relax+min rounds."""
+    from ..operators.graph import sssp_bounded
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    pair_orders = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            F.col("l_orderkey").alias("ok"),
+        )
+        .distinct()
+    )
+    eg = pair_orders.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
+    return sssp_bounded(edges, seeds, rounds=3).orderBy("node")
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (parts sharing an order,
     canonical p1 < p2 edges) — the clustering-structure probe next to
@@ -794,6 +826,7 @@ QUERIES = {
     "graph_pagerank_directed": graph_pagerank_directed,
     "graph_bfs_hops": graph_bfs_hops,
     "graph_label_propagation": graph_label_propagation,
+    "graph_sssp_bounded": graph_sssp_bounded,
     "graph_triangle_count": graph_triangle_count,
     "agg_incremental_view": agg_incremental_view,
 }
@@ -1400,6 +1433,50 @@ def _label_propagation_oracle(iters: int = 3) -> str:
 
 
 ORACLES["graph_label_propagation"] = _label_propagation_oracle()
+
+def _sssp_bounded_oracle(rounds: int = 3) -> str:
+    """The same bounded Bellman-Ford, unrolled: per round one relax
+    (dist + edge weight over out-edges) unioned with the carried
+    distances, MIN per node."""
+    head = """
+    WITH pair_orders AS (
+        SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t,
+               l_orderkey AS ok
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    eg AS (
+        SELECT s, t, CAST(COUNT(*) AS BIGINT) AS w
+        FROM pair_orders GROUP BY s, t
+    ),
+    edges AS (
+        SELECT s, t, w FROM eg UNION ALL SELECT t AS s, s AS t, w FROM eg
+    ),
+    d0 AS (
+        SELECT CAST(v.node AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        FROM (VALUES (0), (2), (4), (6), (8)) AS v(node)
+    )"""
+    rounds_sql = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        rounds_sql.append(f""",
+    d{i} AS (
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{p}
+            UNION ALL
+            SELECT e.t AS node, d.dist + e.w AS dist
+            FROM d{p} d JOIN edges e ON e.s = d.node
+        ) GROUP BY node
+    )""")
+    return (
+        head
+        + "".join(rounds_sql)
+        + f"""
+    SELECT node, dist FROM d{rounds} ORDER BY node
+    """
+    )
+
+
+ORACLES["graph_sssp_bounded"] = _sssp_bounded_oracle()
 
 ORACLES["graph_bfs_hops"] = """
     WITH RECURSIVE eg AS (

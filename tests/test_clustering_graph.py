@@ -353,3 +353,24 @@ def test_label_propagation_keeps_dense_communities_apart(spark):
     )
     got = {(r.node, r.label) for r in label_propagation(edges, iters=3).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 3), (5, 3), (6, 3)}
+
+
+def test_sssp_bounded_min_plus_beats_first_reach(spark):
+    """Bounded Bellman-Ford on a hand graph: the direct edge 1->2 costs
+    10 but the 2-hop route 1->3->2 costs 3 — min-PLUS must report 3,
+    the semantics BFS's first-reach cannot express. Bounded rounds cut
+    the tail of the unit chain, and extra rounds never increase a
+    distance (monotonicity)."""
+    from mbrainz_importer_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 2), (1, 4, 1), (4, 5, 1), (5, 6, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    d3 = {(r.node, r.dist) for r in sssp_bounded(edges, seeds, rounds=3).collect()}
+    assert d3 == {(1, 0), (2, 3), (3, 1), (4, 1), (5, 2), (6, 3)}
+    d2 = {(r.node, r.dist) for r in sssp_bounded(edges, seeds, rounds=2).collect()}
+    assert d2 == {(1, 0), (2, 3), (3, 1), (4, 1), (5, 2)}  # 6 needs 3 hops
+    d1 = {(r.node, r.dist) for r in sssp_bounded(edges, seeds, rounds=1).collect()}
+    assert d1 == {(1, 0), (2, 10), (3, 1), (4, 1)}  # direct edge only

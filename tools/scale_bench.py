@@ -78,6 +78,7 @@ SCALE_QUERIES = [
     "fulltext_excision",
     "graph_pagerank_topk",
     "graph_bfs_hops",
+    "graph_sssp_bounded",
     "graph_label_propagation",
     "graph_triangle_count",
     "agg_incremental_view",
