@@ -1306,6 +1306,19 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _check_grid_dim(lo: list[float], hi: list[float], dim: int, caller: str) -> None:
+    """A grid shorter than `dim` would TRUNCATE every SQ8 code, and
+    `int_dot`'s zip_with silently drops the unmatched tail — wrong
+    integer dots, not an error. Validate at entry (the r9 ADVICE
+    posture: fail where the mistake is made, not deep in the math)."""
+    if len(lo) != dim or len(hi) != dim:
+        raise ValueError(
+            f"{caller}: SQ8 grid has {len(lo)}/{len(hi)} bounds but "
+            f"dim={dim} — codes would truncate and integer dots would "
+            "silently drop the tail"
+        )
+
+
 def materialize_ivf_pq_refine_index(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -1326,6 +1339,7 @@ def materialize_ivf_pq_refine_index(
     serving probe never reads it — that is the point of the tier."""
     from .quantize import sq8_code
 
+    _check_grid_dim(lo, hi, dim, "materialize_ivf_pq_refine_index")
     assigned = _assign_pq_arrow(
         corpus, centroids, codebooks, dim, id_col, vec_col
     ).withColumn("sq8", sq8_code(F.col("nv"), lo, hi))
@@ -1369,6 +1383,7 @@ def ivf_pq_sq8_refine_topk(
     approximate by the PQ contract (recall pinned in tests)."""
     from .quantize import int_dot, sq8_code
 
+    _check_grid_dim(lo, hi, dim, "ivf_pq_sq8_refine_topk")
     check_centroids(path, centroids)
     check_codebooks(path, codebooks)
     check_sq8_bounds(path, lo, hi)
@@ -1430,6 +1445,7 @@ def merge_ivf_pq_refine_increment(
 
     if on_moved not in ("error", "tombstone"):
         raise ValueError(f"on_moved must be 'error' or 'tombstone', got {on_moved!r}")
+    _check_grid_dim(lo, hi, dim, "merge_ivf_pq_refine_increment")
     check_centroids(path, centroids)
     check_codebooks(path, codebooks)
     check_sq8_bounds(path, lo, hi)

@@ -70,3 +70,38 @@ def start_ivf_pq_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_ivf_pq_refine_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    lo: list[float],
+    hi: list[float],
+    dim: int,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming ingest for the two-stage refine index: each micro-batch
+    encodes BOTH codes (PQ via the arrow kernel, SQ8 on the stored grid)
+    and folds through merge_ivf_pq_refine_increment — touched cells
+    only, replay-safe by id, and all THREE artifact sets are checked
+    before any write (a stream configured against a foreign grid would
+    poison the integer refine dots of every cell it touches)."""
+    from ..operators.ann import merge_ivf_pq_refine_increment
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_ivf_pq_refine_increment(
+            batch_df.sparkSession, index_path,
+            batch_df.select(id_col, vec_col), centroids, codebooks,
+            lo, hi, dim, id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1049,3 +1049,73 @@ def test_pq_refine_retrain_lifecycle(spark, tmp_path):
     )
     want = sq8_ip_topk(queries, corpus, lo2, hi2, k=4)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pq_refine_grid_dim_mismatch_raises_at_entry(spark, tmp_path):
+    """A grid shorter than dim would TRUNCATE every SQ8 code and
+    int_dot's zip_with silently drops the unmatched tail — wrong
+    integer dots, not an error. All three refine entry points validate
+    at entry."""
+    from mbrainz_importer_spark.operators.ann import (
+        ivf_pq_sq8_refine_topk,
+        materialize_ivf_pq_refine_index,
+        merge_ivf_pq_refine_increment,
+    )
+
+    corpus, books, lo, hi, path = _refine_setup(spark, tmp_path)
+    q = _corpus4(spark, [0])
+    short_lo, short_hi = lo[:3], hi[:3]
+    with pytest.raises(ValueError, match="grid has 3/3 bounds"):
+        materialize_ivf_pq_refine_index(
+            corpus, CENTROIDS4, books, short_lo, short_hi, 4,
+            str(tmp_path / "bad"),
+        )
+    with pytest.raises(ValueError, match="grid has 3/3 bounds"):
+        ivf_pq_sq8_refine_topk(
+            spark, path, q, CENTROIDS4, books, short_lo, short_hi, 4
+        )
+    with pytest.raises(ValueError, match="grid has 3/3 bounds"):
+        merge_ivf_pq_refine_increment(
+            spark, path, q, CENTROIDS4, books, short_lo, short_hi, 4
+        )
+
+
+def test_pq_refine_streaming_ingest_equals_rebuild(spark, tmp_path):
+    """Drained refine-index ingest stream == from-scratch build, BOTH
+    code columns included (the streaming lifecycle face of the refine
+    tier, same contract as start_ivf_pq_ingest)."""
+    from mbrainz_importer_spark.operators.ann import (
+        materialize_ivf_pq_refine_index,
+    )
+    from mbrainz_importer_spark.operators.quantize import (
+        sq8_train_bounds,
+        train_pq_codebooks,
+    )
+    from mbrainz_importer_spark.streaming.vector_ingest import (
+        start_ivf_pq_refine_ingest,
+    )
+
+    corpus = _corpus4(spark, range(15))
+    books = train_pq_codebooks(corpus, "vec_id", "embedding", 4, m=2, k=64)
+    lo, hi = sq8_train_bounds(corpus, "embedding", 4)
+    path = str(tmp_path / "refidx")
+    materialize_ivf_pq_refine_index(
+        _corpus4(spark, range(10)), CENTROIDS4, books, lo, hi, 4, path
+    )
+    drop = tmp_path / "vecs"
+    _corpus4(spark, [10, 11, 12]).write.parquet(str(drop / "d1"))
+    _corpus4(spark, [13, 14]).write.parquet(str(drop / "d2"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*/")
+    )
+    q = start_ivf_pq_refine_ingest(
+        stream, path, CENTROIDS4, books, lo, hi, 4, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    materialize_ivf_pq_refine_index(corpus, CENTROIDS4, books, lo, hi, 4, full)
+    cols = ["nid", "nv", "codes", "sq8", "cell"]
+    assert sorted(map(tuple, spark.read.parquet(path).select(*cols).collect())) == \
+        sorted(map(tuple, spark.read.parquet(full).select(*cols).collect()))
