@@ -10,9 +10,11 @@ twin in queries/curation_queries.py so the DuckDB oracle hash-checks it.
 Scale notes (100 TB):
 - `redact_pii` is a pure per-row projection: no shuffle, pipelined into
   the scan, pushdown-friendly.
-- `dedup_spans` shuffles once on the span hash (groupBy) and once on the
-  doc id (reassembly) — both linear in corpus size; the span->first-owner
-  map is the only joined state and is bounded by the distinct-span count.
+- `dedup_spans` shuffles the exploded spans ONCE (the first-owner
+  groupBy) and the surviving spans once more on the doc id (reassembly);
+  the groupBy output is already the kept set, so no self-join ever
+  re-shuffles the span corpus, and spans_total is a closed form of the
+  token count (no second explode).
 - `pack_sequences` uses the value-bucketed two-phase cumulative sum
   (operators/batching.stable_cumsum): parallel windows per bucket plus a
   driver-side prefix of <=256 bucket subtotals — no single-partition
@@ -92,13 +94,20 @@ def dedup_spans(
     Returns (id, text_deduped, spans_kept, spans_total); documents whose
     every span already occurred elsewhere drop out (fully duplicate
     content). First-owner resolution is min(struct(id, pos)) per span —
-    one hash groupBy, no window over the whole corpus.
+    one hash groupBy, no window over the whole corpus, and no join back
+    against the exploded stream: the group key carries the span text and
+    min(struct(doc, pos)) IS the surviving occurrence, so the groupBy's
+    output is already the kept set. (The first version joined the full
+    span corpus against its own firsts — a second shuffle of every span
+    byte that bought nothing.) spans_total is a closed form of the token
+    count (ceil(|tokens|/k)), computed on the un-exploded frame.
     """
     k = span_tokens
     toks = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__t")
     ).where(F.size("__t") > 0)
     n_spans = F.ceil(F.size("__t") / F.lit(float(k))).cast("int")
+    totals = toks.select("doc", n_spans.cast("bigint").alias("spans_total"))
     spans = toks.select(
         "doc",
         F.posexplode(
@@ -108,15 +117,15 @@ def dedup_spans(
             )
         ).alias("pos", "span"),
     )
-    firsts = spans.groupBy("span").agg(
-        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("__first")
-    )
     kept = (
-        spans.join(firsts, "span")
-        .where((F.col("doc") == F.col("__first.doc")) & (F.col("pos") == F.col("__first.pos")))
-        .select("doc", "pos", "span")
+        spans.groupBy("span")
+        .agg(F.min(F.struct(F.col("doc"), F.col("pos"))).alias("__first"))
+        .select(
+            F.col("__first.doc").alias("doc"),
+            F.col("__first.pos").alias("pos"),
+            "span",
+        )
     )
-    totals = spans.groupBy("doc").agg(F.count(F.lit(1)).alias("spans_total"))
     return (
         kept.groupBy("doc")
         .agg(

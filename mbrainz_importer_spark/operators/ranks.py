@@ -46,3 +46,51 @@ def bounded_global_rank(
             alias, (F.monotonically_increasing_id() + F.lit(start)).cast("long")
         )
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_key: list,
+    payload: list[str],
+    k: int,
+    rank_alias: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group WITHOUT a window: one hash aggregation
+    (`slice(array_sort(collect_list(struct(...))), 1, k)`) followed by a
+    posexplode. Produces exactly the rows and 1-based ranks of
+    `row_number().over(partitionBy(group).orderBy(sort_key)) <= k`.
+
+    Why this face exists: the window plan shuffles on the group key AND
+    SORTS every shuffle partition end-to-end before it can number a
+    single row — at corpus scale the sort is the cost, and its memory
+    bound is a whole partition. This plan is ObjectHashAggregate with a
+    map-side partial, so the corpus is never sorted anywhere; only the
+    per-group lists are (each `array_sort` is one group's rows, k of
+    which survive the immediate slice). The memory bound drops from
+    "one partition's rows" to "one group's rows" — the strictly weaker
+    requirement. Rows still shuffle once on the group key (top-k per
+    group is a holistic aggregate; a bounded partial top-k would only
+    pay off when one group has >k rows in one map partition, which a
+    hash-scattered corpus doesn't give).
+
+    Contract: `sort_key` is a list of Columns forming a total ASCENDING
+    order (negate numerics for descending; include a unique tie-break),
+    the same totality contract bounded_global_rank documents. Group
+    sizes must fit an executor (the collect_list bound) — the window
+    face needs the stronger whole-partition bound, so any input safe
+    there is safe here.
+    """
+    skey = [c.alias(f"__s{i}") for i, c in enumerate(sort_key)]
+    packed = F.struct(*skey, *[F.col(c) for c in payload])
+    topk = df.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list(packed)), 1, k).alias("__top")
+    )
+    return (
+        topk.select(*group_cols, F.posexplode("__top").alias("__pos", "__row"))
+        .select(
+            *group_cols,
+            (F.col("__pos") + 1).cast("bigint").alias(rank_alias),
+            *[F.col(f"__row.{c}").alias(c) for c in payload],
+        )
+    )

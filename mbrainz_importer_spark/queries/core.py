@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.batching import assign_batch_ids
+from ..operators.ranks import grouped_topk
 from ..tables import load
 
 
@@ -496,6 +497,27 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sort-free face of window_topk_per_group: identical rows and
+    ranks from operators/ranks.grouped_topk (ObjectHashAggregate +
+    per-group array_sort/slice) instead of a WindowExec. The corpus is
+    shuffled once on o_custkey but never sorted; the window face sorts
+    every shuffle partition before numbering anything. Same oracle SQL —
+    the two faces are hash-interchangeable."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        grouped_topk(
+            orders,
+            group_cols=["o_custkey"],
+            sort_key=[-F.col("o_totalprice"), F.col("o_orderkey")],
+            payload=["o_orderkey", "o_totalprice"],
+            k=2,
+        )
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    )
+
+
 def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 + engine surface: union / intersect / except over key sets."""
     cust_nations = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -540,6 +562,7 @@ QUERIES = {
     "date_functions": date_functions,
     "json_functions": json_functions,
     "window_topk_per_group": window_topk_per_group,
+    "window_topk_per_group_agg": window_topk_per_group_agg,
     "set_operations": set_operations,
     "explode_array": explode_array,
 }
@@ -731,6 +754,15 @@ ORACLES = {
         ORDER BY event_id LIMIT 2000
     """,
     "window_topk_per_group": """
+        SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        ) WHERE rk <= 2
+        ORDER BY o_custkey, rk
+    """,
+    "window_topk_per_group_agg": """
         SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey

@@ -224,6 +224,28 @@ def test_vocab_and_bpe_rank_via_take_ordered(spark, qs):
         assert "Coalesce" in p, name
 
 
+def test_grouped_topk_faces_equal_and_sort_free(spark, qs):
+    """window_topk_per_group_agg (ranks.grouped_topk) returns the exact
+    rows+ranks of the window face, and its plan never sorts the corpus:
+    no WindowExec, no Sort below the aggregate — ObjectHashAggregate
+    with a map-side partial does the whole selection. The only Sort
+    allowed is the gate's final presentation orderBy ABOVE the agg."""
+    win = qs["window_topk_per_group"](spark, SF).collect()
+    agg = qs["window_topk_per_group_agg"](spark, SF).collect()
+    assert win == agg
+    p = plan_of(qs["window_topk_per_group_agg"](spark, SF))
+    assert "Window" not in p, p
+    assert "ObjectHashAggregate" in p, p
+    # exactly one hash exchange (group key); the range exchange is the
+    # presentation orderBy
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # the corpus-side scan feeds the partial aggregate directly: no Sort
+    # anywhere at or below the partial (the LAST ObjectHashAggregate in
+    # the plan text — everything after it is the map side + scan)
+    partial_and_scan = p[p.rindex("ObjectHashAggregate"):]
+    assert "Sort " not in partial_and_scan, p
+
+
 def test_store_backed_paths_partition_pruned(spark, tmp_path):
     """r7 judge item #4: the store path IS the engine at 100 TB — the
     attribute-partitioned parquet layout must prune for each certified
