@@ -48,6 +48,53 @@ def bounded_global_rank(
     )
 
 
+def nth_smallest_distinct(df: DataFrame, col: str, n: int):
+    """Exact n-th smallest DISTINCT value of `col` (or the largest
+    distinct value if fewer than n exist; None on empty input) without
+    shuffling the full distinct set.
+
+    Why: `distinct().orderBy().limit(n)` shuffles every distinct key in
+    the corpus to find a 1000-row prefix — at 10^8+ distinct keys the
+    shuffle IS the cost. Each global winner is, inside any partition
+    that contains it, among that partition's n smallest distinct values
+    (fewer than n distinct values are globally smaller, so fewer than n
+    are smaller within the partition) — so a per-PARTITION bounded
+    prefilter (one Arrow pass over the single column, ≤ n rows emitted
+    per partition; the mapInPandas generator spans the whole partition,
+    so the bound is per partition, not per batch) provably contains the
+    global answer, and the exact tail runs on ≤ n × n_partitions rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dtype = df.schema[col].dataType.simpleString()
+
+    def run(batches):
+        best = None
+        for pdf in batches:
+            vals = pdf[col].dropna().to_numpy()
+            if not len(vals):
+                continue
+            cand = np.unique(vals)[:n]
+            best = (
+                cand
+                if best is None
+                else np.unique(np.concatenate([best, cand]))[:n]
+            )
+        if best is not None and len(best):
+            yield pd.DataFrame({col: best})
+
+    cands = df.select(col).mapInPandas(run, schema=f"{col} {dtype}")
+    row = (
+        cands.distinct()
+        .orderBy(col)
+        .limit(n)
+        .agg(F.max(col).alias("thr"))
+        .collect()[0]
+    )
+    return row["thr"]
+
+
 def grouped_topk(
     df: DataFrame,
     group_cols: list[str],

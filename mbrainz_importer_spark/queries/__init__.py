@@ -23,7 +23,8 @@ def _load_optional() -> None:
     names = ["mbrainz", "datalog_queries", "llm", "streaming_queries", "extra",
              "fulltext_queries", "tpch_extra", "tpch_full", "history_queries",
              "curation_queries", "parity_queries", "pipeline_queries",
-             "client_queries", "quantize_queries", "linkage_queries"]
+             "client_queries", "quantize_queries", "linkage_queries",
+             "pca_queries"]
     for name in names:
         try:
             mod = __import__(f"{__name__}.{name}", fromlist=[name])

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.batching import assign_batch_ids
-from ..operators.ranks import grouped_topk
+from ..operators.ranks import grouped_topk, nth_smallest_distinct
 from ..tables import load
 
 
@@ -365,22 +365,22 @@ def nested_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation-stable.
 
     The ordered limit is pushed BELOW the collect_list aggregate: the
-    1000th-smallest distinct key is found first (a key-only distinct —
-    narrow shuffle with map-side partial — then TakeOrdered), and the
-    heavy string-collecting aggregate runs only on rows at or under that
-    threshold. The second scan's key filter reaches parquet (min/max
-    row-group pruning), so the full corpus is never string-formatted or
-    list-collected — an aggregate-through-limit pushdown Catalyst does
-    not perform itself (collect_list is not duplicate-agnostic, so the
-    generic LimitPushDown rule can't fire). Result identical: groups are
-    whole (every line of a kept order passes the key filter) and the
-    kept key set is exactly the 1000 smallest.
+    1000th-smallest distinct key is found first
+    (ranks.nth_smallest_distinct — a bounded per-partition prefilter,
+    never a full-distinct shuffle), and the heavy string-collecting
+    aggregate runs only on rows at or under that threshold. The second
+    scan's key filter reaches parquet (min/max row-group pruning), so
+    the full corpus is never string-formatted or list-collected — an
+    aggregate-through-limit pushdown Catalyst does not perform itself
+    (collect_list is not duplicate-agnostic, so the generic
+    LimitPushDown rule can't fire). Result identical: groups are whole
+    (every line of a kept order passes the key filter) and the kept key
+    set is exactly the 1000 smallest.
     """
     li = load(spark, sf_dir, "lineitem")
-    keys = li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(1000)
-    thr_row = keys.agg(F.max("l_orderkey").alias("thr")).collect()[0]
-    if thr_row["thr"] is not None:
-        li = li.where(F.col("l_orderkey") <= F.lit(thr_row["thr"]))
+    thr = nth_smallest_distinct(li, "l_orderkey", 1000)
+    if thr is not None:
+        li = li.where(F.col("l_orderkey") <= F.lit(thr))
     return (
         li.groupBy("l_orderkey")
         .agg(

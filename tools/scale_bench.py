@@ -37,6 +37,9 @@ SCALE_QUERIES = [
     "nested_collect",
     "batch_numbering",
     "window_topk_per_group",
+    "window_topk_per_group_agg",
+    "embedding_covariance_q8",
+    "embedding_pca_project",
     "dedup_exact",
     "dedup_exact_fast",
     "dedup_minhash_lsh",
