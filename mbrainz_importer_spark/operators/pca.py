@@ -122,6 +122,28 @@ def integer_moments(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
+def merge_integer_moments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two moments frames (i, j, sxy, sx, sy, n) by addition —
+    moment summaries are mergeable exactly (the PODS'12 mergeable-
+    summaries property, with zero error here: sums add). This is the
+    incremental path for corpus growth: re-aggregate only the arrivals,
+    never rescan the history. Contract: both frames must come from the
+    SAME quantization grid (the trained artifact is fixed at build time;
+    sums over codes from two grids are meaningless) — the same
+    fixed-artifact rule ann.py enforces for centroids/codebooks.
+    """
+    return (
+        a.unionByName(b)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
 def covariance_stats(df: DataFrame, vec_col: str, dim: int):
     """Driver-side (mean, cov, n) from the bounded partials — the
     sample covariance matrix (n-1 denominator). The collect is one row

@@ -108,18 +108,23 @@ def grouped_topk(
     posexplode. Produces exactly the rows and 1-based ranks of
     `row_number().over(partitionBy(group).orderBy(sort_key)) <= k`.
 
-    Why this face exists: the window plan shuffles on the group key AND
-    SORTS every shuffle partition end-to-end before it can number a
-    single row — at corpus scale the sort is the cost, and its memory
-    bound is a whole partition. This plan is ObjectHashAggregate with a
-    map-side partial, so the corpus is never sorted anywhere; only the
-    per-group lists are (each `array_sort` is one group's rows, k of
-    which survive the immediate slice). The memory bound drops from
-    "one partition's rows" to "one group's rows" — the strictly weaker
-    requirement. Rows still shuffle once on the group key (top-k per
-    group is a holistic aggregate; a bounded partial top-k would only
-    pay off when one group has >k rows in one map partition, which a
-    hash-scattered corpus doesn't give).
+    Why this face exists — and when to use it (A/B'd at sf10/sf100,
+    PLAN_NOTES_r10.md §16): NOT for speed. The window face (shuffle +
+    per-partition Tungsten sort + streaming rank) measured FASTER at
+    every tier (sf10: 2.4s vs 6.1s; sf100: 14.3s vs 38.8s) — radix
+    sort over binary rows beats ObjectHashAggregate's per-group object
+    lists on uniform data, and that result is recorded rather than
+    assumed. What this face changes is the MEMORY BOUND: the window's
+    sort buffers a whole shuffle partition, so one hot group (a
+    power-law key holding half the corpus) OOMs or spills the sort;
+    here only one group's rows are ever materialized (each `array_sort`
+    sorts a single group's list, k of which survive the immediate
+    slice), the strictly weaker requirement. Use the window face by
+    default; use this one when group-key skew makes partition-sized
+    sorts the risk. Rows still shuffle once on the group key either way
+    (top-k per group is a holistic aggregate; a bounded partial top-k
+    would only pay off when one group has >k rows in one map partition,
+    which a hash-scattered corpus doesn't give).
 
     Contract: `sort_key` is a list of Columns forming a total ASCENDING
     order (negate numerics for descending; include a unique tie-break),

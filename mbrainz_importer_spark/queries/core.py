@@ -514,12 +514,14 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sort-free face of window_topk_per_group: identical rows and
-    ranks from operators/ranks.grouped_topk (ObjectHashAggregate +
-    per-group array_sort/slice) instead of a WindowExec. The corpus is
-    shuffled once on o_custkey but never sorted; the window face sorts
-    every shuffle partition before numbering anything. Same oracle SQL —
-    the two faces are hash-interchangeable."""
+    """The skew-resilient face of window_topk_per_group: identical rows
+    and ranks from operators/ranks.grouped_topk (ObjectHashAggregate +
+    per-group array_sort/slice) instead of a WindowExec. Slower than the
+    window face on uniform data at every measured tier (see the
+    grouped_topk docstring for the A/B) but bounds memory per GROUP
+    instead of per partition — the face to reach for under power-law
+    group keys. Same oracle SQL — the two faces are
+    hash-interchangeable."""
     orders = load(spark, sf_dir, "orders")
     return (
         grouped_topk(

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.pca import (
-    covariance_stats, integer_moments, pca_components, pca_project,
+    covariance_stats, integer_moments, merge_integer_moments,
+    pca_components, pca_project,
 )
 from ..operators.quantize import sq8_code, sq8_train_bounds
 from ..tables import load
@@ -35,6 +36,34 @@ def embedding_covariance_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = emb.select(sq8_code(F.col("embedding"), lo, hi).alias("c"))
     return (
         integer_moments(codes, "c", DIM)
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            "sxy",
+            "sx",
+            "sy",
+            "n",
+        )
+        .orderBy("i", "j")
+    )
+
+
+def embedding_covariance_q8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental path certified corpus-wide: moments of two
+    disjoint halves (grid trained ONCE on the full corpus — the fixed
+    quantization artifact) merged by addition must hash-equal the
+    single-pass moments of the whole corpus, i.e. the same oracle as
+    embedding_covariance_q8. History is never rescanned on arrival."""
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+
+    def codes(df):
+        return df.select(sq8_code(F.col("embedding"), lo, hi).alias("c"))
+
+    old = integer_moments(codes(emb.where(F.col("vec_id") % 2 == 0)), "c", DIM)
+    new = integer_moments(codes(emb.where(F.col("vec_id") % 2 == 1)), "c", DIM)
+    return (
+        merge_integer_moments(old, new)
         .select(
             F.col("i").cast("bigint").alias("i"),
             F.col("j").cast("bigint").alias("j"),
@@ -68,6 +97,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "embedding_covariance_q8": embedding_covariance_q8,
+    "embedding_covariance_q8_incremental": embedding_covariance_q8_incremental,
     "embedding_pca_project": embedding_pca_project,
 }
 
@@ -87,3 +117,6 @@ ORACLES = {
         ORDER BY i, j
     """,
 }
+
+# merge-of-halves must equal the single pass — same oracle
+ORACLES["embedding_covariance_q8_incremental"] = ORACLES["embedding_covariance_q8"]

@@ -10,8 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from mbrainz_importer_spark.operators.pca import (
-    covariance_stats, integer_moments, moment_partials, pca_components,
-    pca_project,
+    covariance_stats, integer_moments, merge_integer_moments,
+    moment_partials, pca_components, pca_project,
 )
 
 VECS = [
@@ -41,6 +41,20 @@ def test_integer_moments_exact(spark, vdf):
             assert r["sx"] == int(X[:, i].sum())
             assert r["sy"] == int(X[:, j].sum())
             assert r["n"] == len(VECS)
+
+
+def test_merge_of_halves_equals_single_pass(spark, vdf):
+    a = integer_moments(vdf.where(F.col("vec_id") % 2 == 0), "v", 3)
+    b = integer_moments(vdf.where(F.col("vec_id") % 2 == 1), "v", 3)
+    merged = {
+        (r["i"], r["j"]): (r["sxy"], r["sx"], r["sy"], r["n"])
+        for r in merge_integer_moments(a, b).collect()
+    }
+    full = {
+        (r["i"], r["j"]): (r["sxy"], r["sx"], r["sy"], r["n"])
+        for r in integer_moments(vdf, "v", 3).collect()
+    }
+    assert merged == full
 
 
 def test_covariance_stats_matches_numpy(spark, vdf):
