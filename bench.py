@@ -68,6 +68,8 @@ HEADLINE = [
     "fulltext_bm25_batch",
     "fulltext_excision",
     "embedding_kmeans_assign",
+    "embedding_covariance_q8",
+    "embedding_pca_project",
     "graph_pagerank_topk",
     "graph_bfs_hops",
     "graph_sssp_bounded",
