@@ -76,6 +76,52 @@ def embedding_covariance_q8_incremental(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def stream_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run inside the gate: the embeddings corpus is laid
+    out as 4 parquet drops and drained through Trigger.AvailableNow with
+    maxFilesPerTrigger=1 (≥4 data-carrying epochs), each epoch SQ8-coded
+    with the corpus-trained grid (the fixed artifact) and reduced to its
+    bounded moments summary through the idempotent epoch sink
+    (streaming/moments_ingest.py). The merged history must hash-equal
+    the SAME corpus-wide DuckDB oracle as the batch face — the stream,
+    the incremental merge, and the single pass are one certified
+    semantics. Moment sums are not idempotent, so this gate also
+    exercises the replay correctness mechanism (the batch-id anti-join)
+    end-to-end."""
+    import tempfile
+
+    from ..streaming.moments_ingest import (
+        read_merged_moments, start_moments_ingest,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lo, hi = sq8_train_bounds(emb, "embedding", DIM)
+    src = tempfile.mkdtemp(prefix="mom-src-")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    base = tempfile.mkdtemp(prefix="mom-out-")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_moments_ingest(
+        stream, f"{base}/sink", f"{base}/ckpt", dim=DIM, lo=lo, hi=hi
+    )
+    q.awaitTermination(300)
+    return (
+        read_merged_moments(spark, f"{base}/sink")
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            "sxy",
+            "sx",
+            "sy",
+            "n",
+        )
+        .orderBy("i", "j")
+    )
+
+
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production face: top-4 principal-component coordinates for a
     bounded query set, fit on the full corpus. Rows-only by documented
@@ -98,6 +144,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "embedding_covariance_q8": embedding_covariance_q8,
     "embedding_covariance_q8_incremental": embedding_covariance_q8_incremental,
+    "stream_covariance_moments": stream_covariance_moments,
     "embedding_pca_project": embedding_pca_project,
 }
 
@@ -118,5 +165,7 @@ ORACLES = {
     """,
 }
 
-# merge-of-halves must equal the single pass — same oracle
+# merge-of-halves and the drained stream must equal the single pass —
+# same oracle for all three build paths
 ORACLES["embedding_covariance_q8_incremental"] = ORACLES["embedding_covariance_q8"]
+ORACLES["stream_covariance_moments"] = ORACLES["embedding_covariance_q8"]
