@@ -169,12 +169,19 @@ def covariance_stats(df: DataFrame, vec_col: str, dim: int):
     return mean, cov, n
 
 
-def pca_components(cov, k: int):
+def pca_components(cov, k: int, whiten: bool = False, eps: float = 1e-12):
     """Top-k principal axes of a covariance matrix: eigh (symmetric,
     deterministic), eigenvalues descending, and a fixed SIGN convention
     (the largest-|coefficient| entry of each component is positive;
     first index wins ties) so repeated builds produce identical
-    components — eigenvectors are only defined up to sign."""
+    components — eigenvectors are only defined up to sign.
+
+    whiten=True scales each axis by 1/sqrt(eigenvalue) so projected
+    coordinates have unit variance per dimension (PCA whitening — the
+    standard conditioning step before k-means / cosine work on
+    anisotropic embeddings); near-zero eigenvalues are floored at `eps`
+    so a rank-deficient corpus can't blow a coordinate up to infinity.
+    Returned eigenvalues are always the RAW variances either way."""
     import numpy as np
 
     vals, vecs = np.linalg.eigh(cov)
@@ -184,6 +191,8 @@ def pca_components(cov, k: int):
         pivot = int(np.argmax(np.abs(c)))
         if c[pivot] < 0:
             c *= -1.0
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(vals[order], eps))[:, None]
     return comps, vals[order]
 
 

@@ -106,6 +106,23 @@ def test_pca_components_properties():
         assert np.allclose(rng_free @ c, lam * c, atol=1e-10)
 
 
+def test_whitened_projection_has_unit_variance(spark, vdf):
+    X = np.array(VECS)
+    mean, cov, _ = covariance_stats(vdf, "v", 3)
+    comps, vals = pca_components(cov, 3, whiten=True)
+    out = (
+        pca_project(vdf, "v", mean, comps)
+        .orderBy("vec_id")
+        .select("pc1", "pc2", "pc3")
+        .collect()
+    )
+    P = np.array([[r["pc1"], r["pc2"], r["pc3"]] for r in out])
+    assert np.allclose(P.var(axis=0, ddof=1), 1.0, atol=1e-9)
+    # eigenvalues reported raw, not whitened
+    _, raw_vals = pca_components(cov, 3)
+    assert np.allclose(vals, raw_vals)
+
+
 def test_project_matches_numpy_and_full_rank_preserves_distance(spark, vdf):
     X = np.array(VECS)
     mean, cov, _ = covariance_stats(vdf, "v", 3)
