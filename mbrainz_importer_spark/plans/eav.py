@@ -175,6 +175,19 @@ def materialize_datoms_bucketed(
     )
 
 
+def _warehouse_table_dir(spark, table: str) -> str:
+    """The managed location a table WOULD get in the session warehouse
+    — for stale-location cleanup and crash recovery before the table
+    exists in the (in-memory) catalog. For a live table, prefer
+    `_table_location`."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    return os.path.join(wh, table.lower())
+
+
 def _drop_stale_table(spark, table: str) -> None:
     """Build-once tables under the IN-MEMORY catalog: a new process
     forgets the catalog entry but the managed location survives in the
@@ -184,12 +197,7 @@ def _drop_stale_table(spark, table: str) -> None:
     import shutil
 
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    stale = os.path.join(wh, table.lower())
+    stale = _warehouse_table_dir(spark, table)
     if os.path.exists(stale):
         shutil.rmtree(stale)
 
@@ -398,20 +406,114 @@ def current_datoms(
     return newest
 
 
+def _staged_partition_dirs(root: str) -> dict[str, str]:
+    """Map decoded attribute -> hive-escaped `a=...` directory name for
+    every attribute partition under `root` (a store root or a merge
+    staging root). Both sides of a swap are Spark writer output, so the
+    escaping is identical and a staged dir name can be renamed into the
+    destination verbatim."""
+    from urllib.parse import unquote
+
+    if not os.path.isdir(root):
+        return {}
+    return {
+        unquote(n[2:]): n
+        for n in os.listdir(root)
+        if n.startswith("a=") and os.path.isdir(os.path.join(root, n))
+    }
+
+
+def resume_merge_swap(dest: str, stage: str | None = None) -> bool:
+    """Complete a partition swap a crashed merge left half-done. The
+    swap (`_swap_staged_partitions`) moves staged attribute directories
+    into the store one rename at a time; it is atomic per partition but
+    not across partitions. The manifest written before the first move
+    records which attributes were staged and which were emptied, so
+    completion is deterministic and idempotent from any interruption
+    point: a staged attribute still present in staging is (re)swapped
+    in, one already moved is left alone (its absence from staging is
+    the done marker — the rmtree of the old directory only ever runs
+    while the staged replacement exists), and emptied attributes are
+    removed from the store if still present. `merge_datoms_increment`
+    calls this on entry, so a retried indexing job self-heals before
+    applying its own increment — the same redelivery contract as the
+    transactional sink (reference cognitect/xform/batch.clj:42-60).
+    Returns whether a manifest was found (and the swap completed)."""
+    import json
+    import shutil
+
+    stage = stage if stage is not None else _stage_root(dest)
+    manifest_path = os.path.join(stage, "_MERGE_MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        return False
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    staged_now = _staged_partition_dirs(stage)
+    dest_dirs = _staged_partition_dirs(dest)
+    for a in manifest["emptied"]:
+        if a in dest_dirs:
+            shutil.rmtree(os.path.join(dest, dest_dirs[a]))
+    for a in manifest["staged"]:
+        if a in staged_now:
+            if a in dest_dirs:
+                shutil.rmtree(os.path.join(dest, dest_dirs[a]))
+            os.rename(
+                os.path.join(stage, staged_now[a]),
+                os.path.join(dest, staged_now[a]),
+            )
+    return True
+
+
+def _swap_staged_partitions(stage: str, dest: str, touched: list[str]) -> None:
+    """Swap freshly-written staged attribute partitions into the store
+    root by directory rename — the commit step of the write-once merge.
+    Writes the recovery manifest first (staged = partitions present in
+    staging; emptied = touched attributes the merge left with zero
+    datoms), then runs the same completion logic a crash recovery
+    would, so there is exactly one code path for the moves."""
+    import json
+
+    staged = sorted(_staged_partition_dirs(stage))
+    manifest = {
+        "staged": staged,
+        "emptied": sorted(set(touched) - set(staged)),
+    }
+    with open(os.path.join(stage, "_MERGE_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    resume_merge_swap(dest, stage)
+
+
+def _stage_root(anchor: str) -> str:
+    return anchor.rstrip("/") + ".__merge_staging"
+
+
 def merge_datoms_increment(
     spark,
     path: str,
     ops: DataFrame,
     card_many: set[str] | frozenset[str] = frozenset(),
+    swap: bool = True,
 ) -> None:
     """Datomic's background INDEXING job, Spark-first: fold a tx-log
     increment into the attribute-partitioned store at `path`, rewriting
-    ONLY the attribute partitions the increment touches (dynamic
-    partition overwrite). At 100 TB the store is the engine and a
-    full-store rewrite per batch is a non-starter; this is
-    O(touched partitions + increment) — untouched attribute directories
-    are never read, never written (file-identity asserted in
-    test_index_merge).
+    ONLY the attribute partitions the increment touches. At 100 TB the
+    store is the engine and a full-store rewrite per batch is a
+    non-starter; this is O(touched partitions + increment) — untouched
+    attribute directories are never read, never written (file-identity
+    asserted in test_index_merge).
+
+    Write-once commit (default): the merged rows are written ONCE,
+    attribute-partitioned, into a staging sibling, and the staged
+    partition directories are renamed into the store
+    (`_swap_staged_partitions`). The previous design staged the merged
+    rows flat, read them back, and rewrote them through dynamic
+    partition overwrite — 2x the write bytes and an extra full read of
+    the merged content per merge (measured at the sf10 tier:
+    PLAN_NOTES_r10.md session 4). The swap is atomic per partition,
+    not across partitions; a crash mid-swap is healed by the manifest
+    (`resume_merge_swap`, called on entry here), and a crash mid-stage
+    leaves the store untouched. `swap=False` keeps the replaced
+    dynamic-overwrite path for A/B measurement.
 
     Idempotent: re-merging the same increment is a no-op on content
     (set semantics + max-tx displacement), so a crashed-and-retried
@@ -420,13 +522,30 @@ def merge_datoms_increment(
     cognitect/xform/batch.clj:42-60 restarts the same way).
 
     An increment that retracts an attribute's every datom EMPTIES that
-    partition; dynamic overwrite cannot express an empty partition, so
-    the emptied directory is removed explicitly."""
+    partition; the partitioned writer cannot express an empty
+    partition, so the emptied directory is removed explicitly (swap:
+    via the manifest's `emptied` set)."""
     import shutil
     from urllib.parse import unquote
 
     touched = sorted(r.a for r in ops.select("a").distinct().collect())
     if not touched:
+        return
+    stage = _stage_root(path)
+    if swap:
+        if resume_merge_swap(path, stage):
+            spark.catalog.refreshByPath(path)
+        existing = read_datoms(spark, path).where(F.col("a").isin(touched))
+        merged = current_datoms(existing, ops, card_many)
+        (
+            merged.select("e", "a", "v", "v_num")
+            .write.mode("overwrite")
+            .partitionBy("a")
+            .parquet(stage)
+        )
+        _swap_staged_partitions(stage, path, touched)
+        _drop_stage(path)
+        spark.catalog.refreshByPath(path)
         return
     existing = read_datoms(spark, path).where(F.col("a").isin(touched))
     merged = _stage_merge(
@@ -480,14 +599,27 @@ def merge_datoms_increment_bucketed(
     table: str,
     ops: DataFrame,
     card_many: set[str] | frozenset[str] = frozenset(),
+    swap: bool = True,
 ) -> None:
     """The incremental indexing job over the ENTITY-BUCKETED store
     (`materialize_datoms_bucketed`) — same replay semantics as
-    `merge_datoms_increment`, same touched-partitions-only cost, but
-    the rewrite goes through catalog-aware `insertInto` so the written
-    files carry the table's bucket spec: after any number of merges the
-    entity self-join between attribute partitions stays Exchange-free
-    (probe-verified and plan-asserted in test_index_merge).
+    `merge_datoms_increment`, same touched-partitions-only cost, and
+    the rewritten files carry the table's bucket spec: after any number
+    of merges the entity self-join between attribute partitions stays
+    Exchange-free (probe-verified and plan-asserted in
+    test_index_merge).
+
+    Write-once commit (default): the merged rows are written ONCE into
+    a staging TABLE with the identical bucket/sort spec (bucket-file
+    names encode the bucket id, so a renamed file keeps its bucket
+    identity), then the staged partition directories swap into the
+    real table's location and the file index refreshes. The previous
+    design staged the merged rows flat and rewrote them through
+    `insertInto` with dynamic overwrite — 2x the write bytes plus an
+    extra full read per merge (A/B in PLAN_NOTES_r10.md session 4;
+    `swap=False` keeps that path for measurement). Crash contract as
+    `merge_datoms_increment`: mid-stage leaves the store untouched,
+    mid-swap is healed by the manifest on the next merge's entry.
 
     The write pre-shuffles on (a, bucket-of-e), so a touched partition
     comes back as exactly n_buckets single-file sorted buckets — the
@@ -497,7 +629,7 @@ def merge_datoms_increment_bucketed(
     census and `compact_store` repairs it).
 
     A fully-retracted attribute's partition is dropped from the file
-    index explicitly (dynamic overwrite cannot express an empty
+    index explicitly (a partitioned writer cannot express an empty
     partition), then the table's cached file index refreshes."""
     import shutil
     from urllib.parse import unquote
@@ -506,6 +638,38 @@ def merge_datoms_increment_bucketed(
     if not touched:
         return
     loc = _table_location(spark, table)
+    nb = _table_buckets(spark, table)
+    if swap:
+        stage_table = table + "__mergestage"
+        # self-heal a crashed predecessor: the staging table's LOCATION
+        # survives a process death (the catalog is in-memory); a
+        # manifest there means the previous merge died mid-swap
+        stale_stage = _warehouse_table_dir(spark, stage_table)
+        if resume_merge_swap(loc, stale_stage):
+            spark.catalog.refreshTable(table)
+        _drop_stale_table(spark, stage_table)
+        existing = (
+            spark.table(table)
+            .where(F.col("a").isin(touched))
+            .select("e", "a", "v", "v_num")
+        )
+        merged = current_datoms(existing, ops, card_many)
+        (
+            merged.repartition(F.col("a"), F.pmod(F.hash("e"), F.lit(nb)))
+            .select("e", "a", "v", "v_num")
+            .write.mode("overwrite")
+            .partitionBy("a")
+            .bucketBy(nb, "e")
+            .sortBy("e")
+            .format("parquet")
+            .saveAsTable(stage_table)
+        )
+        stage_loc = _table_location(spark, stage_table)
+        _swap_staged_partitions(stage_loc, loc, touched)
+        spark.catalog.refreshTable(table)
+        spark.sql(f"DROP TABLE IF EXISTS `{stage_table}`")
+        shutil.rmtree(stage_loc, ignore_errors=True)
+        return
     existing = (
         spark.table(table)
         .where(F.col("a").isin(touched))
@@ -524,7 +688,6 @@ def merge_datoms_increment_bucketed(
         # partitions come back as n_buckets sorted files, not
         # (staging tasks x buckets) fragments, and Spark keeps trusting
         # the bucket sort (no Sort under downstream merge joins)
-        nb = _table_buckets(spark, table)
         cols = spark.table(table).columns
         (
             merged.repartition(F.col("a"), F.pmod(F.hash("e"), F.lit(nb)))
@@ -628,10 +791,44 @@ def compact_store(spark, table: str, n_buckets: int | None = None) -> None:
     contract; the reference transactor runs the same periodic
     re-index. `n_buckets` defaults to the table's CURRENT bucket spec
     (compaction repairs files, it doesn't resize the layout — pass a
-    count explicitly to re-bucket)."""
+    count explicitly to re-bucket).
+
+    Same-spec compaction (the maintenance-loop case) commits by the
+    write-once partition swap the merges use: one bucketed write into a
+    staging table, then directory renames — not the stage-flat /
+    read-back / full-rewrite cycle, which paid 2x the write bytes plus
+    an extra full read of the store per compaction. A crashed swap is
+    content-safe here (old and new partitions hold identical rows) and
+    is healed on the next compaction's entry. Resizing still rebuilds
+    through `materialize_datoms_bucketed` — a bucket-count change is a
+    new catalog spec, which a file swap cannot express."""
+    import shutil
+
     loc = _table_location(spark, table)
-    if n_buckets is None:
-        n_buckets = _table_buckets(spark, table)
+    cur = _table_buckets(spark, table)
+    if n_buckets is None or n_buckets == cur:
+        stage_table = table + "__compactstage"
+        stale_stage = _warehouse_table_dir(spark, stage_table)
+        if resume_merge_swap(loc, stale_stage):
+            spark.catalog.refreshTable(table)
+        _drop_stale_table(spark, stage_table)
+        snapshot = spark.table(table).select("e", "a", "v", "v_num")
+        (
+            snapshot.repartition(F.col("a"), F.pmod(F.hash("e"), F.lit(cur)))
+            .write.mode("overwrite")
+            .partitionBy("a")
+            .bucketBy(cur, "e")
+            .sortBy("e")
+            .format("parquet")
+            .saveAsTable(stage_table)
+        )
+        stage_loc = _table_location(spark, stage_table)
+        touched = sorted(_staged_partition_dirs(stage_loc))
+        _swap_staged_partitions(stage_loc, loc, touched)
+        spark.catalog.refreshTable(table)
+        spark.sql(f"DROP TABLE IF EXISTS `{stage_table}`")
+        shutil.rmtree(stage_loc, ignore_errors=True)
+        return
     snapshot = _stage_merge(
         spark, spark.table(table).select("e", "a", "v", "v_num"), loc
     )

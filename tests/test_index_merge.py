@@ -445,3 +445,94 @@ def test_compaction_cadence_policy(spark):
     loc = _table_location(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_merge_crash_mid_swap_heals_on_next_merge(spark, tmp_path, monkeypatch):
+    """The write-once merge's commit is per-partition renames; a crash
+    between them must heal on the next merge's entry (resume_merge_swap
+    from the staging manifest) and converge to the same content as an
+    uninterrupted merge — the redelivery contract, extended to the
+    commit step."""
+    import json
+    import shutil
+
+    from mbrainz_importer_spark.plans import eav
+
+    path = str(tmp_path / "store")
+    materialize_datoms(_store(spark, BASE), path)
+
+    # run the merge but "crash" before any directory move: the staged
+    # partitions and manifest exist, the store is untouched
+    monkeypatch.setattr(eav, "resume_merge_swap", lambda *a, **k: False)
+    monkeypatch.setattr(eav, "_drop_stage", lambda anchor: None)
+    merge_datoms_increment(
+        spark, path, _ops(spark, INCREMENT), card_many={":t/tag"}
+    )
+    monkeypatch.undo()
+    stage = path + ".__merge_staging"
+    manifest = json.load(open(os.path.join(stage, "_MERGE_MANIFEST.json")))
+    assert manifest["staged"], "staged partitions missing from manifest"
+    assert _sorted(read_datoms(spark, path)) == sorted(
+        (e, a, v, vn) for e, a, v, vn in BASE
+    ), "a crash before the first move must leave the store untouched"
+
+    # simulate partial progress: one staged partition already swapped
+    first = sorted(
+        n for n in os.listdir(stage)
+        if n.startswith("a=") and os.path.isdir(os.path.join(stage, n))
+    )[0]
+    if os.path.isdir(os.path.join(path, first)):
+        shutil.rmtree(os.path.join(path, first))
+    os.rename(os.path.join(stage, first), os.path.join(path, first))
+    spark.catalog.refreshByPath(path)
+
+    # redelivered merge heals the half-done swap, then applies its ops
+    merge_datoms_increment(
+        spark, path, _ops(spark, INCREMENT), card_many={":t/tag"}
+    )
+    assert _sorted(read_datoms(spark, path)) == EXPECTED
+    assert not os.path.exists(stage), "staging must be gone after a clean merge"
+
+
+def test_resume_swap_never_deletes_an_already_swapped_partition(tmp_path):
+    """The catastrophic case the manifest protocol exists to prevent: a
+    manifest listing a staged attribute whose directory has ALREADY
+    moved into the store (crash after the rename). Resume must treat
+    absence-from-staging as the done marker — never rmtree the store's
+    (new) copy."""
+    import json
+
+    from mbrainz_importer_spark.plans.eav import resume_merge_swap
+
+    dest = tmp_path / "store"
+    stage = tmp_path / "store.__merge_staging"
+    (dest / "a=%3At%2Fx").mkdir(parents=True)
+    (dest / "a=%3At%2Fx" / "part-0.parquet").write_text("new data")
+    stage.mkdir()
+    json.dump(
+        {"staged": [":t/x"], "emptied": []},
+        open(stage / "_MERGE_MANIFEST.json", "w"),
+    )
+    assert resume_merge_swap(str(dest), str(stage)) is True
+    assert (dest / "a=%3At%2Fx" / "part-0.parquet").read_text() == "new data"
+
+
+def test_merge_swap_and_legacy_paths_agree(spark, tmp_path):
+    """swap=True (write-once + rename commit) and swap=False (the
+    replaced stage/read-back/dynamic-overwrite path, kept for A/B
+    measurement) produce identical store content, including emptied
+    partitions."""
+    ops_rows = INCREMENT + [("t:2", ":t/keep", "k", None, 20, False)]
+    stores = []
+    for swap in (True, False):
+        path = str(tmp_path / f"store_{swap}")
+        materialize_datoms(_store(spark, BASE), path)
+        merge_datoms_increment(
+            spark, path, _ops(spark, ops_rows),
+            card_many={":t/tag"}, swap=swap,
+        )
+        assert not any(
+            "keep" in n for n in os.listdir(path) if n.startswith("a=")
+        ), "emptied partition must disappear on both paths"
+        stores.append(_sorted(read_datoms(spark, path)))
+    assert stores[0] == stores[1]
