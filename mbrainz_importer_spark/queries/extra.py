@@ -646,6 +646,75 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_bounded(edges, seeds, rounds=3).orderBy("node")
 
 
+def _trade_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem-orders join of the trade-graph edge derivation over
+    the ORDERKEY-BUCKETED fact layout (queries/core.py:_bucketed_facts)
+    — the cost that dominates every plain graph gate at the sf100 tier:
+    the plain derivation shuffles both full fact tables into the SMJ
+    (101.6s of graph_bfs_hops' sf100 run is mostly this join; the
+    weighted SSSP variant OOMs the 8g heap inside it). Bucketed, both
+    fact sides scan co-located and the join plans Exchange-free
+    (plan-asserted in test_plan_properties); only the projected
+    (src, dst[, ok]) pairs reach the distinct, whose map-side partial
+    aggregation collapses the replication-factor duplicates before its
+    small shuffle. Same rows as the plain derivation by construction —
+    the bucketed gates share their plain twins' oracles."""
+    from .core import _bucketed_facts
+
+    li, o = _bucketed_facts(spark, sf_dir)
+    return li.join(o, li.l_orderkey == o.o_orderkey)
+
+
+def graph_bfs_hops_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_bfs_hops with the edge derivation riding the bucketed fact
+    layout (_trade_edges_bucketed): identical BFS, identical oracle —
+    the gate certifies that moving the derivation onto the layout
+    changes the plan, not the graph."""
+    from ..operators.graph import bfs_hops
+
+    eg = (
+        _trade_edges_bucketed(spark, sf_dir)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+
+
+def graph_sssp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_sssp_bounded with the weighted edge derivation riding the
+    bucketed fact layout — the variant whose plain form OOMs the 8g
+    heap at sf100 inside the fact-fact shuffle (TIERS_r10.md session-3
+    dagger): bucketed, the join carries no Exchange and the
+    (src, dst, orderkey) distinct is the only shuffle. Same rows, same
+    oracle as graph_sssp_bounded."""
+    from ..operators.graph import sssp_bounded
+
+    pair_orders = (
+        _trade_edges_bucketed(spark, sf_dir)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            F.col("l_orderkey").alias("ok"),
+        )
+        .distinct()
+    )
+    eg = pair_orders.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
+    return sssp_bounded(edges, seeds, rounds=3).orderBy("node")
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (parts sharing an order,
     canonical p1 < p2 edges) — the clustering-structure probe next to
@@ -825,8 +894,10 @@ QUERIES = {
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_pagerank_directed": graph_pagerank_directed,
     "graph_bfs_hops": graph_bfs_hops,
+    "graph_bfs_hops_bucketed": graph_bfs_hops_bucketed,
     "graph_label_propagation": graph_label_propagation,
     "graph_sssp_bounded": graph_sssp_bounded,
+    "graph_sssp_bucketed": graph_sssp_bucketed,
     "graph_triangle_count": graph_triangle_count,
     "agg_incremental_view": agg_incremental_view,
 }
@@ -1477,6 +1548,8 @@ def _sssp_bounded_oracle(rounds: int = 3) -> str:
 
 
 ORACLES["graph_sssp_bounded"] = _sssp_bounded_oracle()
+# the bucketed faces change the physical plan, never the graph: same oracles
+ORACLES["graph_sssp_bucketed"] = _sssp_bounded_oracle()
 
 ORACLES["graph_bfs_hops"] = """
     WITH RECURSIVE eg AS (
@@ -1497,6 +1570,7 @@ ORACLES["graph_bfs_hops"] = """
     SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM walk GROUP BY node ORDER BY node
 """
+ORACLES["graph_bfs_hops_bucketed"] = ORACLES["graph_bfs_hops"]
 
 ORACLES["graph_triangle_count"] = """
     WITH pairs AS (

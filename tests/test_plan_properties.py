@@ -349,3 +349,17 @@ def test_bucketed_store_entity_self_join_no_exchange(spark):
     # values survive the layout: 3 statuses x 13 ids
     got = {(r["st"], r["count_o"]) for r in rel.collect()}
     assert got == {("s0", 13), ("s1", 13), ("s2", 13)}
+
+
+def test_trade_edge_derivation_bucketed_join_no_exchange(spark):
+    """The graph gates' trade-edge derivation over the bucketed fact
+    layout (queries/extra.py:_trade_edges_bucketed): the
+    lineitem-orders join — the shuffle that dominates the plain graph
+    gates at the sf100 tier — must plan with NO Exchange on either
+    fact side; the only shuffles left in the bucketed BFS/SSSP gates
+    belong to the (small) distinct pair aggregation and the rounds."""
+    from mbrainz_importer_spark.queries.extra import _trade_edges_bucketed
+    from mbrainz_importer_spark.sources.bucketed import count_exchanges
+
+    j = _trade_edges_bucketed(spark, "/root/testdata/sf0.001")
+    assert count_exchanges(j) == 0, "bucketed edge derivation shuffled"

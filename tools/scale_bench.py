@@ -81,7 +81,9 @@ SCALE_QUERIES = [
     "fulltext_excision",
     "graph_pagerank_topk",
     "graph_bfs_hops",
+    "graph_bfs_hops_bucketed",
     "graph_sssp_bounded",
+    "graph_sssp_bucketed",
     "graph_label_propagation",
     "graph_triangle_count",
     "agg_incremental_view",
