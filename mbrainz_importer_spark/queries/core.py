@@ -167,7 +167,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # projection is the union of the consumers' columns
 _BUCKETED_LI_COLS = (
     "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-    "l_shipdate", "l_quantity",
+    "l_shipdate", "l_quantity", "l_partkey",
 )
 _BUCKETED_O_COLS = (
     "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",

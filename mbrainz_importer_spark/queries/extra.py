@@ -715,6 +715,51 @@ def graph_sssp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_bounded(edges, seeds, rounds=3).orderBy("node")
 
 
+def graph_label_propagation_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """graph_label_propagation with the edge derivation riding the
+    bucketed fact layout (_trade_edges_bucketed) — same 3 synchronous
+    mode-label rounds, same oracle; only the derivation's plan
+    changes."""
+    from ..operators.graph import label_propagation
+
+    eg = (
+        _trade_edges_bucketed(spark, sf_dir)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return label_propagation(edges, iters=3).orderBy("node")
+
+
+def graph_triangle_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_triangle_count with the co-purchase edge derivation over
+    the bucketed lineitem table: the l_orderkey SELF-join that
+    enumerates same-order part pairs — the one fact-fact shuffle in the
+    plain gate — plans Exchange-free when both sides scan the same
+    orderkey-bucketed layout. Same canonical edges, same wedge core,
+    same oracle."""
+    from ..operators.graph import triangle_count
+    from .core import _bucketed_facts
+
+    li, _o = _bucketed_facts(spark, sf_dir)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (parts sharing an order,
     canonical p1 < p2 edges) — the clustering-structure probe next to
@@ -896,9 +941,11 @@ QUERIES = {
     "graph_bfs_hops": graph_bfs_hops,
     "graph_bfs_hops_bucketed": graph_bfs_hops_bucketed,
     "graph_label_propagation": graph_label_propagation,
+    "graph_label_propagation_bucketed": graph_label_propagation_bucketed,
     "graph_sssp_bounded": graph_sssp_bounded,
     "graph_sssp_bucketed": graph_sssp_bucketed,
     "graph_triangle_count": graph_triangle_count,
+    "graph_triangle_bucketed": graph_triangle_bucketed,
     "agg_incremental_view": agg_incremental_view,
 }
 
@@ -1504,6 +1551,7 @@ def _label_propagation_oracle(iters: int = 3) -> str:
 
 
 ORACLES["graph_label_propagation"] = _label_propagation_oracle()
+ORACLES["graph_label_propagation_bucketed"] = _label_propagation_oracle()
 
 def _sssp_bounded_oracle(rounds: int = 3) -> str:
     """The same bounded Bellman-Ford, unrolled: per round one relax
@@ -1586,6 +1634,7 @@ ORACLES["graph_triangle_count"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM wedges w JOIN pairs p3 ON w.a = p3.s AND w.c = p3.t
 """
+ORACLES["graph_triangle_bucketed"] = ORACLES["graph_triangle_count"]
 
 ORACLES["agg_incremental_view"] = """
     SELECT o_custkey,

@@ -363,3 +363,18 @@ def test_trade_edge_derivation_bucketed_join_no_exchange(spark):
 
     j = _trade_edges_bucketed(spark, "/root/testdata/sf0.001")
     assert count_exchanges(j) == 0, "bucketed edge derivation shuffled"
+
+
+def test_triangle_copurchase_selfjoin_bucketed_no_exchange(spark):
+    """graph_triangle_bucketed's co-purchase derivation: the lineitem
+    SELF-join on l_orderkey plans Exchange-free when both sides scan
+    the same orderkey-bucketed table."""
+    from mbrainz_importer_spark.queries.core import _bucketed_facts
+    from mbrainz_importer_spark.sources.bucketed import count_exchanges
+    from pyspark.sql import functions as F
+
+    li, _o = _bucketed_facts(spark, "/root/testdata/sf0.001")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    j = a.join(b, "l_orderkey").where(F.col("p1") < F.col("p2"))
+    assert count_exchanges(j) == 0, "bucketed co-purchase self-join shuffled"

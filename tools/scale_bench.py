@@ -85,7 +85,9 @@ SCALE_QUERIES = [
     "graph_sssp_bounded",
     "graph_sssp_bucketed",
     "graph_label_propagation",
+    "graph_label_propagation_bucketed",
     "graph_triangle_count",
+    "graph_triangle_bucketed",
     "agg_incremental_view",
     "embedding_kmeans_assign",
     "skew_salted_join",
@@ -121,6 +123,11 @@ TIER_SKIP = {
         "orders DENSIFY the co-purchase graph (mean degree ~x100): "
         "triangle/intersection mass grows superquadratically — "
         "workload shape, not plan; sf10 measures the operator",
+    ),
+    "graph_triangle_bucketed": (
+        100.0,
+        "same densified-workload bound as graph_triangle_count (the "
+        "layout changes the derivation's plan, not the wedge mass)",
     ),
     "skew_salted_join": (
         100.0,
