@@ -72,9 +72,13 @@ HEADLINE = [
     "embedding_pca_project",
     "graph_pagerank_topk",
     "graph_bfs_hops",
+    "graph_bfs_hops_bucketed",
     "graph_sssp_bounded",
+    "graph_sssp_bucketed",
     "graph_label_propagation",
+    "graph_label_propagation_bucketed",
     "graph_triangle_count",
+    "graph_triangle_bucketed",
     "agg_incremental_view",
     "quality_classifier_scores",
     "semdedup_survivors",

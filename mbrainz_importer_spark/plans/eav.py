@@ -478,8 +478,13 @@ def _swap_staged_partitions(stage: str, dest: str, touched: list[str]) -> None:
         "staged": staged,
         "emptied": sorted(set(touched) - set(staged)),
     }
-    with open(os.path.join(stage, "_MERGE_MANIFEST.json"), "w") as f:
+    # atomic manifest: a torn write would loudly block every later
+    # merge (resume raises on malformed JSON, by design); write+rename
+    # removes that window — the manifest either exists whole or not
+    final = os.path.join(stage, "_MERGE_MANIFEST.json")
+    with open(final + ".tmp", "w") as f:
         json.dump(manifest, f)
+    os.rename(final + ".tmp", final)
     resume_merge_swap(dest, stage)
 
 

@@ -206,6 +206,104 @@ def write_bucketed(
     )
 
 
+def read_bucket_spec(spark: SparkSession, table: str) -> dict:
+    """The table's validated on-disk bucket spec (`_bucketspec.json`,
+    written by every bucketed writer here). Raises on a missing or
+    corrupt spec — the corruption stays loud, as in adoption."""
+    loc = table_location(spark, table)
+    p = os.path.join(loc, _SPEC_NAME)
+    with open(p) as f:
+        spec = json.load(f)
+    _validate_bucket_spec(spec, p)
+    return spec
+
+
+def append_bucketed(df: DataFrame, table: str) -> None:
+    """Fold an increment into an existing bucketed table — the
+    O(increment) arrival path the layout needs at 100 TB (a build-once
+    layout that can only full-rebuild on new data is a snapshot, not a
+    layout). The write pre-shuffles on the table's own bucket spec, so
+    each bucket gains at most ONE file per append, and insertInto
+    writes bucket-id file names: bucket CO-LOCATION survives every
+    append — joins on the bucket key stay Exchange-free
+    (plan-asserted in test_bucketed).
+
+    What an append deliberately spends is the single-file-per-bucket
+    SORT trust: Spark only trusts sortBy metadata for single-file
+    buckets, so downstream SMJs re-insert their per-bucket Sort until
+    `compact_bucketed` collapses the accumulation — the LSM cadence
+    (appends O(increment), compaction periodic), policed by
+    `bucketed_compaction_due` exactly like the datom store's census.
+
+    NOT idempotent — it is an append; a redelivered increment
+    duplicates rows. Redelivery discipline belongs to the ingest path
+    in front of it (the anti-join transactional sink,
+    operators/idempotency.py), same as any log-structured store."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    spec = read_bucket_spec(spark, table)
+    key, nb = spec["bucket_key"], spec["n_buckets"]
+    cols = spark.table(table).columns
+    (
+        df.repartition(F.pmod(F.hash(key), F.lit(nb)))
+        .select(*cols)
+        .write.insertInto(table, overwrite=False)
+    )
+    spark.catalog.refreshTable(table)
+
+
+def bucket_file_counts(spark: SparkSession, table: str) -> dict[int, int]:
+    """Data files per bucket id, from the bucket-id suffix insertInto /
+    saveAsTable encode in every bucketed file name (`..._00007.c000...`).
+    Metadata-only (a directory listing, the same price the planner
+    pays to enumerate splits)."""
+    import re
+
+    loc = table_location(spark, table)
+    counts: dict[int, int] = {}
+    for name in os.listdir(loc):
+        if name.startswith(("_", ".")) or name.endswith(".crc"):
+            continue
+        m = re.search(r"_(\d{5})(?:\.|$)", name)
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def bucketed_compaction_due(
+    spark: SparkSession, table: str, max_files_per_bucket: int = 1
+) -> bool:
+    """The census policy for the flat bucketed layout: due when any
+    bucket holds more than `max_files_per_bucket` files (every file
+    past the first costs the downstream SMJ its Sort-free plan and
+    adds a merge stream). The default 1 restores the write-discipline
+    invariant on the first compaction after any append."""
+    counts = bucket_file_counts(spark, table)
+    return bool(counts) and max(counts.values()) > max_files_per_bucket
+
+
+def compact_bucketed(spark: SparkSession, table: str) -> None:
+    """Collapse every bucket back to ONE sorted file, preserving
+    content and spec — the periodic half of the append/compact cadence.
+    Rebuilds through a flat staging snapshot + `write_bucketed` (the
+    datom store's partition-directory swap needs a partition
+    granularity a flat bucketed table doesn't have; a file-level swap
+    would expose duplicate or missing rows mid-crash, while the staged
+    rebuild keeps the catalog entry valid at every point)."""
+    from ..plans.eav import _drop_stage, _stage_merge
+
+    spec = read_bucket_spec(spark, table)
+    loc = table_location(spark, table)
+    cols = tuple(spark.table(table).columns)
+    snapshot = _stage_merge(
+        spark, spark.table(table).select(*cols), loc, columns=cols
+    )
+    write_bucketed(snapshot, table, spec["bucket_key"], spec["n_buckets"])
+    _drop_stage(loc)
+
+
 def adaptive_buckets(
     *paths: str,
     target_mb: int = 128,

@@ -368,3 +368,77 @@ def test_shape_selected_trust_survives_estimator_failure(spark, monkeypatch):
     with B.shape_trust(q5) as pick:
         assert pick is None
         assert q5.count() == 10
+
+
+def test_append_bucketed_keeps_colocation_compact_restores_sort(spark):
+    """The append/compact cadence (append_bucketed / bucketed_compaction_due
+    / compact_bucketed): an append adds exactly one spec-carrying file per
+    touched bucket — the join stays Exchange-free — but spends the
+    single-file sort trust (the SMJ re-inserts its per-bucket Sort);
+    compaction collapses each bucket back to one file, restores the
+    Sort-free plan, and preserves content exactly."""
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.sources.bucketed import (
+        append_bucketed,
+        bucket_file_counts,
+        bucketed_compaction_due,
+        compact_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load(spark, SF, "orders")
+        base = orders.where(F.col("o_orderkey") % 10 != 0)
+        inc = orders.where(F.col("o_orderkey") % 10 == 0)
+        write_bucketed(base, "b_app_orders", "o_orderkey", 4)
+        li = load(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(li, "b_app_li", "o_orderkey", 4)
+        assert not bucketed_compaction_due(spark, "b_app_orders")
+
+        append_bucketed(inc, "b_app_orders")
+        assert spark.table("b_app_orders").count() == orders.count()
+        assert bucketed_compaction_due(spark, "b_app_orders")
+        assert max(bucket_file_counts(spark, "b_app_orders").values()) == 2
+
+        def join_plan():
+            j = joined_bucketed(spark, "b_app_orders", "b_app_li", "o_orderkey")
+            from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+            return j, physical_plan(j)
+
+        j, plan = join_plan()
+        assert count_exchanges(j) == 0, "append broke bucket co-location"
+        assert any(
+            " Sort [o_orderkey" in ln for ln in plan.splitlines()
+        ), "multi-file buckets must re-insert the SMJ Sort"
+
+        before = sorted(
+            tuple(r)
+            for r in spark.table("b_app_orders")
+            .select("o_orderkey", "o_orderstatus")
+            .collect()
+        )
+        compact_bucketed(spark, "b_app_orders")
+        after = sorted(
+            tuple(r)
+            for r in spark.table("b_app_orders")
+            .select("o_orderkey", "o_orderstatus")
+            .collect()
+        )
+        assert before == after, "compaction changed content"
+        assert max(bucket_file_counts(spark, "b_app_orders").values()) == 1
+        assert not bucketed_compaction_due(spark, "b_app_orders")
+        j, plan = join_plan()
+        assert count_exchanges(j) == 0
+        assert not any(
+            " Sort [o_orderkey" in ln for ln in plan.splitlines()
+        ), "compaction must restore the Sort-free merge"
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_app_orders")
+        spark.sql("DROP TABLE IF EXISTS b_app_li")
