@@ -253,6 +253,101 @@ def append_bucketed(df: DataFrame, table: str) -> None:
     spark.catalog.refreshTable(table)
 
 
+_LEDGER_NAME = "_append_ledger.json"
+
+
+def _read_append_ledger(loc: str) -> list[str]:
+    p = os.path.join(loc, _LEDGER_NAME)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _record_append(loc: str, batch_id: str) -> None:
+    ledger = _read_append_ledger(loc)
+    if batch_id not in ledger:
+        ledger.append(batch_id)
+    p = os.path.join(loc, _LEDGER_NAME)
+    with open(p + ".tmp", "w") as f:
+        json.dump(ledger, f)
+    os.rename(p + ".tmp", p)
+
+
+def append_bucketed_once(df: DataFrame, table: str, batch_id: str) -> bool:
+    """`append_bucketed` with an exactly-once commit — the sink the
+    STREAMING layout ingest needs, since a plain append duplicates rows
+    on redelivery. The batch stages as a bucketed table (files carry
+    bucket-id names and the spec's sort), a manifest records
+    (batch_id, files), the files MOVE into the layout one rename at a
+    time (absence-from-staging is the done marker, as in the store
+    merge swap), and the batch id lands in the layout's ledger
+    (`_append_ledger.json`, atomic rename). Every crash window heals:
+    mid-stage replay restages from scratch; mid-move or pre-ledger
+    replay completes the recorded moves and records; a replay of a
+    ledgered batch is a no-op. Appends are assumed SERIAL per table
+    (Structured Streaming's foreachBatch contract — one epoch at a
+    time). Returns whether the batch was applied (False = replay of a
+    committed batch)."""
+    from ..plans.eav import _drop_stale_table
+
+    spark = df.sparkSession
+    spec = read_bucket_spec(spark, table)
+    loc = table_location(spark, table)
+    stage_table = table + "__appendstage"
+    stage_loc = os.path.join(
+        os.path.dirname(loc.rstrip("/")), stage_table.lower()
+    )
+    manifest_p = os.path.join(stage_loc, "_APPEND_MANIFEST.json")
+
+    def complete(manifest: dict) -> None:
+        for name in manifest["files"]:
+            src = os.path.join(stage_loc, name)
+            if os.path.exists(src):
+                os.rename(src, os.path.join(loc, name))
+        _record_append(loc, manifest["batch_id"])
+        spark.catalog.refreshTable(table)
+
+    # heal a predecessor that died between its moves and its cleanup
+    # (possibly a DIFFERENT batch whose ledger record never landed)
+    if os.path.exists(manifest_p):
+        with open(manifest_p) as f:
+            prev = json.load(f)
+        complete(prev)
+        _drop_stale_table(spark, stage_table)
+        if prev["batch_id"] == batch_id:
+            return True
+    if batch_id in _read_append_ledger(loc):
+        return False
+    _drop_stale_table(spark, stage_table)
+    from pyspark.sql import functions as F
+
+    key, nb = spec["bucket_key"], spec["n_buckets"]
+    cols = spark.table(table).columns
+    (
+        df.repartition(F.pmod(F.hash(key), F.lit(nb)))
+        .select(*cols)
+        .write.bucketBy(nb, key)
+        .sortBy(spec["sort_key"])
+        .format("parquet")
+        .saveAsTable(stage_table)
+    )
+    stage_loc = table_location(spark, stage_table)
+    manifest_p = os.path.join(stage_loc, "_APPEND_MANIFEST.json")
+    files = [
+        n
+        for n in os.listdir(stage_loc)
+        if not n.startswith(("_", ".")) and not n.endswith(".crc")
+    ]
+    manifest = {"batch_id": batch_id, "files": files}
+    with open(manifest_p + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(manifest_p + ".tmp", manifest_p)
+    complete(manifest)
+    _drop_stale_table(spark, stage_table)
+    return True
+
+
 def bucket_file_counts(spark: SparkSession, table: str) -> dict[int, int]:
     """Data files per bucket id, from the bucket-id suffix insertInto /
     saveAsTable encode in every bucketed file name (`..._00007.c000...`).
@@ -297,10 +392,14 @@ def compact_bucketed(spark: SparkSession, table: str) -> None:
     spec = read_bucket_spec(spark, table)
     loc = table_location(spark, table)
     cols = tuple(spark.table(table).columns)
+    ledger = _read_append_ledger(loc)  # survives the rebuild: losing it
+    # would let a replayed epoch re-append after a compaction
     snapshot = _stage_merge(
         spark, spark.table(table).select(*cols), loc, columns=cols
     )
     write_bucketed(snapshot, table, spec["bucket_key"], spec["n_buckets"])
+    for b in ledger:
+        _record_append(table_location(spark, table), b)
     _drop_stage(loc)
 
 
