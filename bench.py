@@ -80,6 +80,7 @@ HEADLINE = [
     "graph_triangle_count",
     "graph_triangle_bucketed",
     "agg_incremental_view",
+    "layout_append_compact",
     "quality_classifier_scores",
     "semdedup_survivors",
     "semdedup_survivors_arrow",

@@ -492,6 +492,37 @@ def _stage_root(anchor: str) -> str:
     return anchor.rstrip("/") + ".__merge_staging"
 
 
+def _read_swap_manifest(stage: str) -> dict | None:
+    import json
+
+    p = os.path.join(stage, "_MERGE_MANIFEST.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _sync_partition_registrations(spark, table: str, manifest: dict | None) -> None:
+    """Bring the catalog's partition list in line with a completed
+    directory swap: the in-memory catalog tracks a partitioned
+    datasource table's partitions, so a renamed-in NEW attribute
+    directory is invisible until registered (silent missing rows) and
+    a removed one lingers registered. Ends with a file-index refresh."""
+    if manifest:
+        for a in manifest["staged"]:
+            esc = a.replace("'", "''")
+            spark.sql(
+                f"ALTER TABLE `{table}` ADD IF NOT EXISTS "
+                f"PARTITION (a='{esc}')"
+            )
+        for a in manifest["emptied"]:
+            esc = a.replace("'", "''")
+            spark.sql(
+                f"ALTER TABLE `{table}` DROP IF EXISTS PARTITION (a='{esc}')"
+            )
+    spark.catalog.refreshTable(table)
+
+
 def merge_datoms_increment(
     spark,
     path: str,
@@ -648,10 +679,13 @@ def merge_datoms_increment_bucketed(
         stage_table = table + "__mergestage"
         # self-heal a crashed predecessor: the staging table's LOCATION
         # survives a process death (the catalog is in-memory); a
-        # manifest there means the previous merge died mid-swap
+        # manifest there means the previous merge died mid-swap — and
+        # the predecessor may also have died before REGISTERING its
+        # partitions, so re-sync from its manifest after completing
         stale_stage = _warehouse_table_dir(spark, stage_table)
+        stale_manifest = _read_swap_manifest(stale_stage)
         if resume_merge_swap(loc, stale_stage):
-            spark.catalog.refreshTable(table)
+            _sync_partition_registrations(spark, table, stale_manifest)
         _drop_stale_table(spark, stage_table)
         existing = (
             spark.table(table)
@@ -670,8 +704,18 @@ def merge_datoms_increment_bucketed(
             .saveAsTable(stage_table)
         )
         stage_loc = _table_location(spark, stage_table)
+        staged_attrs = sorted(_staged_partition_dirs(stage_loc))
         _swap_staged_partitions(stage_loc, loc, touched)
-        spark.catalog.refreshTable(table)
+        # the swap moved files the catalog never saw: the in-memory
+        # catalog tracks a partitioned datasource table's PARTITIONS,
+        # so a merge introducing a new attribute would be silently
+        # invisible (found by probe, pinned in test_index_merge) and
+        # an emptied one would linger registered
+        _sync_partition_registrations(
+            spark, table,
+            {"staged": staged_attrs,
+             "emptied": sorted(set(touched) - set(staged_attrs))},
+        )
         spark.sql(f"DROP TABLE IF EXISTS `{stage_table}`")
         shutil.rmtree(stage_loc, ignore_errors=True)
         return

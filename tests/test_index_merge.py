@@ -536,3 +536,48 @@ def test_merge_swap_and_legacy_paths_agree(spark, tmp_path):
         ), "emptied partition must disappear on both paths"
         stores.append(_sorted(read_datoms(spark, path)))
     assert stores[0] == stores[1]
+
+
+def test_bucketed_merge_new_attribute_is_visible(spark):
+    """A merge that INTRODUCES an attribute creates a partition
+    directory the catalog has never seen; the swap commit must
+    register it (the in-memory catalog tracks a partitioned datasource
+    table's partitions — an unregistered rename-in is silently
+    invisible to spark.table) and deregister fully-retracted ones.
+    Found by probe after the write-once swap landed."""
+    import shutil
+
+    from mbrainz_importer_spark.plans.eav import (
+        _table_location,
+        materialize_datoms_bucketed,
+        merge_datoms_increment_bucketed,
+    )
+
+    table = "merge_bucketed_newattr"
+    materialize_datoms_bucketed(
+        _store(spark, [("t:1", ":t/x", "1", 1.0)]), table, n_buckets=2
+    )
+    loc = _table_location(spark, table)
+    merge_datoms_increment_bucketed(
+        spark, table,
+        _ops(spark, [("t:2", ":t/brand_new", "n", None, 10, True)]),
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.table(table).select("e", "a", "v", "v_num").collect()
+    )
+    assert ("t:2", ":t/brand_new", "n", None) in got, "new partition invisible"
+    # and a merge retracting the new attribute entirely deregisters it
+    merge_datoms_increment_bucketed(
+        spark, table,
+        _ops(spark, [("t:2", ":t/brand_new", "n", None, 20, False)]),
+    )
+    assert spark.table(table).where("a = ':t/brand_new'").count() == 0
+    assert (
+        spark.sql(f"SHOW PARTITIONS `{table}`")
+        .where("partition like '%brand_new%'")
+        .count()
+        == 0
+    ), "emptied partition still registered"
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    shutil.rmtree(loc, ignore_errors=True)

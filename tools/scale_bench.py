@@ -32,6 +32,7 @@ SCALE_QUERIES = [
     "q18_large_orders_bucketed",
     "q5_region_revenue",
     "q5_region_revenue_bucketed",
+    "layout_append_compact",
     "upsert_merge",
     "broadcast_dim_join",
     "nested_collect",
