@@ -543,9 +543,12 @@ def merge_datoms_increment(
     partition directories are renamed into the store
     (`_swap_staged_partitions`). The previous design staged the merged
     rows flat, read them back, and rewrote them through dynamic
-    partition overwrite — 2x the write bytes and an extra full read of
-    the merged content per merge (measured at the sf10 tier:
-    PLAN_NOTES_r10.md session 4). The swap is atomic per partition,
+    partition overwrite — a second full write pass plus a read-back of
+    the merged content per merge. Measured honestly (PLAN_NOTES_r10.md
+    §17): the wall win is the eliminated pass (sf10 steady 1.3-1.4x),
+    NOT raw disk bytes on a cache-absorbing box — the deleted staging
+    file's writeback is largely CANCELLED there; on durable/remote
+    storage the second write is real I/O by construction. The swap is atomic per partition,
     not across partitions; a crash mid-swap is healed by the manifest
     (`resume_merge_swap`, called on entry here), and a crash mid-stage
     leaves the store untouched. `swap=False` keeps the replaced
@@ -651,8 +654,9 @@ def merge_datoms_increment_bucketed(
     identity), then the staged partition directories swap into the
     real table's location and the file index refreshes. The previous
     design staged the merged rows flat and rewrote them through
-    `insertInto` with dynamic overwrite — 2x the write bytes plus an
-    extra full read per merge (A/B in PLAN_NOTES_r10.md session 4;
+    `insertInto` with dynamic overwrite — a second full write pass plus
+    a read-back per merge (A/B in PLAN_NOTES_r10.md §17: sf10 steady
+    1.14x, sf100/24g steady 140.9s vs 245.4 = 1.74x;
     `swap=False` keeps that path for measurement). Crash contract as
     `merge_datoms_increment`: mid-stage leaves the store untouched,
     mid-swap is healed by the manifest on the next merge's entry.
@@ -845,8 +849,8 @@ def compact_store(spark, table: str, n_buckets: int | None = None) -> None:
     Same-spec compaction (the maintenance-loop case) commits by the
     write-once partition swap the merges use: one bucketed write into a
     staging table, then directory renames — not the stage-flat /
-    read-back / full-rewrite cycle, which paid 2x the write bytes plus
-    an extra full read of the store per compaction. A crashed swap is
+    read-back / full-rewrite cycle, which paid a second full write pass
+    plus a read-back of the whole store per compaction. A crashed swap is
     content-safe here (old and new partitions hold identical rows) and
     is healed on the next compaction's entry. Resizing still rebuilds
     through `materialize_datoms_bucketed` — a bucket-count change is a
