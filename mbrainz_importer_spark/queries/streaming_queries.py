@@ -116,8 +116,71 @@ def stream_backpressure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def stream_layout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run inside the gate: the bucketed orders layout
+    builds from 90% of the corpus, the remaining 10% drains through
+    `streaming/layout_ingest.py:start_layout_ingest` in at least two
+    file-sliced micro-batches (two single-file drops,
+    maxFilesPerTrigger=1), each committed by the exactly-once manifest
+    append with the in-sink compaction cadence (compact_after_files=1
+    restores the single-file invariant every epoch). The q3-shaped
+    orderkey join over the drained layout must hash-equal the
+    full-corpus oracle — stream in, layout out, the maintenance cycle
+    certified invisible. The base table rebuilds each run (fresh
+    checkpoint + drop dirs), so re-runs stay hash-stable."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..plans.eav import _table_buckets
+    from ..sources.bucketed import write_bucketed
+    from ..streaming.layout_ingest import start_layout_ingest
+    from .core import _BUCKETED_O_COLS, _bucketed_facts
+
+    li, _o = _bucketed_facts(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    nb = _table_buckets(spark, f"b_lineitem_{tag}")
+    orders = load(spark, sf_dir, "orders").select(*_BUCKETED_O_COLS)
+    t = f"b_orders_stream_{tag}"
+    write_bucketed(
+        orders.where(F.col("o_orderkey") % 10 != 0), t, "o_orderkey", nb
+    )
+    inc = orders.where(F.col("o_orderkey") % 10 == 0)
+    src = tempfile.mkdtemp(prefix="layout-inc-")
+    inc.where(F.col("o_orderkey") % 20 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "d0")
+    )
+    inc.where(F.col("o_orderkey") % 20 != 0).coalesce(1).write.parquet(
+        os.path.join(src, "d1")
+    )
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*/")
+    )
+    q = start_layout_ingest(
+        stream, t, tempfile.mkdtemp(prefix="layout-ckpt-"),
+        compact_after_files=1,
+    )
+    q.awaitTermination(300)
+    o = spark.table(t).hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "stream_backpressure_replay": stream_backpressure_replay,
+    "stream_layout_ingest": stream_layout_ingest,
     "stream_dim_enriched_counts": stream_dim_enriched_counts,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_interval_join": stream_interval_join,
@@ -128,6 +191,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_layout_ingest": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS qty_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "stream_backpressure_replay": """
         SELECT event_type, COUNT(*) AS n_events
         FROM events GROUP BY event_type ORDER BY event_type
