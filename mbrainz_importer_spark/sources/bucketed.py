@@ -218,6 +218,25 @@ def read_bucket_spec(spark: SparkSession, table: str) -> dict:
     return spec
 
 
+def _reject_partitioned(spec: dict, table: str, op: str) -> None:
+    """The flat-layout maintenance ops refuse a PARTITIONED bucketed
+    table loudly: `compact_bucketed`'s rebuild through `write_bucketed`
+    would silently DROP the partitioning (content preserved, layout and
+    spec wrong — every later merge breaks), and the appends would
+    bypass partition registration and the per-(partition, bucket)
+    file invariant. The partitioned datom store has its own maintenance
+    path (plans/eav.py: merge_datoms_increment_bucketed /
+    compact_store)."""
+    if spec.get("partition_col"):
+        raise ValueError(
+            f"{op}: {table!r} is partitioned by "
+            f"{spec['partition_col']!r} — use the datom-store "
+            "maintenance path (plans/eav.py compact_store / "
+            "merge_datoms_increment_bucketed), not the flat-layout "
+            f"{op}"
+        )
+
+
 def append_bucketed(df: DataFrame, table: str) -> None:
     """Fold an increment into an existing bucketed table — the
     O(increment) arrival path the layout needs at 100 TB (a build-once
@@ -243,6 +262,7 @@ def append_bucketed(df: DataFrame, table: str) -> None:
 
     spark = df.sparkSession
     spec = read_bucket_spec(spark, table)
+    _reject_partitioned(spec, table, "append_bucketed")
     key, nb = spec["bucket_key"], spec["n_buckets"]
     cols = spark.table(table).columns
     (
@@ -293,6 +313,7 @@ def append_bucketed_once(df: DataFrame, table: str, batch_id: str) -> bool:
 
     spark = df.sparkSession
     spec = read_bucket_spec(spark, table)
+    _reject_partitioned(spec, table, "append_bucketed_once")
     loc = table_location(spark, table)
     stage_table = table + "__appendstage"
     stage_loc = os.path.join(
@@ -390,6 +411,7 @@ def compact_bucketed(spark: SparkSession, table: str) -> None:
     from ..plans.eav import _drop_stage, _stage_merge
 
     spec = read_bucket_spec(spark, table)
+    _reject_partitioned(spec, table, "compact_bucketed")
     loc = table_location(spark, table)
     cols = tuple(spark.table(table).columns)
     ledger = _read_append_ledger(loc)  # survives the rebuild: losing it

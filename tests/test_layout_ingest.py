@@ -134,3 +134,35 @@ def test_layout_ingest_stream_with_compaction_cadence(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {other}")
+
+
+def test_flat_layout_ops_reject_partitioned_store(spark):
+    """compact_bucketed on the PARTITIONED datom store would silently
+    rebuild it flat (write_bucketed knows no partition column); the
+    appends would bypass partition registration. All three refuse
+    loudly and point at the datom-store maintenance path."""
+    import pytest
+
+    from mbrainz_importer_spark.plans.eav import (
+        materialize_datoms_bucketed,
+    )
+    from mbrainz_importer_spark.sources.bucketed import (
+        append_bucketed,
+        compact_bucketed,
+    )
+
+    table = "b_guard_partitioned"
+    datoms = spark.createDataFrame(
+        [("t:1", ":t/x", "1", 1.0)],
+        "e string, a string, v string, v_num double",
+    )
+    materialize_datoms_bucketed(datoms, table, n_buckets=2)
+    try:
+        with pytest.raises(ValueError, match="partitioned"):
+            compact_bucketed(spark, table)
+        with pytest.raises(ValueError, match="partitioned"):
+            append_bucketed(datoms, table)
+        with pytest.raises(ValueError, match="partitioned"):
+            append_bucketed_once(datoms, table, "e_0")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
