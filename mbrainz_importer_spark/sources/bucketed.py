@@ -314,6 +314,7 @@ def append_bucketed_once(df: DataFrame, table: str, batch_id: str) -> bool:
     spark = df.sparkSession
     spec = read_bucket_spec(spark, table)
     _reject_partitioned(spec, table, "append_bucketed_once")
+    resume_compact_swap(spark, table)  # heal a crashed in-sink compaction
     loc = table_location(spark, table)
     stage_table = table + "__appendstage"
     stage_loc = os.path.join(
@@ -400,29 +401,144 @@ def bucketed_compaction_due(
     return bool(counts) and max(counts.values()) > max_files_per_bucket
 
 
-def compact_bucketed(spark: SparkSession, table: str) -> None:
-    """Collapse every bucket back to ONE sorted file, preserving
-    content and spec — the periodic half of the append/compact cadence.
-    Rebuilds through a flat staging snapshot + `write_bucketed` (the
-    datom store's partition-directory swap needs a partition
-    granularity a flat bucketed table doesn't have; a file-level swap
-    would expose duplicate or missing rows mid-crash, while the staged
-    rebuild keeps the catalog entry valid at every point)."""
-    from ..plans.eav import _drop_stage, _stage_merge
+def _bucket_of(name: str) -> int | None:
+    import re
+
+    m = re.search(r"_(\d{5})(?:\.|$)", name)
+    return int(m.group(1)) if m else None
+
+
+def resume_compact_swap(spark: SparkSession, table: str) -> bool:
+    """Complete a per-bucket compaction swap a crash left half-done.
+    The manifest (written before the first move, in the compaction
+    staging table's location) records each dirty bucket's old and new
+    file names; completion is idempotent from any interruption point —
+    a bucket whose new files are no longer in staging is DONE (its old
+    files are already gone; nothing is ever deleted without the staged
+    replacement at hand or already moved in). Returns whether a
+    manifest was found and completed. `compact_bucketed` and
+    `append_bucketed_once` run this on entry."""
+    loc = table_location(spark, table)
+    stage_loc = os.path.join(
+        os.path.dirname(loc.rstrip("/")), (table + "__compactstage").lower()
+    )
+    manifest_p = os.path.join(stage_loc, "_COMPACT_MANIFEST.json")
+    if not os.path.exists(manifest_p):
+        return False
+    with open(manifest_p) as f:
+        manifest = json.load(f)
+    for entry in manifest["buckets"]:
+        staged_present = [
+            n for n in entry["new"]
+            if os.path.exists(os.path.join(stage_loc, n))
+        ]
+        moved_present = [
+            n for n in entry["new"]
+            if os.path.exists(os.path.join(loc, n))
+        ]
+        if not staged_present and not moved_present:
+            continue  # impossible under the protocol; nothing safe to do
+        if staged_present or moved_present:
+            for old in entry["old"]:
+                p = os.path.join(loc, old)
+                if os.path.exists(p):
+                    os.remove(p)
+        for n in staged_present:
+            os.rename(os.path.join(stage_loc, n), os.path.join(loc, n))
+    import shutil
+
+    shutil.rmtree(stage_loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS `{table}__compactstage`")
+    spark.catalog.refreshTable(table)
+    return True
+
+
+def compact_bucketed(
+    spark: SparkSession, table: str, max_files_per_bucket: int = 1
+) -> None:
+    """Collapse each DIRTY bucket (more files than
+    `max_files_per_bucket`) back to one sorted file — O(dirty buckets),
+    not O(table): only the dirty buckets' files are read, rewritten
+    through a staging table with the identical bucket/sort spec
+    (bucket ids are a function of the key, so rows land back in their
+    own buckets), and swapped in file-by-file under a manifest. Clean
+    buckets' files are never touched (file-identity pinned in
+    test_layout_ingest), the catalog entry survives (no drop/rebuild),
+    and the append ledger is simply never at risk. Crash contract as
+    the store merge swap: mid-stage leaves the table untouched,
+    mid-swap is healed by `resume_compact_swap` on the next
+    compaction's or streaming append's entry (until then the dirty
+    buckets' rows may be partially absent — the same window the
+    partition swap has, bounded to the dirty buckets)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.eav import _drop_stale_table
 
     spec = read_bucket_spec(spark, table)
     _reject_partitioned(spec, table, "compact_bucketed")
+    resume_compact_swap(spark, table)
     loc = table_location(spark, table)
-    cols = tuple(spark.table(table).columns)
-    ledger = _read_append_ledger(loc)  # survives the rebuild: losing it
-    # would let a replayed epoch re-append after a compaction
-    snapshot = _stage_merge(
-        spark, spark.table(table).select(*cols), loc, columns=cols
+    by_bucket: dict[int, list[str]] = {}
+    for name in os.listdir(loc):
+        if name.startswith(("_", ".")) or name.endswith(".crc"):
+            continue
+        b = _bucket_of(name)
+        if b is not None:
+            by_bucket.setdefault(b, []).append(name)
+    dirty = {
+        b: sorted(files)
+        for b, files in by_bucket.items()
+        if len(files) > max_files_per_bucket
+    }
+    if not dirty:
+        return
+    stage_table = table + "__compactstage"
+    _drop_stale_table(spark, stage_table)
+    key, nb = spec["bucket_key"], spec["n_buckets"]
+    cols = spark.table(table).columns
+    paths = [
+        os.path.join(loc, n) for files in dirty.values() for n in files
+    ]
+    (
+        spark.read.schema(spark.table(table).schema)
+        .parquet(*paths)
+        .repartition(F.pmod(F.hash(key), F.lit(nb)))
+        .select(*cols)
+        .write.bucketBy(nb, key)
+        .sortBy(spec["sort_key"])
+        .format("parquet")
+        .saveAsTable(stage_table)
     )
-    write_bucketed(snapshot, table, spec["bucket_key"], spec["n_buckets"])
-    for b in ledger:
-        _record_append(table_location(spark, table), b)
-    _drop_stage(loc)
+    stage_loc = table_location(spark, stage_table)
+    staged_by_bucket: dict[int, list[str]] = {}
+    for name in os.listdir(stage_loc):
+        if name.startswith(("_", ".")) or name.endswith(".crc"):
+            continue
+        b = _bucket_of(name)
+        if b is not None:
+            staged_by_bucket.setdefault(b, []).append(name)
+    manifest = {
+        "buckets": [
+            {"bucket": b, "old": files, "new": sorted(staged_by_bucket.get(b, []))}
+            for b, files in sorted(dirty.items())
+        ]
+    }
+    manifest_p = os.path.join(stage_loc, "_COMPACT_MANIFEST.json")
+    with open(manifest_p + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(manifest_p + ".tmp", manifest_p)
+    for entry in manifest["buckets"]:
+        for old in entry["old"]:
+            p = os.path.join(loc, old)
+            if os.path.exists(p):
+                os.remove(p)
+        for n in entry["new"]:
+            os.rename(os.path.join(stage_loc, n), os.path.join(loc, n))
+    shutil.rmtree(stage_loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS `{stage_table}`")
+    spark.catalog.refreshTable(table)
 
 
 def adaptive_buckets(

