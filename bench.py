@@ -71,6 +71,7 @@ HEADLINE = [
     "embedding_covariance_q8",
     "embedding_pca_project",
     "graph_pagerank_topk",
+    "graph_pagerank_bucketed",
     "graph_bfs_hops",
     "graph_bfs_hops_bucketed",
     "graph_sssp_bounded",

@@ -534,6 +534,30 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_topk(edges, k=20, iters=3)
 
 
+def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank_topk with the edge derivation riding the bucketed
+    fact layout (_trade_edges_bucketed) — identical rounds, identical
+    oracle. The plain gate's steady state is flat (the statics cache
+    persists the derived edges), so what this face buys is the BUILD
+    run: the first derivation on a fresh graph pays the co-located scan
+    instead of the full fact-fact shuffle — the cost every new-graph
+    session pays once."""
+    from ..operators.graph import pagerank_topk
+
+    eg = (
+        _trade_edges_bucketed(spark, sf_dir)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank_topk(edges, k=20, iters=3)
+
+
 def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with dangling-mass redistribution on a sink-bearing
     DIRECTED graph (customer -> supplier trade edges, un-symmetrized:
@@ -994,6 +1018,7 @@ QUERIES = {
     "json_parse_roundtrip": json_parse_roundtrip,
     "approx_distinct_users": approx_distinct_users,
     "graph_pagerank_topk": graph_pagerank_topk,
+    "graph_pagerank_bucketed": graph_pagerank_bucketed,
     "graph_pagerank_directed": graph_pagerank_directed,
     "graph_bfs_hops": graph_bfs_hops,
     "graph_bfs_hops_bucketed": graph_bfs_hops_bucketed,
@@ -1503,6 +1528,7 @@ ORACLES["graph_pagerank_topk"] = """
     ORDER BY rank DESC, node ASC
     LIMIT 20
 """
+ORACLES["graph_pagerank_bucketed"] = ORACLES["graph_pagerank_topk"]
 
 def _pagerank_directed_oracle() -> str:
     """Three unrolled integer-PageRank rounds with the dangling term:

@@ -81,6 +81,7 @@ SCALE_QUERIES = [
     "fulltext_bm25_batch",
     "fulltext_excision",
     "graph_pagerank_topk",
+    "graph_pagerank_bucketed",
     "graph_bfs_hops",
     "graph_bfs_hops_bucketed",
     "graph_sssp_bounded",
