@@ -33,6 +33,7 @@ SCALE_QUERIES = [
     "q5_region_revenue",
     "q5_region_revenue_bucketed",
     "layout_append_compact",
+    "stream_layout_ingest",
     "upsert_merge",
     "broadcast_dim_join",
     "nested_collect",
