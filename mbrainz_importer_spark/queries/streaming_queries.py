@@ -163,7 +163,14 @@ def stream_layout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, t, tempfile.mkdtemp(prefix="layout-ckpt-"),
         compact_after_files=1,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a timed-out drain would leave a partially-ingested table and
+        # fail the oracle with an opaque hash mismatch — fail loud and
+        # attributable instead
+        q.stop()
+        raise TimeoutError(
+            "stream_layout_ingest: drain did not finish within 300s"
+        )
     o = spark.table(t).hint("merge")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

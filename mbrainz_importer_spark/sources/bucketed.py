@@ -317,9 +317,17 @@ def append_bucketed_once(df: DataFrame, table: str, batch_id: str) -> bool:
     resume_compact_swap(spark, table)  # heal a crashed in-sink compaction
     loc = table_location(spark, table)
     stage_table = table + "__appendstage"
-    stage_loc = os.path.join(
-        os.path.dirname(loc.rstrip("/")), stage_table.lower()
-    )
+    # The heal path MUST be where saveAsTable will actually stage — which
+    # is the warehouse location (or the catalog's real location if the
+    # stage table survived in-session), NOT a sibling of the target
+    # table's directory. For an adopted/external table whose location is
+    # not under the current warehouse dir, the old dirname convention
+    # never found a crashed append's manifest, _drop_stale_table then
+    # rmtree'd the stage INCLUDING the manifest, and the batch restaged
+    # in full after some files had already moved in — duplicate rows,
+    # exactly-once broken. table_location resolves both cases to the
+    # same answer the writer uses.
+    stage_loc = table_location(spark, stage_table)
     manifest_p = os.path.join(stage_loc, "_APPEND_MANIFEST.json")
 
     def complete(manifest: dict) -> None:
@@ -335,10 +343,15 @@ def append_bucketed_once(df: DataFrame, table: str, batch_id: str) -> bool:
     if os.path.exists(manifest_p):
         with open(manifest_p) as f:
             prev = json.load(f)
+        # was prev already ledgered BEFORE this heal? Then its previous
+        # attempt fully committed (only the stage cleanup crashed) and a
+        # replay of it must report False per the documented contract —
+        # the heal below is pure cleanup, not an application.
+        prev_committed = prev["batch_id"] in _read_append_ledger(loc)
         complete(prev)
         _drop_stale_table(spark, stage_table)
         if prev["batch_id"] == batch_id:
-            return True
+            return not prev_committed
     if batch_id in _read_append_ledger(loc):
         return False
     _drop_stale_table(spark, stage_table)
@@ -354,7 +367,17 @@ def append_bucketed_once(df: DataFrame, table: str, batch_id: str) -> bool:
         .format("parquet")
         .saveAsTable(stage_table)
     )
-    stage_loc = table_location(spark, stage_table)
+    written_loc = table_location(spark, stage_table)
+    if os.path.abspath(written_loc) != os.path.abspath(stage_loc):
+        # the ledger/manifest discipline is only sound when the crash-
+        # detection path and the writer's path agree; diverging here
+        # means a future replay would miss this manifest — refuse to
+        # proceed rather than silently break exactly-once
+        raise RuntimeError(
+            f"append_bucketed_once: staging table {stage_table!r} "
+            f"materialized at {written_loc!r} but crash detection "
+            f"probed {stage_loc!r}"
+        )
     manifest_p = os.path.join(stage_loc, "_APPEND_MANIFEST.json")
     files = [
         n
@@ -419,9 +442,11 @@ def resume_compact_swap(spark: SparkSession, table: str) -> bool:
     manifest was found and completed. `compact_bucketed` and
     `append_bucketed_once` run this on entry."""
     loc = table_location(spark, table)
-    stage_loc = os.path.join(
-        os.path.dirname(loc.rstrip("/")), (table + "__compactstage").lower()
-    )
+    # same path discipline as append_bucketed_once: the manifest lives
+    # where saveAsTable staged the compaction table (warehouse / real
+    # catalog location), which for an adopted/external target is NOT a
+    # sibling of the target's directory
+    stage_loc = table_location(spark, table + "__compactstage")
     manifest_p = os.path.join(stage_loc, "_COMPACT_MANIFEST.json")
     if not os.path.exists(manifest_p):
         return False
@@ -436,13 +461,16 @@ def resume_compact_swap(spark: SparkSession, table: str) -> bool:
             n for n in entry["new"]
             if os.path.exists(os.path.join(loc, n))
         ]
-        if not staged_present and not moved_present:
+        if entry["new"] and not staged_present and not moved_present:
             continue  # impossible under the protocol; nothing safe to do
-        if staged_present or moved_present:
-            for old in entry["old"]:
-                p = os.path.join(loc, old)
-                if os.path.exists(p):
-                    os.remove(p)
+        # new == [] (a dirty bucket whose staged rewrite produced no
+        # files) reaches here too: the manifest is only written after
+        # staging completed, so its old files are safe to delete —
+        # skipping them would leave the pre-compaction duplicates alive
+        for old in entry["old"]:
+            p = os.path.join(loc, old)
+            if os.path.exists(p):
+                os.remove(p)
         for n in staged_present:
             os.rename(os.path.join(stage_loc, n), os.path.join(loc, n))
     import shutil

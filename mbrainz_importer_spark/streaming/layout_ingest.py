@@ -12,8 +12,12 @@ Structured Streaming replays a failed batch with the SAME epoch id,
 the epoch id is the ledger batch id, so a replayed epoch is skipped
 whole (or its half-moved files are completed from the manifest — see
 append_bucketed_once's crash table). The ledger survives compaction
-(compact_bucketed re-records it), so an epoch can never re-append
-after a rewrite.
+because `compact_bucketed` moves only bucket DATA files and never
+rewrites the table location wholesale — underscore-prefixed files
+(`_append_ledger.json` among them) are skipped by its file census and
+left in place. Any future compaction strategy that drops/rebuilds the
+location must re-record the ledger explicitly, or a replayed epoch
+could re-append after a rewrite.
 """
 
 from __future__ import annotations

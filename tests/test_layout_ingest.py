@@ -91,6 +91,136 @@ def test_append_once_heals_a_crash_between_moves_and_ledger(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}__appendstage")
 
 
+def test_append_once_heals_crash_on_external_location_table(spark, tmp_path):
+    """The staging table is ALWAYS materialized by saveAsTable at the
+    warehouse location — but the target table may live anywhere (adopted
+    after a warehouse-dir change, external LOCATION). Crash detection
+    must probe the WRITER's path, not a sibling of the target's
+    directory: the old dirname convention never found this manifest,
+    rmtree'd the stage (manifest included) as 'stale', and restaged the
+    full batch after some files had already moved in — duplicate rows,
+    exactly-once broken."""
+    import shutil
+
+    seed = "b_ext_seed"
+    table = "b_ext_target"
+    write_bucketed(_rows(spark, 0, 40), seed, "k", 4)
+    ext = str(tmp_path / "elsewhere" / "ext_tbl")
+    os.makedirs(os.path.dirname(ext))
+    shutil.copytree(table_location(spark, seed), ext)
+    spark.sql(f"DROP TABLE {seed}")
+    spark.sql(
+        f"CREATE TABLE `{table}` (k long, val string) USING parquet "
+        f"CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS LOCATION '{ext}'"
+    )
+    try:
+        loc = table_location(spark, table)
+        assert os.path.abspath(loc) == os.path.abspath(ext)
+        # stage the increment exactly as append_bucketed_once would
+        # (saveAsTable -> WAREHOUSE location), write the manifest, move
+        # the files in, then "crash" before the ledger record lands
+        stage_table = table + "__appendstage"
+        (
+            _rows(spark, 40, 60)
+            .repartition(F.pmod(F.hash("k"), F.lit(4)))
+            .write.bucketBy(4, "k")
+            .sortBy("k")
+            .format("parquet")
+            .saveAsTable(stage_table)
+        )
+        stage_loc = table_location(spark, stage_table)
+        assert os.path.dirname(stage_loc.rstrip("/")) != os.path.dirname(
+            loc.rstrip("/")
+        ), "fixture must reproduce the diverging-paths condition"
+        files = [
+            n
+            for n in os.listdir(stage_loc)
+            if not n.startswith(("_", ".")) and not n.endswith(".crc")
+        ]
+        with open(os.path.join(stage_loc, "_APPEND_MANIFEST.json"), "w") as f:
+            json.dump({"batch_id": "e_ext", "files": files}, f)
+        for n in files:
+            os.rename(os.path.join(stage_loc, n), os.path.join(loc, n))
+        spark.catalog.refreshTable(table)
+
+        assert append_bucketed_once(_rows(spark, 40, 60), table, "e_ext") is True
+        got = _content(spark, table)
+        assert len(got) == 60, (
+            "heal must find the manifest at the writer's path — a missed "
+            "manifest restages the whole batch and duplicates rows"
+        )
+        ledger = json.load(open(os.path.join(loc, "_append_ledger.json")))
+        assert "e_ext" in ledger
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__appendstage")
+
+
+def test_append_once_replay_of_fully_committed_batch_returns_false(spark):
+    """Crash window: previous attempt fully committed (files moved,
+    batch ledgered) and died during stage CLEANUP only. The replay heals
+    the leftover stage but must report False — the documented 'replay of
+    a committed batch' contract (a True here only cost a spurious
+    compaction-due check, but the contract is pinned now)."""
+    table = "b_ingest_cleanup_crash"
+    write_bucketed(_rows(spark, 0, 40), table, "k", 4)
+    try:
+        assert append_bucketed_once(_rows(spark, 40, 60), table, "e_1") is True
+        committed = _content(spark, table)
+        # reconstruct the leftover stage: manifest present, every listed
+        # file already moved in, batch already in the ledger
+        stage_table = table + "__appendstage"
+        loc = table_location(spark, table)
+        moved = [
+            n
+            for n in os.listdir(loc)
+            if not n.startswith(("_", ".")) and not n.endswith(".crc")
+        ][:2]
+        stage_loc = table_location(spark, stage_table)
+        os.makedirs(stage_loc, exist_ok=True)
+        with open(os.path.join(stage_loc, "_APPEND_MANIFEST.json"), "w") as f:
+            json.dump({"batch_id": "e_1", "files": moved}, f)
+
+        assert append_bucketed_once(_rows(spark, 40, 60), table, "e_1") is False
+        assert _content(spark, table) == committed
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__appendstage")
+
+
+def test_compact_swap_resume_deletes_old_files_of_empty_new_entry(spark):
+    """A manifest entry with new == [] must still delete its old files
+    on resume: the manifest is only written after staging completed, so
+    'no staged files' is the bucket's final state, not an anomaly —
+    skipping it as 'impossible' would leave the pre-compaction
+    duplicates alive where the inline path deletes them."""
+    from mbrainz_importer_spark.sources.bucketed import resume_compact_swap
+
+    table = "b_compact_empty_new"
+    write_bucketed(_rows(spark, 0, 40), table, "k", 4)
+    try:
+        loc = table_location(spark, table)
+        victim = [
+            n
+            for n in os.listdir(loc)
+            if not n.startswith(("_", ".")) and not n.endswith(".crc")
+        ][0]
+        stage_loc = table_location(spark, table + "__compactstage")
+        os.makedirs(stage_loc, exist_ok=True)
+        with open(os.path.join(stage_loc, "_COMPACT_MANIFEST.json"), "w") as f:
+            json.dump(
+                {"buckets": [{"bucket": _bucket(victim), "old": [victim], "new": []}]},
+                f,
+            )
+        assert resume_compact_swap(spark, table) is True
+        assert not os.path.exists(os.path.join(loc, victim)), (
+            "old files of an empty-new entry must be removed on resume"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compactstage")
+
+
 def test_layout_ingest_stream_with_compaction_cadence(spark, tmp_path):
     """Drained stream == batch content; the in-sink cadence compacts
     the accumulated append files back to the single-file invariant
