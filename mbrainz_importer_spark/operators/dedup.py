@@ -376,18 +376,57 @@ def lsh_verified_pairs(
             .where(F.lit(1.0) >= F.lit(threshold))
         )
         return cross.unionByName(within)
-    sh = shingle_rows(df, id_col, text_col, n).cache()
+    from pyspark.storagelevel import StorageLevel
+
+    # Storage level for the shared shingle feed is a SCALE decision:
+    # default .cache() (MEMORY_AND_DISK) pins cached blocks inside the
+    # unified pool's protected storage fraction, and at corpus scale
+    # (~50 shingle rows per doc) that squeeze starves the signature
+    # hash-aggregation of execution memory — measured live at the 5M-doc
+    # unique-corpus tier: AGGREGATE_OUT_OF_MEMORY at 8g while the cache
+    # held ~10 GB of shingles. DISK_ONLY keeps the reuse (one shingling
+    # pass) without competing with the aggregates that read it.
+    n_docs = df.count()
+    sh_level = (
+        StorageLevel.DISK_ONLY if n_docs > 1_000_000
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    sh = shingle_rows(df, id_col, text_col, n).persist(sh_level)
     candidates = minhash_lsh_pairs(
         df, id_col, text_col, n, bands, rows_per_band, shingles=sh
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The verify only ever reads shingles of docs that appear in a
+    # candidate pair — semi-join the shingle feed down to that set
+    # BEFORE the intersection joins, so the verify's shuffle volume is
+    # O(collision docs), not O(corpus): on a clean (low-dup) corpus the
+    # candidate doc set is a sliver of the corpus, and a corpus where
+    # every doc collides is the hot-bucket cap's problem, not this
+    # join's. Exact: non-candidate docs contribute no output rows.
+    # The pair count is known anyway (candidates are persisted for
+    # their two downstream uses), so it doubles as the broadcast
+    # decision: a bounded candidate-doc set rides a broadcast hash
+    # join; past the bound the semi-join SMJs like everything else.
+    n_pairs = candidates.count()
+    small = n_pairs <= 2_000_000  # ~32 MB of (long, long) — broadcastable
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    ).distinct()
+    if small:
+        cand_docs = F.broadcast(cand_docs)
+    sh = sh.join(cand_docs, "doc")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    # merge-join hints: the candidate-pair frame is collision-driven and
+    # Join strategy, decided by the MEASURED pair count (it is known —
+    # the persist/count above paid for it), not by estimates: a bounded
+    # candidate set broadcasts (the pair frame and the per-doc size
+    # frame are both O(n_pairs) rows), killing the shuffle sorts that
+    # dominate at small collision mass. Past the bound, merge-join
+    # hints pin SMJ: the candidate-pair frame is collision-driven and
     # can reach hundreds of millions of NARROW rows — small compressed,
     # huge deserialized — so an AQE runtime broadcast of it is an OOM,
-    # not an optimization (observed at the sf10 tier). SMJ is the plan
-    # that survives every tier; the hint pins it.
+    # not an optimization (observed at the sf10 tier).
+    cand_in = F.broadcast(candidates) if small else candidates.hint("merge")
     inter = (
-        candidates.hint("merge")
+        cand_in
         .join(sh.alias("a"), F.col("doc_a") == F.col("a.doc"))
         .join(
             sh.alias("b"),
@@ -398,12 +437,17 @@ def lsh_verified_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    if small:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     raw = (
         F.col("inter").cast("double")
         / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
     )
+    joined = (
+        inter if small else inter.hint("merge")
+    )
     return (
-        inter.hint("merge")
+        joined
         .join(sa, F.col("doc_a") == F.col("sa.doc"))
         .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .where(raw >= threshold)

@@ -754,7 +754,13 @@ def merge_datoms_increment_bucketed(
         for name in os.listdir(loc):
             if name.startswith("a=") and unquote(name[2:]) in emptied:
                 shutil.rmtree(os.path.join(loc, name))
-        spark.catalog.refreshTable(table)
+        # the rmtree alone leaves the partition REGISTERED against a
+        # missing directory (found by the r11 writer-catalog sweep —
+        # the same bug class as the swap path's invisible partitions,
+        # from the other direction)
+        _sync_partition_registrations(
+            spark, table, {"staged": [], "emptied": sorted(emptied)}
+        )
     _drop_stage(loc)
 
 

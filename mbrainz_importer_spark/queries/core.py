@@ -189,12 +189,28 @@ def _bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     from ..sources.bucketed import (
         adaptive_buckets,
         ensure_bucketed_table,
+        shj_min_buckets,
         write_bucketed,
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
-    nb = adaptive_buckets(os.path.join(sf_dir, "lineitem.parquet"))
+    size_nb = adaptive_buckets(os.path.join(sf_dir, "lineitem.parquet"))
+    # SHJ-aware sizing (PLAN_NOTES_r10.md §18's revisit condition): raise
+    # the count until the ORDERS-side hash-relation build provably fits
+    # the heap budget, so the Sort-free co-located SHJ is available to
+    # the q5-shaped merge — capped at 4x the size-adaptive count so the
+    # SMJ consumers' file geometry can't degrade unboundedly chasing it
+    # (past the cap the SHJ face just falls back to SMJ, which spills)
+    nb = max(
+        size_nb,
+        min(
+            shj_min_buckets(
+                os.path.join(sf_dir, "orders.parquet"), _BUCKETED_O_COLS
+            ),
+            4 * size_nb,
+        ),
+    )
 
     def fresh(table: str, cols: tuple) -> bool:
         # ensure_bucketed_table re-attaches a layout an earlier process
@@ -238,6 +254,46 @@ def q5_region_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     same session measure the co-located join. Same oracle as
     q5_region_revenue — identical results, different physical plan."""
     li, orders = _bucketed_facts(spark, sf_dir)
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    sup = F.broadcast(load(spark, sf_dir, "supplier"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(nation, sup.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q5_region_revenue_colocated_shj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5 over the same bucketed layout, joined by a CO-LOCATED
+    ShuffledHashJoin when — and only when — the orders-side build
+    provably fits the heap budget (sources/bucketed.py:shj_build_plan,
+    footer metadata only). The SHJ removes both explicit per-bucket
+    Sorts the SMJ pays under the shape-selected trust-OFF pick
+    (~20% at sf10 in the r10 probe) but its build side does not spill,
+    so the hint is GATED on the bound: an adopted layout built at a
+    coarser bucket count fails the bound and this face degrades to the
+    SMJ plan (identical results — pinned, same oracle as
+    q5_region_revenue)."""
+    from ..sources.bucketed import shj_build_plan
+
+    li, orders = _bucketed_facts(spark, sf_dir)  # ensures the layout
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    if shj_build_plan(spark, f"b_orders_{tag}")["fits"]:
+        # a MERGE hint on EITHER side outranks SHUFFLE_HASH in Spark's
+        # hint resolution, so the SHJ plan needs the lineitem side
+        # re-read WITHOUT _bucketed_facts' merge hint; the shuffle_hash
+        # hint itself outranks size-based broadcast, so the fact side
+        # can't regress to a driver-side hash relation either
+        li = spark.table(f"b_lineitem_{tag}")
+        orders = spark.table(f"b_orders_{tag}").hint("shuffle_hash")
     region = F.broadcast(load(spark, sf_dir, "region"))
     nation = F.broadcast(load(spark, sf_dir, "nation"))
     cust = F.broadcast(load(spark, sf_dir, "customer"))
@@ -570,6 +626,7 @@ QUERIES = {
     "q18_large_orders_bucketed": q18_large_orders_bucketed,
     "q5_region_revenue": q5_region_revenue,
     "q5_region_revenue_bucketed": q5_region_revenue_bucketed,
+    "q5_region_revenue_colocated_shj": q5_region_revenue_colocated_shj,
     "upsert_merge": upsert_merge,
     "batch_numbering": batch_numbering,
     "nested_collect": nested_collect,
@@ -675,6 +732,18 @@ ORACLES = {
         ORDER BY r_name, n_name
     """,
     "q5_region_revenue_bucketed": """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+    "q5_region_revenue_colocated_shj": """
         SELECT r_name, n_name,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM lineitem

@@ -605,6 +605,149 @@ def adaptive_buckets(
     return 2 ** math.ceil(math.log2(need))
 
 
+# ---------------------------------------------------------------------------
+# Memory-bounded co-located ShuffledHashJoin (PLAN_NOTES_r10.md §18's
+# recorded revisit condition, implemented):
+#
+# The r10 probe measured the trade directly: a co-located SHJ over the
+# bucketed fact layout removes BOTH explicit Sorts from the q5 merge
+# (~20% at sf10/8g), but its build side does not spill — at sf100 with
+# 150M orders rows split 128 ways, 32 concurrent builders put ~6.7 GB
+# of unspillable hash relation on an 8g heap and died in
+# cannotAcquireMemoryToBuildLongHashedRelation. A plan that wins one
+# decade and OOMs the next is not a plan; the missing piece was a
+# PROVABLE build-side bound. These helpers provide it from parquet
+# FOOTER metadata only (no data read):
+#
+#   per-task build bytes = rows_per_bucket * per_row_cost
+#   concurrent build bytes = per-task * min(n_buckets, cores)
+#   fits  <=>  concurrent build bytes <= 1/4 heap
+#
+# per_row_cost models Spark's LongToUnsafeRowMap: an UnsafeRow
+# (8B null bitset + 8B per fixed-width field + 8-byte-aligned var-len
+# payload, estimated from the footer's uncompressed column sizes) plus
+# ~32B of map/meta overhead per key, with a 1.5x safety factor. The
+# model is CALIBRATED against both recorded datapoints: it says 6.7 GB
+# (> the 2 GB budget) for the sf100/128-bucket shape that OOM'd, and
+# 1.3 GB (fits) for the sf10 shape that ran and won 20%.
+# ---------------------------------------------------------------------------
+
+_SHJ_ROW_OVERHEAD = 32     # LongToUnsafeRowMap meta per key
+_SHJ_SAFETY = 1.5          # model-to-JVM slack
+_SHJ_BUDGET_FRACTION = 0.25  # of heap: conservative share of unified memory
+
+
+def _heap_bytes() -> int:
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
+    mult = {"g": 1 << 30, "m": 1 << 20, "k": 1 << 10}.get(mem[-1], 1)
+    return int(float(mem[:-1] if mult > 1 else mem) * mult)
+
+
+def _cores() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _parquet_row_stats(paths: list[str], columns: tuple | None) -> tuple[int, float]:
+    """(total rows, estimated UnsafeRow bytes/row for `columns`) from
+    parquet footers only. Fixed-width fields cost 8B each in an
+    UnsafeRow; var-len (BYTE_ARRAY) fields cost their uncompressed
+    payload per row rounded up to 8B alignment."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    fixed = var_bytes = 0.0
+    n_cols = 0
+    first = True
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        rows += md.num_rows
+        if first and md.num_row_groups > 0:
+            rg = md.row_group(0)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema
+                if columns is not None and name not in columns:
+                    continue
+                n_cols += 1
+                if col.physical_type == "BYTE_ARRAY":
+                    per_row = col.total_uncompressed_size / max(rg.num_rows, 1)
+                    var_bytes += 8 * max(1, -(-per_row // 8))  # ceil to 8
+                else:
+                    fixed += 8
+            first = False
+    width = 8 + fixed + var_bytes  # 8B null bitset + fields
+    return rows, (width + _SHJ_ROW_OVERHEAD) * _SHJ_SAFETY
+
+
+def _data_files(loc: str) -> list[str]:
+    return [
+        os.path.join(loc, n)
+        for n in sorted(os.listdir(loc))
+        if not n.startswith(("_", ".")) and not n.endswith(".crc")
+    ]
+
+
+def shj_build_plan(
+    spark: SparkSession,
+    table: str,
+    heap_bytes: int | None = None,
+    cores: int | None = None,
+) -> dict:
+    """Provable-fit verdict for building a co-located SHJ hash relation
+    from bucketed `table` (the build side), from footer metadata only:
+    {fits, rows, n_buckets, per_bucket_rows, per_row_cost,
+    concurrent_bytes, budget_bytes}. Callers gate the shuffle_hash hint
+    on `fits` — an adopted layout built at a coarser bucket count by an
+    older process correctly fails the bound and falls back to SMJ, the
+    strategy that spills."""
+    heap = heap_bytes if heap_bytes is not None else _heap_bytes()
+    ncores = cores if cores is not None else _cores()
+    spec = read_bucket_spec(spark, table)
+    nb = spec["n_buckets"]
+    files = _data_files(table_location(spark, table))
+    rows, per_row = _parquet_row_stats(files, None)
+    per_bucket = rows / max(nb, 1)
+    concurrent = per_bucket * per_row * min(nb, ncores)
+    budget = heap * _SHJ_BUDGET_FRACTION
+    return {
+        "fits": concurrent <= budget,
+        "rows": rows,
+        "n_buckets": nb,
+        "per_bucket_rows": int(per_bucket),
+        "per_row_cost": round(per_row, 1),
+        "concurrent_bytes": int(concurrent),
+        "budget_bytes": int(budget),
+    }
+
+
+def shj_min_buckets(
+    path: str,
+    columns: tuple | None = None,
+    heap_bytes: int | None = None,
+    cores: int | None = None,
+) -> int:
+    """Smallest power-of-two bucket count at which a co-located SHJ
+    build of the `columns` projection of the parquet data at `path`
+    provably fits the heap budget. Used by the workload layout sizing:
+    nb = max(size-adaptive count, SHJ-fitting count) makes the layout
+    serve BOTH join strategies — the Sort-free SHJ becomes available
+    exactly when its memory bound is real, not hoped."""
+    import math
+
+    heap = heap_bytes if heap_bytes is not None else _heap_bytes()
+    ncores = cores if cores is not None else _cores()
+    files = _data_files(path) if os.path.isdir(path) else [path]
+    rows, per_row = _parquet_row_stats(files, columns)
+    budget = heap * _SHJ_BUDGET_FRACTION
+    max_rows_per_bucket = budget / (per_row * ncores)
+    if max_rows_per_bucket <= 0:
+        return 1
+    need = rows / max_rows_per_bucket
+    if need <= 1:
+        return 1
+    return 2 ** math.ceil(math.log2(need))
+
+
 def joined_bucketed(spark: SparkSession, left: str, right: str, key: str) -> DataFrame:
     """Join two tables bucketed on `key`: the merge hint pins the
     Exchange-free SortMergeJoin the layout pays for — without it a

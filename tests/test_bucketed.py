@@ -442,3 +442,90 @@ def test_append_bucketed_keeps_colocation_compact_restores_sort(spark):
         )
         spark.sql("DROP TABLE IF EXISTS b_app_orders")
         spark.sql("DROP TABLE IF EXISTS b_app_li")
+
+
+def test_shj_face_plans_shuffled_hash_join_when_bound_fits(spark):
+    """q5_region_revenue_colocated_shj: when the orders-side build
+    provably fits (any small sf), the fact join plans as a CO-LOCATED
+    ShuffledHashJoin — no fact-key Exchange, no per-bucket Sort on the
+    fact sides — and the results equal the SMJ face bit-for-bit."""
+    from mbrainz_importer_spark.queries.core import (
+        q5_region_revenue_bucketed,
+        q5_region_revenue_colocated_shj,
+    )
+    from mbrainz_importer_spark.sources.bucketed import (
+        physical_plan,
+        shj_build_plan,
+    )
+
+    assert shj_build_plan(spark, "b_orders_sf0_001", heap_bytes=8 << 30)[
+        "fits"
+    ] or q5_region_revenue_colocated_shj(spark, SF) is not None
+    shj = q5_region_revenue_colocated_shj(spark, SF)
+    got = shj.collect()
+    plan = physical_plan(shj)
+    assert "ShuffledHashJoin" in plan, "bound fits -> SHJ expected"
+    fact_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and ("l_orderkey" in ln or "o_orderkey" in ln)
+    ]
+    assert not fact_shuffles, f"fact side shuffled: {fact_shuffles}"
+    fact_sorts = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("Sort ")
+        and ("l_orderkey" in ln or "o_orderkey" in ln)
+    ]
+    assert not fact_sorts, f"SHJ face must not sort the fact sides: {fact_sorts}"
+    want = q5_region_revenue_bucketed(spark, SF).collect()
+    assert got == want
+    for t in ("b_lineitem_sf0_001", "b_orders_sf0_001"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_shj_face_falls_back_to_smj_when_bound_fails(spark, monkeypatch):
+    """A layout whose per-bucket build does NOT fit must degrade to the
+    spill-capable SMJ — same results, no SHJ node. This is the exact
+    failure r10's probe measured (sf100/8g build OOM) turned into a
+    planning decision. The bound is forced to fail via monkeypatch
+    (test-scale data fits any real heap, so an env-based simulation
+    can't exercise the branch)."""
+    from mbrainz_importer_spark import sources
+    from mbrainz_importer_spark.queries.core import (
+        q5_region_revenue_bucketed,
+        q5_region_revenue_colocated_shj,
+    )
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    monkeypatch.setattr(
+        sources.bucketed, "shj_build_plan",
+        lambda *a, **k: {"fits": False},
+    )
+    shj = q5_region_revenue_colocated_shj(spark, SF)
+    got = shj.collect()
+    assert "ShuffledHashJoin" not in physical_plan(shj)
+    assert got == q5_region_revenue_bucketed(spark, SF).collect()
+    for t in ("b_lineitem_sf0_001", "b_orders_sf0_001"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_shj_bound_model_matches_recorded_datapoints(spark):
+    """Calibration pin: with the per-row cost measured from REAL orders
+    projection data, the model must (a) reject the sf100 shape that
+    OOM'd live (150M rows, 128 buckets, 8g heap, 32 cores —
+    PLAN_NOTES_r10.md §18) and (b) admit the sf10 shape that ran and
+    won 20% (15M rows, 64 buckets). A model that can't reproduce both
+    datapoints is a guess, not a bound."""
+    from mbrainz_importer_spark.queries.core import _bucketed_facts
+    from mbrainz_importer_spark.sources.bucketed import shj_build_plan
+
+    _bucketed_facts(spark, SF)
+    plan = shj_build_plan(spark, "b_orders_sf0_001", heap_bytes=8 << 30, cores=32)
+    per_row = plan["per_row_cost"]
+    budget = (8 << 30) * 0.25
+    oomed = 150e6 / 128 * per_row * 32
+    ran = 15e6 / 64 * per_row * 32
+    assert oomed > budget, "model must reject the shape that OOM'd live"
+    assert ran <= budget, "model must admit the shape that ran at 8g"
+    for t in ("b_lineitem_sf0_001", "b_orders_sf0_001"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

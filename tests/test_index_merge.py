@@ -581,3 +581,98 @@ def test_bucketed_merge_new_attribute_is_visible(spark):
     ), "emptied partition still registered"
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_legacy_merge_new_and_emptied_attribute_partitions(spark):
+    """Writer-catalog sweep (r10 verdict #5): the LEGACY swap=False
+    merge path writes through insertInto dynamic overwrite — its NEW
+    partitions must be registered by the insert, and its emptied-
+    partition rmtree must not leave a registered partition pointing at
+    a missing directory (a later scan would either miss rows silently
+    or die on the dangling path)."""
+    import shutil
+
+    from mbrainz_importer_spark.plans.eav import (
+        _table_location,
+        materialize_datoms_bucketed,
+        merge_datoms_increment_bucketed,
+    )
+
+    table = "merge_legacy_newattr"
+    materialize_datoms_bucketed(
+        _store(spark, [("t:1", ":t/x", "1", 1.0)]), table, n_buckets=2
+    )
+    loc = _table_location(spark, table)
+    merge_datoms_increment_bucketed(
+        spark, table,
+        _ops(spark, [("t:2", ":t/brand_new", "n", None, 10, True)]),
+        swap=False,
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.table(table).select("e", "a", "v", "v_num").collect()
+    )
+    assert ("t:2", ":t/brand_new", "n", None) in got, (
+        "legacy merge's new partition invisible"
+    )
+    merge_datoms_increment_bucketed(
+        spark, table,
+        _ops(spark, [("t:2", ":t/brand_new", "n", None, 20, False)]),
+        swap=False,
+    )
+    assert spark.table(table).where("a = ':t/brand_new'").count() == 0
+    assert spark.table(table).count() == 1  # the untouched row survives
+    assert (
+        spark.sql(f"SHOW PARTITIONS `{table}`")
+        .where("partition like '%brand_new%'")
+        .count()
+        == 0
+    ), "legacy merge left an emptied partition registered (dangling dir)"
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_compaction_preserves_partition_visibility(spark):
+    """Writer-catalog sweep: same-spec compaction swaps EVERY partition
+    directory through staging — including one a recent merge
+    introduced. The partition set is invariant across compaction by
+    construction; this probe pins that the registrations survive the
+    swap (visible rows identical before/after) including through a
+    CRASH-HEALED compaction (manifest left mid-swap, healed on the
+    next compaction's entry)."""
+    import os
+    import shutil
+
+    from mbrainz_importer_spark.plans.eav import (
+        _table_location,
+        _warehouse_table_dir,
+        compact_store,
+        materialize_datoms_bucketed,
+        merge_datoms_increment_bucketed,
+    )
+
+    table = "compact_vis_probe"
+    materialize_datoms_bucketed(_store(spark, BASE), table, n_buckets=2)
+    loc = _table_location(spark, table)
+    merge_datoms_increment_bucketed(
+        spark, table,
+        _ops(spark, [("t:7", ":t/brand_new", "nn", None, 10, True)]),
+    )
+    before = _sorted(spark.table(table))
+    compact_store(spark, table)
+    assert _sorted(spark.table(table)) == before, (
+        "compaction changed visible content"
+    )
+    # crash-heal: stage a compaction by hand (manifest written, zero
+    # moves done), then require the next compaction entry to heal it
+    # without losing any partition's visibility
+    import json
+
+    stage = _warehouse_table_dir(spark, table + "__compactstage")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "_MERGE_MANIFEST.json"), "w") as f:
+        json.dump({"staged": [], "emptied": []}, f)
+    compact_store(spark, table)
+    assert _sorted(spark.table(table)) == before
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    shutil.rmtree(loc, ignore_errors=True)
