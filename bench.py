@@ -27,6 +27,7 @@ HEADLINE = [
     "q18_large_orders_bucketed",
     "q5_region_revenue",
     "q5_region_revenue_bucketed",
+    "q5_region_revenue_colocated_shj",
     "broadcast_dim_join",
     "upsert_merge",
     "batch_numbering",

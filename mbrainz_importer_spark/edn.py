@@ -125,6 +125,11 @@ class _Reader:
         while i < self.n:
             c = s[i]
             if c == "\\":
+                if i + 1 >= self.n:
+                    # a truncated escape is an unterminated string, not an
+                    # IndexError — the chunked parser relies on EdnError to
+                    # mean "incomplete, buffer more"
+                    raise EdnError("unterminated string")
                 nxt = s[i + 1]
                 buf.append({"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}.get(nxt, nxt))
                 i += 2
@@ -234,3 +239,54 @@ def iter_forms(text: str) -> Iterator:
         form = r._read_raw()
         if form is not _DISCARD:
             yield form
+
+
+def iter_forms_chunks(chunks) -> Iterator:
+    """Iterate top-level EDN forms from an iterator of TEXT CHUNKS —
+    the true streaming face of `iter_forms`, for inputs that must never
+    be whole in memory (the reference's PushbackReader never holds the
+    file either; async_edn.clj:27-51). Memory is bounded by the largest
+    single form plus one chunk, not the file.
+
+    Mechanism: incremental try-parse against a rolling buffer with the
+    SAME `_Reader` the string path uses (no second lexer to diverge).
+    A parse error before end-of-input means "form incomplete — buffer
+    more"; at true end-of-input it re-raises, so malformed input stays
+    loud. A form that consumes the buffer to its exact end is also
+    deferred unless input is exhausted: a trailing scalar token might
+    continue in the next chunk ("123" + "456"), and only end-of-input
+    certifies it complete. Whitespace/comment tails are kept verbatim
+    (a chunk may end mid-comment; dropping the tail would splice the
+    next chunk into the comment). A malformed form late in a stream
+    buffers the remainder before raising — the error path pays memory,
+    the happy path never does."""
+    buf = ""
+    done = False
+    it = iter(chunks)
+    while True:
+        emitted_to = 0
+        r = _Reader(buf)
+        while True:
+            r.i = emitted_to
+            if r.eof():
+                if done:
+                    emitted_to = len(buf)
+                break
+            try:
+                form = r._read_raw()
+            except EdnError:
+                if done:
+                    raise
+                break
+            if r.i >= r.n and not done:
+                break  # touches buffer end: possibly truncated scalar
+            emitted_to = r.i
+            if form is not _DISCARD:
+                yield form
+        buf = buf[emitted_to:]
+        if done:
+            return
+        try:
+            buf += next(it)
+        except StopIteration:
+            done = True

@@ -70,7 +70,17 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval: BM25 top-20 and exact-cosine
     top-20 (around embedding #7) fused by integer-quantized Reciprocal
     Rank Fusion — the RAG first-stage retriever, certified bit-exactly
-    because both ranks and the fused score are integers."""
+    because both ranks and the fused score are integers.
+
+    Cost contract (the sim_topk_bruteforce pattern): this face builds
+    BOTH retrieval structures IN-QUERY — a full postings pass and an
+    exact cosine scan — every call; it is the CERTIFICATION twin, kept
+    because its arithmetic is end-to-end oracle-reproducible from the
+    raw tables. It scales as a corpus scan by design (71.95s at the
+    sf100 tier, 10.3x/decade) and is tier-skipped at sf100 accordingly;
+    the production faces are `hybrid_rrf_from_index` /
+    `hybrid_rrf_serving` (5.16s at sf100), which serve from the
+    materialized postings + vector index."""
     from ..operators.retrieval import hybrid_rrf_search
 
     docs = load(spark, sf_dir, "documents")

@@ -185,9 +185,88 @@ def stream_layout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_datom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run inside the gate: the entity-bucketed datom
+    store builds from 90% of orders, the remaining 10% drains as full
+    (e, a, v, v_num, tx, added) ops through
+    `streaming/tx_ingest.py:start_datom_ingest` in two single-file
+    micro-batches — each folded by the write-once merge swap with the
+    in-sink compaction tripwire — and the datalog aggregation over the
+    drained store must hash-equal the full-corpus DuckDB oracle
+    (stream in, store out, maintenance cycle invisible). The store
+    rebuilds each run (fresh checkpoint + dropped table), so re-runs
+    stay hash-stable."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..plans.datalog import q
+    from ..plans.eav import (
+        _drop_stale_table,
+        materialize_datoms_bucketed,
+        read_datoms_bucketed,
+        table_datoms,
+    )
+    from ..sources.bucketed import adaptive_buckets
+    from ..streaming.tx_ingest import start_datom_ingest
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"datoms_orders_stream_{tag}"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    nb = adaptive_buckets(os.path.join(sf_dir, "orders.parquet"), expand=3.0)
+    _drop_stale_table(spark, table)
+    materialize_datoms_bucketed(
+        table_datoms(orders.where(F.col("o_orderkey") % 10 != 0),
+                     "orders", "o_orderkey"),
+        table, nb,
+    )
+    inc = table_datoms(
+        orders.where(F.col("o_orderkey") % 10 == 0), "orders", "o_orderkey"
+    ).select(
+        "e", "a", "v", "v_num",
+        F.lit(1).cast("long").alias("tx"),
+        F.lit(True).alias("added"),
+    )
+    src = tempfile.mkdtemp(prefix="datom-inc-")
+    inc.where(F.col("e").substr(-1, 1).isin("0", "2", "4", "6", "8")) \
+        .coalesce(1).write.parquet(os.path.join(src, "d0"))
+    inc.where(~F.col("e").substr(-1, 1).isin("0", "2", "4", "6", "8")) \
+        .coalesce(1).write.parquet(os.path.join(src, "d1"))
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*/")
+    )
+    sq = start_datom_ingest(
+        stream, table, tempfile.mkdtemp(prefix="datom-ckpt-")
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError(
+            "stream_datom_ingest: drain did not finish within 300s"
+        )
+    # the sink's merges ran on the stream's cloned session; this
+    # session's relation cache may predate them (reader contract in
+    # start_datom_ingest's docstring)
+    spark.catalog.refreshTable(table)
+    store = read_datoms_bucketed(spark, table)
+    query = {
+        "find": ["?st", ("count", "?o"), ("min", "?tp"), ("max", "?tp")],
+        "where": [
+            ["?o", ":orders/o_orderstatus", "?st"],
+            ["?o", ":orders/o_totalprice", "?tp"],
+        ],
+    }
+    return q(query, store).orderBy("st")
+
+
 QUERIES = {
     "stream_backpressure_replay": stream_backpressure_replay,
     "stream_layout_ingest": stream_layout_ingest,
+    "stream_datom_ingest": stream_datom_ingest,
     "stream_dim_enriched_counts": stream_dim_enriched_counts,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_interval_join": stream_interval_join,
@@ -198,6 +277,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_datom_ingest": """
+        SELECT o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS count_o,
+               MIN(CAST(o_totalprice AS DOUBLE)) AS min_tp,
+               MAX(CAST(o_totalprice AS DOUBLE)) AS max_tp
+        FROM orders GROUP BY o_orderstatus ORDER BY st
+    """,
     "stream_layout_ingest": """
         SELECT o_orderpriority,
                CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)

@@ -58,26 +58,85 @@ def _file_ranks(spark: SparkSession, path: str) -> dict[str, int]:
     return {f: i for i, f in enumerate(files)}
 
 
+_READ_CHUNK = 1 << 20  # 1 MiB of text per incremental parser feed
+
+
 def read_edn_entities(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
     with_index: bool = True,
+    whole_file: bool = False,
 ) -> DataFrame:
     """Read a file (or glob) of top-level EDN maps into a DataFrame.
 
     Unknown keys are dropped; missing optional keys become null (the
     reference's schema-on-read semantics: absent keys, not null values).
-    """
+
+    Default mode STREAMS each file executor-side: the task opens its
+    file and feeds 1 MiB text chunks to the incremental form parser
+    (edn.iter_forms_chunks), so per-task memory is bounded by the
+    largest single FORM, not the largest file — a file bigger than
+    executor heap ingests fine (pinned in test_query_edn). The file
+    open is a local/POSIX read; on an object store this is where a
+    Hadoop-FS/fsspec open would slot in. `whole_file=True` keeps the
+    original wholetext source (one row per file through Spark's text
+    reader) — same results, file-bounded memory — for inputs that are
+    not plain local paths."""
     names = [f.name for f in schema.fields]
     out_schema = T.StructType(
         list(schema.fields) + ([T.StructField("_row_idx", T.LongType(), False)] if with_index else [])
     )
-    ranks = _file_ranks(spark, path) if with_index else {}
+    ranks = _file_ranks(spark, path)
+
+    def rows_to_frames(forms, base, with_idx):
+        rows: list[dict] = []
+        for idx, form in enumerate(forms):
+            if not isinstance(form, dict):
+                raise ValueError(f"expected EDN map, got {type(form)}")
+            row = {n: None for n in names}
+            for k, v in form.items():
+                n = _strip_kw(k)
+                if n in row:
+                    row[n] = v
+            if with_idx:
+                row["_row_idx"] = base + idx
+            rows.append(row)
+            if len(rows) >= CHUNK:
+                yield pd.DataFrame(rows, columns=list(row))
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=list(rows[0]))
+
+    if not whole_file:
+        from ..edn import iter_forms_chunks
+
+        def parse_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for fname, rank in zip(pdf["path"], pdf["rank"]):
+                    def chunks():
+                        with open(fname, encoding="utf-8") as f:
+                            while True:
+                                c = f.read(_READ_CHUNK)
+                                if not c:
+                                    return
+                                yield c
+
+                    yield from rows_to_frames(
+                        iter_forms_chunks(chunks()),
+                        int(rank) * _FILE_STRIDE,
+                        with_index,
+                    )
+
+        files = spark.createDataFrame(
+            sorted(ranks.items()), "path string, rank long"
+        ).repartition(max(len(ranks), 1), "path")
+        return files.mapInPandas(parse_stream, schema=out_schema)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fname, text in zip(pdf["_file"], pdf["value"]):
+                base = 0
                 if with_index:
                     rank = ranks.get(_norm_path(fname))
                     if rank is None:
@@ -85,23 +144,7 @@ def read_edn_entities(
                             f"file {fname!r} not in driver listing {sorted(ranks)}"
                         )
                     base = rank * _FILE_STRIDE
-                rows: list[dict] = []
-                for idx, form in enumerate(iter_forms(text)):
-                    if not isinstance(form, dict):
-                        raise ValueError(f"expected EDN map, got {type(form)}")
-                    row = {n: None for n in names}
-                    for k, v in form.items():
-                        n = _strip_kw(k)
-                        if n in row:
-                            row[n] = v
-                    if with_index:
-                        row["_row_idx"] = base + idx
-                    rows.append(row)
-                    if len(rows) >= CHUNK:
-                        yield pd.DataFrame(rows, columns=list(row))
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=list(rows[0]))
+                yield from rows_to_frames(iter_forms(text), base, with_index)
 
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("_file"), "value"

@@ -113,6 +113,64 @@ def start_store_indexing(
     )
 
 
+DATOM_OP_COLS = ["e", "a", "v", "v_num", "tx", "added"]
+
+
+def start_datom_ingest(
+    op_stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    card_many: frozenset[str] | set[str] = frozenset(),
+    max_files_per_bucket: int = 2,
+) -> StreamingQuery:
+    """Streaming indexing into the ENTITY-BUCKETED datom store — the
+    face that closes the store's last batch-only maintenance surface
+    (the flat fact layout got its streaming cycle in
+    layout_ingest.py; the catalog-table datom store ingested via batch
+    merges only). Each micro-batch of full (e, a, v, v_num, tx, added)
+    ops folds through `merge_datoms_increment_bucketed`: the write-once
+    partition swap with its crash-heal manifest on entry, partition
+    registrations synced, touched-partitions-only cost. The compaction
+    CADENCE runs inside the sink (`compact_store_if_due`) — a tripwire,
+    not a scheduled rewrite: the merge path keeps every touched
+    partition at exactly n_buckets single-file sorted buckets, so a
+    healthy store is never due and the census is the only per-epoch
+    price.
+
+    Replay-safe WITHOUT an epoch ledger: the merge is
+    content-idempotent (set semantics + max-tx displacement), so a
+    redelivered epoch re-merges to the same store — the same contract
+    `start_store_indexing` documents for the path-based store, plus
+    the swap manifest for crash windows inside a single merge.
+
+    Reader contract: foreachBatch runs on a CLONED session, whose
+    refreshTable cannot invalidate another session's relation cache —
+    exactly the situation of any external writer against a shared
+    metastore. A session that read the table BEFORE the stream ran must
+    `spark.catalog.refreshTable(table)` before reading again (pinned in
+    test_index_merge); fresh sessions and first reads need nothing."""
+    from ..plans.eav import (
+        compact_store_if_due,
+        merge_datoms_increment_bucketed,
+    )
+
+    def index(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merge_datoms_increment_bucketed(
+            spark, table, batch_df.select(*DATOM_OP_COLS), card_many
+        )
+        compact_store_if_due(
+            spark, table, max_files_per_bucket=max_files_per_bucket
+        )
+
+    return (
+        op_stream.writeStream.foreachBatch(index)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_log(spark: SparkSession, out_path: str, store_path: str) -> None:
     """Rewrite the accumulated epoch files attribute-partitioned
     (history.materialize_log layout) — the periodic index job that

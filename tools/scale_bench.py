@@ -32,6 +32,7 @@ SCALE_QUERIES = [
     "q18_large_orders_bucketed",
     "q5_region_revenue",
     "q5_region_revenue_bucketed",
+    "q5_region_revenue_colocated_shj",
     "layout_append_compact",
     "stream_layout_ingest",
     "upsert_merge",
@@ -113,6 +114,15 @@ TIER_SKIP = {
     "dedup_lsh_verified": (
         100.0,
         "same quadratic true-pair mass as dedup_minhash_lsh",
+    ),
+    "hybrid_rrf_topk": (
+        100.0,
+        "certification twin: builds both retrieval structures in-query "
+        "(full postings pass + exact cosine scan) so every score is "
+        "oracle-reproducible from the raw tables — a corpus scan by "
+        "design (71.95s at sf100, 10.3x/decade). Production faces "
+        "hybrid_rrf_from_index / hybrid_rrf_serving run at every tier "
+        "(5.16s at sf100)",
     ),
     "sim_ivf_sq8_exact": (
         100.0,
