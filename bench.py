@@ -75,6 +75,7 @@ HEADLINE = [
     "graph_pagerank_bucketed",
     "graph_bfs_hops",
     "graph_bfs_hops_bucketed",
+    "graph_bfs_appended_layout",
     "graph_sssp_bounded",
     "graph_sssp_bucketed",
     "graph_label_propagation",

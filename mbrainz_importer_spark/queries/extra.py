@@ -768,6 +768,76 @@ def graph_bfs_hops_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
 
 
+def graph_bfs_appended_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS whose edge derivation consumes an APPENDED bucketed layout —
+    the gate the r10 verdict asked for (#3): a real deployment's trade
+    graph grows continuously, and the graph faces were build-once. The
+    orders side builds from 90% of the corpus and the remaining 10%
+    arrives as TWO `append_bucketed_once` epochs (the exactly-once
+    manifest/ledger discipline of the streaming sink, including a
+    replayed epoch proven a no-op), compaction restoring the
+    single-file invariant; lineitem rides the shared workload layout.
+    The li-orders join stays Exchange-free across the whole cycle
+    (plan-asserted in test_plan_properties) and the BFS result must
+    hash-equal the FULL-corpus recursive-CTE oracle — append, replay,
+    and compaction all invisible to the graph."""
+    import os
+
+    from ..operators.graph import bfs_hops
+    from ..plans.eav import _table_buckets
+    from ..sources.bucketed import (
+        append_bucketed_once,
+        bucketed_compaction_due,
+        compact_bucketed,
+        ensure_bucketed_table,
+        write_bucketed,
+    )
+    from .core import _BUCKETED_O_COLS, _bucketed_facts
+
+    li, _o = _bucketed_facts(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t = f"b_orders_gstream_{tag}"
+    orders = load(spark, sf_dir, "orders").select(*_BUCKETED_O_COLS)
+    full = orders.count()
+    nb = _table_buckets(spark, f"b_lineitem_{tag}")
+    fresh = (
+        ensure_bucketed_table(spark, t)
+        and spark.table(t).count() == full
+        and _table_buckets(spark, t) == nb
+    )
+    if not fresh:
+        write_bucketed(
+            orders.where(F.col("o_orderkey") % 10 != 0), t, "o_orderkey", nb
+        )
+        inc = orders.where(F.col("o_orderkey") % 10 == 0)
+        assert append_bucketed_once(
+            inc.where(F.col("o_orderkey") % 20 == 0), t, "g_e1"
+        )
+        assert append_bucketed_once(
+            inc.where(F.col("o_orderkey") % 20 != 0), t, "g_e2"
+        )
+        # a redelivered epoch must be a whole-batch no-op
+        assert not append_bucketed_once(
+            inc.where(F.col("o_orderkey") % 20 == 0), t, "g_e1"
+        )
+        if bucketed_compaction_due(spark, t, max_files_per_bucket=1):
+            compact_bucketed(spark, t)
+    o = spark.table(t).hint("merge")
+    eg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+
+
 def graph_sssp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_sssp_bounded with the weighted edge derivation riding the
     bucketed fact layout — the variant whose plain form OOMs the 8g
@@ -1022,6 +1092,7 @@ QUERIES = {
     "graph_pagerank_directed": graph_pagerank_directed,
     "graph_bfs_hops": graph_bfs_hops,
     "graph_bfs_hops_bucketed": graph_bfs_hops_bucketed,
+    "graph_bfs_appended_layout": graph_bfs_appended_layout,
     "graph_label_propagation": graph_label_propagation,
     "graph_label_propagation_bucketed": graph_label_propagation_bucketed,
     "graph_sssp_bounded": graph_sssp_bounded,
@@ -1703,6 +1774,10 @@ ORACLES["graph_bfs_hops"] = """
     FROM walk GROUP BY node ORDER BY node
 """
 ORACLES["graph_bfs_hops_bucketed"] = ORACLES["graph_bfs_hops"]
+# the appended-layout face changes WHERE the orders rows live (90% build
+# + two exactly-once append epochs + compaction), never which rows exist:
+# same full-corpus oracle
+ORACLES["graph_bfs_appended_layout"] = ORACLES["graph_bfs_hops"]
 
 ORACLES["graph_triangle_count"] = """
     WITH pairs AS (

@@ -378,3 +378,39 @@ def test_triangle_copurchase_selfjoin_bucketed_no_exchange(spark):
     b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
     j = a.join(b, "l_orderkey").where(F.col("p1") < F.col("p2"))
     assert count_exchanges(j) == 0, "bucketed co-purchase self-join shuffled"
+
+
+def test_appended_layout_graph_join_stays_exchange_free(spark):
+    """graph_bfs_appended_layout's orders side lives in a layout built
+    90% + stream-appended 10% through append_bucketed_once (+ the
+    in-gate compaction): the li-orders edge join must STILL plan with
+    no Exchange on either fact side — co-location survives the whole
+    append/replay/compact cycle."""
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.queries.core import _bucketed_facts
+    from mbrainz_importer_spark.queries.extra import graph_bfs_appended_layout
+    from mbrainz_importer_spark.sources.bucketed import physical_plan
+
+    SF = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # run the gate once so the appended layout exists (and the
+        # result is sane), then assert on the edge-join plan itself
+        assert graph_bfs_appended_layout(spark, SF).count() > 0
+        li, _o = _bucketed_facts(spark, SF)
+        o = spark.table("b_orders_gstream_sf0_001").hint("merge")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = physical_plan(j)
+        fact_shuffles = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+            and ("l_orderkey" in ln or "o_orderkey" in ln)
+        ]
+        assert not fact_shuffles, f"appended layout shuffled: {fact_shuffles}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("b_orders_gstream_sf0_001", "b_lineitem_sf0_001",
+                  "b_orders_sf0_001"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -35,6 +35,7 @@ SCALE_QUERIES = [
     "q5_region_revenue_colocated_shj",
     "layout_append_compact",
     "stream_layout_ingest",
+    "stream_datom_ingest",
     "upsert_merge",
     "broadcast_dim_join",
     "nested_collect",
@@ -86,6 +87,7 @@ SCALE_QUERIES = [
     "graph_pagerank_bucketed",
     "graph_bfs_hops",
     "graph_bfs_hops_bucketed",
+    "graph_bfs_appended_layout",
     "graph_sssp_bounded",
     "graph_sssp_bucketed",
     "graph_label_propagation",
@@ -107,13 +109,18 @@ TIER_SKIP = {
     ),
     "dedup_minhash_lsh": (
         100.0,
-        "true-pair mass quadratic in the replicated corpus's copy "
+        "true-pair mass quadratic in the REPLICATED corpus's copy "
         "count (~2.5B pairs at sf100 by arithmetic) — result size, "
-        "not plan; sf10 measures the workload",
+        "not plan. The full-decade datapoint lives on the "
+        "unique-document corpus instead (tools/make_unique_docs.py, "
+        ".bench_data/sf100u: 5M unique docs, linear pair mass — "
+        "steady 97.4s, 257,777 pairs, r11)",
     ),
     "dedup_lsh_verified": (
         100.0,
-        "same quadratic true-pair mass as dedup_minhash_lsh",
+        "same quadratic true-pair mass as dedup_minhash_lsh on the "
+        "replicated corpus; measured at .bench_data/sf100u instead "
+        "(steady 21.4s, 255,813 verified pairs at 8g, r11)",
     ),
     "hybrid_rrf_topk": (
         100.0,
@@ -174,6 +181,40 @@ PROFILES = {
 }
 
 
+def _size_shuffle_partitions(sf_dir: str) -> None:
+    """Single-profile ladder (r10 verdict #4): size
+    spark.sql.shuffle.partitions to the TIER'S fact bytes before the
+    JVM starts — partitions = 2^ceil(log2(fact_bytes / 64 MB)), floor
+    32, cap 512. The sf100 plain fact-fact shapes OOM'd an 8g heap at
+    the flat 32 and previously escaped to a daggered 24g profile; at
+    256 partitions every one of them runs AT 8g (q5 plain 100s, q3
+    plain 47s, SSSP plain 104s — measured r11), so the ladder compares
+    like with like. AQE coalescing folds the extra partitions back for
+    the small queries, which is what makes a per-tier count safe as a
+    blanket session setting. An explicit SPARK_GRAFT_SHUFFLE_PARTITIONS
+    (or a profile that sets one) wins."""
+    import math
+
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
+        return
+    total = 0
+    for name in ("lineitem.parquet", "orders.parquet"):
+        p = os.path.join(sf_dir, name)
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    need = total // (64 << 20)
+    if need > 32:
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(
+            min(512, 2 ** math.ceil(math.log2(need)))
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -187,6 +228,7 @@ def main() -> None:
     args = ap.parse_args()
     for k, v in PROFILES[args.profile].items():
         os.environ.setdefault(k, v)
+    _size_shuffle_partitions(args.sf_dir)
 
     try:
         sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -262,6 +304,9 @@ def _doc(args, sf, skipped, out, partial: bool = False) -> dict:
         "runs": args.runs,
         "profile": args.profile,
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "shuffle_partitions": int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+        ),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "protocol": (
             "build_run_seconds = run 1 (carries one-time layout/index "
