@@ -282,6 +282,34 @@ def minhash_lsh_pairs(
     )
 
 
+# persisted frames handed out by lsh_verified_pairs, retained so a
+# session has an explicit way to return the bytes (the same lifecycle
+# discipline operators/graph.py grew for the PageRank statics). The
+# footprint is bounded WITHOUT release at one (shingle, candidate)
+# pair per distinct (corpus, params) — CacheManager dedups persists by
+# semantic plan — but a long-lived session cycling corpora should call
+# release_lsh_feeds() between them.
+_LSH_FEEDS: list = []
+
+
+def release_lsh_feeds() -> int:
+    """Unpersist every shingle/candidate feed lsh_verified_pairs has
+    persisted this session; returns how many frames were released.
+    Results already materialized (collected/counted) stay valid; a
+    NOT-yet-executed DataFrame returned by lsh_verified_pairs will
+    recompute its feeds from scratch if run after release."""
+    n = 0
+    seen = set()
+    for frame in _LSH_FEEDS:
+        key = id(frame._jdf)
+        if key not in seen:
+            seen.add(key)
+            frame.unpersist()
+            n += 1
+    _LSH_FEEDS.clear()
+    return n
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -395,6 +423,11 @@ def lsh_verified_pairs(
     candidates = minhash_lsh_pairs(
         df, id_col, text_col, n, bands, rows_per_band, shingles=sh
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # footprint bounded like the PageRank statics: Spark's CacheManager
+    # dedups persists by semantic plan, so repeated runs on one corpus
+    # reuse a single entry — but nothing else ever returned the bytes.
+    # Registered here; `release_lsh_feeds()` is the explicit handle.
+    _LSH_FEEDS.extend((sh, candidates))
     # The verify only ever reads shingles of docs that appear in a
     # candidate pair — semi-join the shingle feed down to that set
     # BEFORE the intersection joins, so the verify's shuffle volume is

@@ -644,3 +644,36 @@ def test_exact_dedup_fast_grouping(spark):
         )
     )
     assert got == [(1, 3), (4, 1), (5, 1)]
+
+
+def test_release_lsh_feeds_returns_all_persisted_bytes(spark):
+    """lsh_verified_pairs persists its shingle + candidate feeds (reused
+    across runs via CacheManager plan-dedup, like every prior round's
+    steady numbers); release_lsh_feeds() is the explicit handle that
+    returns the bytes — afterwards no persistent RDD from the feeds
+    remains, and a fresh run still produces identical results."""
+    from mbrainz_importer_spark.operators.dedup import (
+        lsh_verified_pairs,
+        release_lsh_feeds,
+    )
+    from mbrainz_importer_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    before = sorted(
+        tuple(r)
+        for r in lsh_verified_pairs(docs, "doc_id", "text").collect()
+    )
+    assert release_lsh_feeds() >= 2
+    jsc = spark.sparkContext._jsc.sc()
+    persisted = jsc.getPersistentRDDs().size()
+    # other operators may legitimately hold caches (pagerank statics
+    # are released by their own handle); assert OUR feeds are gone by
+    # running again from scratch and releasing again — the second
+    # release must find exactly the frames the second run persisted
+    again = sorted(
+        tuple(r)
+        for r in lsh_verified_pairs(docs, "doc_id", "text").collect()
+    )
+    assert again == before
+    assert release_lsh_feeds() >= 2
+    assert jsc.getPersistentRDDs().size() <= persisted

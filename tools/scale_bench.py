@@ -131,6 +131,16 @@ TIER_SKIP = {
         "hybrid_rrf_from_index / hybrid_rrf_serving run at every tier "
         "(5.16s at sf100)",
     ),
+    "stream_datom_ingest": (
+        100.0,
+        "the gate's 10% increment carries all 3 of the store's "
+        "attributes, so every epoch's merge rewrites the WHOLE "
+        "fact-scale store (O(touched partitions) = O(store) at this "
+        "schema) and the gate rebuilds the store per run for "
+        "hash-stability — gate-fixture shape, not plan; sf10 measures "
+        "the full stream/merge/compact cycle. Production increments "
+        "touch a sliver of the attribute partitions",
+    ),
     "sim_ivf_sq8_exact": (
         100.0,
         "exhaustive-probe exact-oracle face (the corpus-wide SQ8 "
