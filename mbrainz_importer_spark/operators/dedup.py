@@ -319,6 +319,7 @@ def lsh_verified_pairs(
     rows_per_band: int = 3,
     threshold: float = 0.2,
     collapse_identical: bool = True,
+    _n_docs: int | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: LSH candidate generation followed
     by EXACT Jaccard verification, both fed by ONE cached shingle
@@ -342,22 +343,25 @@ def lsh_verified_pairs(
     mass grows pairs quadratically in copies (the sf10 tier's 27M-pair
     corpus OOMed the uncollapsed path; collapsed it runs at
     distinct-text cost plus the output-sized expansion join)."""
+    n_distinct = None
     if collapse_identical:
         # adaptive pre-probe: collapsing pays three extra shuffles, all
         # keyed by the FULL text — pure overhead on a corpus where no
         # text occurs twice (the common case outside replicated /
-        # crawl-heavy tiers). One cheap map-side-combined count over
-        # 8-byte hash keys decides; a (vanishingly unlikely) xxhash64
-        # collision can only trigger an unnecessary collapse pass,
-        # never change results — the collapse itself groups by the
-        # full text, so exactness is untouched.
-        no_dups = (
-            df.groupBy(F.xxhash64(F.col(text_col)).alias("__h"))
-            .count()
-            .where(F.col("count") > 1)
-            .isEmpty()
-        )
-        if no_dups:
+        # crawl-heavy tiers). ONE map-side-combined aggregate over
+        # 8-byte hashes decides AND yields both corpus sizes, so
+        # neither branch ever pays a separate count job (the collapse
+        # branch's reps count in particular would re-run the window
+        # pass). A (vanishingly unlikely) xxhash64 collision can only
+        # trigger an unnecessary collapse pass, never change results —
+        # the collapse itself groups by the full text.
+        h = F.xxhash64(F.col(text_col))
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(h).alias("d"),
+        ).first()
+        _n_docs, n_distinct = stats["n"], stats["d"]
+        if _n_docs == n_distinct:
             collapse_identical = False
     if collapse_identical:
         from pyspark.sql import Window
@@ -370,7 +374,7 @@ def lsh_verified_pairs(
         )
         base = lsh_verified_pairs(
             reps, id_col, text_col, n, bands, rows_per_band, threshold,
-            collapse_identical=False,
+            collapse_identical=False, _n_docs=n_distinct,
         )
         mem = members.select("__m_id", "__rep")
         cross = (
@@ -414,7 +418,7 @@ def lsh_verified_pairs(
     # unique-corpus tier: AGGREGATE_OUT_OF_MEMORY at 8g while the cache
     # held ~10 GB of shingles. DISK_ONLY keeps the reuse (one shingling
     # pass) without competing with the aggregates that read it.
-    n_docs = df.count()
+    n_docs = _n_docs if _n_docs is not None else df.count()
     sh_level = (
         StorageLevel.DISK_ONLY if n_docs > 1_000_000
         else StorageLevel.MEMORY_AND_DISK
