@@ -810,16 +810,25 @@ def graph_bfs_appended_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.where(F.col("o_orderkey") % 10 != 0), t, "o_orderkey", nb
         )
         inc = orders.where(F.col("o_orderkey") % 10 == 0)
-        assert append_bucketed_once(
+        # NOT assert statements: the appends are real side effects the
+        # gate depends on, and `python -O` strips asserts — a skipped
+        # append would leave the table at 90% of the corpus and corrupt
+        # the full-corpus oracle comparison (ADVICE r11).
+        e1 = append_bucketed_once(
             inc.where(F.col("o_orderkey") % 20 == 0), t, "g_e1"
         )
-        assert append_bucketed_once(
+        e2 = append_bucketed_once(
             inc.where(F.col("o_orderkey") % 20 != 0), t, "g_e2"
         )
         # a redelivered epoch must be a whole-batch no-op
-        assert not append_bucketed_once(
+        replay = append_bucketed_once(
             inc.where(F.col("o_orderkey") % 20 == 0), t, "g_e1"
         )
+        if not (e1 and e2 and not replay):
+            raise RuntimeError(
+                f"append epochs broke exactly-once: e1={e1} e2={e2} "
+                f"replay={replay}"
+            )
         if bucketed_compaction_due(spark, t, max_files_per_bucket=1):
             compact_bucketed(spark, t)
     o = spark.table(t).hint("merge")

@@ -223,20 +223,37 @@ def stream_datom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "orders", "o_orderkey"),
         table, nb,
     )
-    inc = table_datoms(
-        orders.where(F.col("o_orderkey") % 10 == 0), "orders", "o_orderkey"
-    ).select(
-        "e", "a", "v", "v_num",
-        F.lit(1).cast("long").alias("tx"),
-        F.lit(True).alias("added"),
-    )
+    inc_orders = orders.where(F.col("o_orderkey") % 10 == 0)
+
+    def _ops(df):
+        return table_datoms(df, "orders", "o_orderkey").select(
+            "e", "a", "v", "v_num",
+            F.lit(1).cast("long").alias("tx"),
+            F.lit(True).alias("added"),
+        )
+
+    # Split on the TENS digit: every increment key ends in 0 (the %10
+    # filter above), so a last-digit split routed ALL rows to one file
+    # and the second merge epoch was a guarded no-op (ADVICE r11) —
+    # the gate claimed two epochs but exercised one.
+    tens_even = (F.col("o_orderkey") / 10).cast("long") % 2 == 0
     src = tempfile.mkdtemp(prefix="datom-inc-")
-    inc.where(F.col("e").substr(-1, 1).isin("0", "2", "4", "6", "8")) \
-        .coalesce(1).write.parquet(os.path.join(src, "d0"))
-    inc.where(~F.col("e").substr(-1, 1).isin("0", "2", "4", "6", "8")) \
-        .coalesce(1).write.parquet(os.path.join(src, "d1"))
+    _ops(inc_orders.where(tens_even)).coalesce(1).write.parquet(
+        os.path.join(src, "d0")
+    )
+    _ops(inc_orders.where(~tens_even)).coalesce(1).write.parquet(
+        os.path.join(src, "d1")
+    )
+    n0 = spark.read.parquet(os.path.join(src, "d0")).count()
+    n1 = spark.read.parquet(os.path.join(src, "d1")).count()
+    if not (n0 and n1):
+        raise RuntimeError(
+            f"degenerate micro-batch split: d0={n0} d1={n1} rows — the "
+            "gate must exercise two real merge epochs"
+        )
+    inc_schema = _ops(inc_orders.limit(0)).schema
     stream = (
-        spark.readStream.schema(inc.schema)
+        spark.readStream.schema(inc_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*/")
     )

@@ -60,6 +60,152 @@ def _file_ranks(spark: SparkSession, path: str) -> dict[str, int]:
 
 _READ_CHUNK = 1 << 20  # 1 MiB of text per incremental parser feed
 
+# ---------------------------------------------------------------------------
+# Object-store access (r11 verdict #1): the form-streaming path used a plain
+# POSIX open(), so only local paths streamed with form-bounded memory; a
+# 100 TB crawl lives on S3/GCS. The per-task open and the driver-side listing
+# now dispatch on the URI scheme: POSIX for local paths (unchanged fast
+# path), fsspec when installed, else PyArrow's pyarrow.fs (baked into this
+# environment, S3/GCS/HDFS support compiled in). Unknown schemes fall back
+# to the wholetext reader (Spark's own Hadoop connectors may still handle
+# them — e.g. s3a:// with hadoop-aws on a real cluster), which keeps results
+# identical at file-bounded memory instead of failing.
+
+_LOCAL_SCHEMES = ("", "file")
+# Hadoop-ecosystem scheme names PyArrow spells differently.
+_ARROW_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}
+_WILDCARDS = ("*", "?", "[")
+
+
+def _uri_scheme(p: str) -> str:
+    if "://" in p:
+        return p.split("://", 1)[0].lower()
+    if p.startswith("file:"):
+        return "file"
+    return ""
+
+
+def _arrow_fs(uri: str):
+    """(filesystem, inner_path) for a URI, normalizing Hadoop scheme
+    aliases that PyArrow rejects (s3a:// -> s3://)."""
+    from pyarrow import fs as pafs
+
+    scheme = _uri_scheme(uri)
+    alias = _ARROW_SCHEME_ALIASES.get(scheme)
+    if alias:
+        uri = alias + uri[len(scheme):]
+    return pafs.FileSystem.from_uri(uri)
+
+
+def _resolve_fs_mode(path: str, filesystem: str) -> str:
+    """Pick the per-task open strategy: 'posix' | 'fsspec' | 'arrow' |
+    'wholetext' (= stream unavailable for this scheme, use the file-bounded
+    Spark text reader). Explicit `filesystem` wins; 'auto' dispatches on
+    the URI scheme and library availability."""
+    if filesystem != "auto":
+        return filesystem
+    if _uri_scheme(path) in _LOCAL_SCHEMES:
+        return "posix"
+    try:
+        import fsspec  # noqa: F401
+
+        return "fsspec"
+    except ImportError:
+        pass
+    try:
+        _arrow_fs(path.split("*")[0])
+        return "arrow"
+    except Exception:
+        return "wholetext"
+
+
+def _list_uri_files(path: str, mode: str) -> list[str]:
+    """Driver-side listing of a non-local URI (file, dir, or basename
+    glob) WITHOUT reading content; returns full URIs (scheme kept, so
+    each task re-resolves its own filesystem handle). Basename globs
+    only under 'arrow' (pyarrow.fs has no glob; wildcards elsewhere in
+    the path need fsspec)."""
+    if mode == "fsspec":
+        import fsspec
+
+        fs, _ = fsspec.core.url_to_fs(path)
+        proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
+        names = fs.glob(path) if any(w in path for w in _WILDCARDS) else None
+        if names is None:
+            names = (
+                fs.find(path)
+                if fs.isdir(fs._strip_protocol(path))
+                else [fs._strip_protocol(path)]
+            )
+        return [fs.unstrip_protocol(n) if hasattr(fs, "unstrip_protocol")
+                else f"{proto}://{n}" for n in names]
+    from pyarrow import fs as pafs
+
+    scheme = _uri_scheme(path)
+    head, _, tail = path.rpartition("/")
+    if any(w in tail for w in _WILDCARDS):
+        if any(w in head for w in _WILDCARDS):
+            raise ValueError(
+                f"only basename globs are supported on {scheme}:// without "
+                f"fsspec (got {path!r}); pass whole_file=True to use Spark's "
+                "own reader"
+            )
+        import fnmatch
+
+        fs, inner = _arrow_fs(head)
+        infos = fs.get_file_info(pafs.FileSelector(inner))
+        return [
+            f"{scheme}://{i.path}" for i in infos
+            if i.is_file and fnmatch.fnmatch(i.path.rsplit("/", 1)[-1], tail)
+        ]
+    fs, inner = _arrow_fs(path)
+    info = fs.get_file_info(inner)
+    if info.type == pafs.FileType.Directory:
+        infos = fs.get_file_info(pafs.FileSelector(inner, recursive=True))
+        return [f"{scheme}://{i.path}" for i in infos if i.is_file]
+    return [path]
+
+
+def _iter_text_chunks(fname: str, mode: str):
+    """Stream a file as text chunks of ~_READ_CHUNK chars, per mode.
+    Non-POSIX modes read BYTES and feed an incremental UTF-8 decoder (a
+    fixed-size byte chunk may split a multibyte character)."""
+    if mode == "posix":
+        local = _norm_path(fname) if _uri_scheme(fname) else fname
+        with open(local, encoding="utf-8") as f:
+            while True:
+                c = f.read(_READ_CHUNK)
+                if not c:
+                    return
+                yield c
+    elif mode == "fsspec":
+        import fsspec
+
+        with fsspec.open(fname, "rt", encoding="utf-8") as f:
+            while True:
+                c = f.read(_READ_CHUNK)
+                if not c:
+                    return
+                yield c
+    elif mode == "arrow":
+        import codecs
+
+        fs, inner = _arrow_fs(fname)
+        dec = codecs.getincrementaldecoder("utf-8")()
+        with fs.open_input_stream(inner) as f:
+            while True:
+                b = f.read(_READ_CHUNK)
+                if not b:
+                    tail = dec.decode(b"", final=True)
+                    if tail:
+                        yield tail
+                    return
+                t = dec.decode(b)
+                if t:
+                    yield t
+    else:
+        raise ValueError(f"unknown filesystem mode {mode!r}")
+
 
 def read_edn_entities(
     spark: SparkSession,
@@ -67,6 +213,7 @@ def read_edn_entities(
     schema: T.StructType,
     with_index: bool = True,
     whole_file: bool = False,
+    filesystem: str = "auto",
 ) -> DataFrame:
     """Read a file (or glob) of top-level EDN maps into a DataFrame.
 
@@ -77,17 +224,28 @@ def read_edn_entities(
     file and feeds 1 MiB text chunks to the incremental form parser
     (edn.iter_forms_chunks), so per-task memory is bounded by the
     largest single FORM, not the largest file — a file bigger than
-    executor heap ingests fine (pinned in test_query_edn). The file
-    open is a local/POSIX read; on an object store this is where a
-    Hadoop-FS/fsspec open would slot in. `whole_file=True` keeps the
-    original wholetext source (one row per file through Spark's text
-    reader) — same results, file-bounded memory — for inputs that are
-    not plain local paths."""
+    executor heap ingests fine (pinned in test_query_edn). The open
+    dispatches on the URI scheme (_resolve_fs_mode): POSIX for local
+    paths, fsspec if installed, else pyarrow.fs — so s3://-style
+    object-store corpora stream with the same form-bounded memory.
+    Schemes none of those handle fall back to the wholetext source
+    automatically (same results, file-bounded memory), which is also
+    what `whole_file=True` forces. `filesystem` pins a specific mode
+    ('posix' | 'fsspec' | 'arrow') — tests use 'arrow' over file://
+    URIs to exercise the object-store path end-to-end."""
     names = [f.name for f in schema.fields]
     out_schema = T.StructType(
         list(schema.fields) + ([T.StructField("_row_idx", T.LongType(), False)] if with_index else [])
     )
-    ranks = _file_ranks(spark, path)
+    fs_mode = _resolve_fs_mode(path, filesystem)
+    if fs_mode == "wholetext":
+        whole_file = True
+    if not whole_file and fs_mode != "posix":
+        uris = sorted(_list_uri_files(path, fs_mode))
+        rank_items = [(u, i) for i, u in enumerate(uris)]
+    else:
+        ranks = _file_ranks(spark, path)
+        rank_items = sorted(ranks.items())
 
     def rows_to_frames(forms, base, with_idx):
         rows: list[dict] = []
@@ -114,23 +272,15 @@ def read_edn_entities(
         def parse_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for fname, rank in zip(pdf["path"], pdf["rank"]):
-                    def chunks():
-                        with open(fname, encoding="utf-8") as f:
-                            while True:
-                                c = f.read(_READ_CHUNK)
-                                if not c:
-                                    return
-                                yield c
-
                     yield from rows_to_frames(
-                        iter_forms_chunks(chunks()),
+                        iter_forms_chunks(_iter_text_chunks(fname, fs_mode)),
                         int(rank) * _FILE_STRIDE,
                         with_index,
                     )
 
         files = spark.createDataFrame(
-            sorted(ranks.items()), "path string, rank long"
-        ).repartition(max(len(ranks), 1), "path")
+            rank_items, "path string, rank long"
+        ).repartition(max(len(rank_items), 1), "path")
         return files.mapInPandas(parse_stream, schema=out_schema)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -458,10 +458,13 @@ def test_shj_face_plans_shuffled_hash_join_when_bound_fits(spark):
         shj_build_plan,
     )
 
+    shj = q5_region_revenue_colocated_shj(spark, SF)
+    # precondition, pinned for real (the old `fits or <df> is not None`
+    # could never fail — ADVICE r11): at test scale the build must fit,
+    # otherwise the SHJ plan assertions below are vacuous.
     assert shj_build_plan(spark, "b_orders_sf0_001", heap_bytes=8 << 30)[
         "fits"
-    ] or q5_region_revenue_colocated_shj(spark, SF) is not None
-    shj = q5_region_revenue_colocated_shj(spark, SF)
+    ], "test-scale build should fit an 8g heap"
     got = shj.collect()
     plan = physical_plan(shj)
     assert "ShuffledHashJoin" in plan, "bound fits -> SHJ expected"

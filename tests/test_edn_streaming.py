@@ -123,3 +123,100 @@ def test_source_streaming_mode_equals_wholetext_mode(spark, tmp_path):
     )
     assert stream_rows == whole_rows
     assert len(stream_rows) == 4
+
+
+def test_source_streaming_arrow_uri_equals_posix(spark, tmp_path):
+    """Object-store streaming path (r11 verdict #1): the same multi-file
+    glob read through a file:// URI with the pyarrow.fs open pinned
+    (`filesystem='arrow'`) must produce exactly the POSIX streaming
+    rows, including _row_idx assignment — end-to-end through real Spark
+    tasks, so the listing, the per-task FileSystem.from_uri resolve,
+    the byte-stream open, and the incremental UTF-8 decode are all the
+    production object-store code (LocalFileSystem and S3FileSystem
+    share the open_input_stream contract)."""
+    from pyspark.sql import types as T
+
+    from mbrainz_importer_spark.sources.edn_source import read_edn_entities
+
+    d = tmp_path / "edn"
+    d.mkdir()
+    (d / "b.edn").write_text('{:id 3 :name "c✓"}\n{:id 4}\n')
+    (d / "a.edn").write_text('{:id 1 :name "héllo"}\n{:id 2 :junk 9}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    posix = sorted(
+        tuple(r)
+        for r in read_edn_entities(spark, f"{d}/*.edn", schema).collect()
+    )
+    arrow = sorted(
+        tuple(r)
+        for r in read_edn_entities(
+            spark, f"file://{d}/*.edn", schema, filesystem="arrow"
+        ).collect()
+    )
+    assert arrow == posix
+    assert len(arrow) == 4
+
+
+def test_arrow_chunk_stream_decodes_split_multibyte(tmp_path):
+    """The arrow open reads BYTES in fixed chunks; a chunk boundary that
+    splits a multibyte UTF-8 character must decode losslessly through
+    the incremental decoder."""
+    from mbrainz_importer_spark.sources import edn_source as es
+
+    p = tmp_path / "m.edn"
+    text = '{:s "' + "é✓" * 1000 + '"}\n'
+    p.write_text(text, encoding="utf-8")
+    old = es._READ_CHUNK
+    es._READ_CHUNK = 7  # guaranteed to split the 2- and 3-byte chars
+    try:
+        got = "".join(es._iter_text_chunks(f"file://{p}", "arrow"))
+    finally:
+        es._READ_CHUNK = old
+    assert got == text
+
+
+def test_fs_mode_resolution_and_fallback(tmp_path):
+    """Scheme dispatch: local paths stream POSIX; URIs no installed
+    library can open fall back to the wholetext reader instead of
+    failing inside a task with a cryptic open() error (ADVICE r11:
+    silent default-behavior change for non-local call sites)."""
+    from mbrainz_importer_spark.sources.edn_source import _resolve_fs_mode
+
+    assert _resolve_fs_mode(str(tmp_path / "*.edn"), "auto") == "posix"
+    assert _resolve_fs_mode(f"file://{tmp_path}", "auto") == "posix"
+    assert _resolve_fs_mode("weird-scheme://bucket/x.edn", "auto") == "wholetext"
+    assert _resolve_fs_mode("s3://bucket/x.edn", "arrow") == "arrow"
+
+
+def test_fsspec_streaming_matches_wholetext(spark, tmp_path):
+    """When fsspec IS installed it outranks pyarrow in auto mode; prove
+    the fsspec open path end-to-end. Skipped where fsspec is absent
+    (this container bakes pyarrow only — the arrow test above is the
+    always-on object-store proof)."""
+    pytest.importorskip("fsspec")
+    from pyspark.sql import types as T
+
+    from mbrainz_importer_spark.sources.edn_source import read_edn_entities
+
+    d = tmp_path / "edn"
+    d.mkdir()
+    (d / "a.edn").write_text('{:id 1}\n{:id 2}\n')
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    got = sorted(
+        tuple(r)
+        for r in read_edn_entities(
+            spark, f"file://{d}/*.edn", schema, filesystem="fsspec"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_edn_entities(
+            spark, f"{d}/*.edn", schema, whole_file=True
+        ).collect()
+    )
+    assert got == want
