@@ -33,6 +33,7 @@ HEADLINE = [
     "batch_numbering",
     "nested_collect",
     "window_topk_per_group",
+    "window_topk_per_group_bucketed",
     "dedup_exact",
     "dedup_exact_fast",
     "dedup_minhash_lsh",

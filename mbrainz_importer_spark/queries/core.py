@@ -592,6 +592,58 @@ def window_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_topk_per_group_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAYOUT twin of window_topk_per_group (r11 verdict #5: the
+    window face pays a full per-group sort that grows 11.6x/decade into
+    sf100). Orders are laid out bucketed by the GROUP key and in-bucket
+    sorted by (o_custkey, neg_price, o_orderkey) — the window's exact
+    partition+order spec, with the DESC price pre-materialized as an
+    ascending negated column since bucket sortBy is ascending-only.
+    With bucket-sort trust ON (session default) the WindowExec consumes
+    the scan with NEITHER Exchange NOR Sort: the top-tier cost becomes
+    the scan itself, the 100 TB shape where ranking rides the layout.
+    Same oracle as the window face — the faces are hash-interchangeable;
+    the one-time layout build amortizes across every ranking query on
+    the same group key (build/steady split as for all bucketed faces)."""
+    from ..plans.eav import _table_buckets
+    from ..sources.bucketed import (
+        adaptive_buckets,
+        ensure_bucketed_table,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t = f"b_orders_topk_{tag}"
+    nb = adaptive_buckets(os.path.join(sf_dir, "orders.parquet"))
+    cols = ("o_custkey", "neg_price", "o_orderkey", "o_totalprice")
+    fresh = (
+        ensure_bucketed_table(spark, t)
+        and set(cols) <= set(spark.table(t).columns)
+        and _table_buckets(spark, t) == nb
+    )
+    if not fresh:
+        write_bucketed(
+            load(spark, sf_dir, "orders").select(
+                "o_custkey",
+                (-F.col("o_totalprice")).alias("neg_price"),
+                "o_orderkey",
+                "o_totalprice",
+            ),
+            t, "o_custkey", nb,
+            sort_cols=["o_custkey", "neg_price", "o_orderkey"],
+        )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("neg_price"), F.asc("o_orderkey")
+    )
+    return (
+        spark.table(t)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    )
+
+
 def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 + engine surface: union / intersect / except over key sets."""
     cust_nations = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -638,6 +690,7 @@ QUERIES = {
     "json_functions": json_functions,
     "window_topk_per_group": window_topk_per_group,
     "window_topk_per_group_agg": window_topk_per_group_agg,
+    "window_topk_per_group_bucketed": window_topk_per_group_bucketed,
     "set_operations": set_operations,
     "explode_array": explode_array,
 }
@@ -850,6 +903,15 @@ ORACLES = {
         ORDER BY o_custkey, rk
     """,
     "window_topk_per_group_agg": """
+        SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        ) WHERE rk <= 2
+        ORDER BY o_custkey, rk
+    """,
+    "window_topk_per_group_bucketed": """
         SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey

@@ -81,7 +81,7 @@ def write_bucket_spec(
     location: str,
     bucket_key: str,
     n_buckets: int,
-    sort_key: str | None = None,
+    sort_key: str | list[str] | None = None,
     partition_col: str | None = None,
 ) -> None:
     spec = {
@@ -93,6 +93,14 @@ def write_bucket_spec(
     }
     with open(os.path.join(location, _SPEC_NAME), "w") as f:
         json.dump(spec, f)
+
+
+def _spec_sort_cols(spec: dict) -> list[str]:
+    """sort_key normalized to a column list (single-column specs store a
+    bare string; multi-column sorted layouts — e.g. the window-topk
+    twin's (group, order) sort — store a list)."""
+    sk = spec["sort_key"]
+    return [sk] if isinstance(sk, str) else list(sk)
 
 
 def _validate_bucket_spec(spec: dict, spec_path: str) -> None:
@@ -118,12 +126,22 @@ def _validate_bucket_spec(spec: dict, spec_path: str) -> None:
         for c in spec["schema_ddl"].split(",")
         if "`" in c
     }
-    for role in ("bucket_key", "sort_key"):
-        if spec[role] not in ddl_cols:
-            raise ValueError(
-                f"corrupt bucket spec {spec_path}: {role}={spec[role]!r} "
-                f"is not a column of the stored schema ({sorted(ddl_cols)})"
-            )
+    sort_cols = spec["sort_key"]
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    if not sort_cols or not all(isinstance(c, str) for c in sort_cols):
+        raise ValueError(
+            f"corrupt bucket spec {spec_path}: sort_key={spec['sort_key']!r} "
+            "must be a column name or non-empty list of column names"
+        )
+    for role, cols in (("bucket_key", [spec["bucket_key"]]),
+                       ("sort_key", sort_cols)):
+        for c in cols:
+            if c not in ddl_cols:
+                raise ValueError(
+                    f"corrupt bucket spec {spec_path}: {role}={c!r} "
+                    f"is not a column of the stored schema ({sorted(ddl_cols)})"
+                )
     if spec.get("partition_col") and spec["partition_col"] not in ddl_cols:
         raise ValueError(
             f"corrupt bucket spec {spec_path}: partition_col="
@@ -160,7 +178,7 @@ def adopt_bucketed_table(spark: SparkSession, table: str) -> bool:
         f"CREATE TABLE `{table}` ({spec['schema_ddl']}) USING parquet "
         + part
         + f"CLUSTERED BY (`{spec['bucket_key']}`) "
-        f"SORTED BY (`{spec['sort_key']}`) "
+        f"SORTED BY ({', '.join(f'`{c}`' for c in _spec_sort_cols(spec))}) "
         f"INTO {spec['n_buckets']} BUCKETS "
         f"LOCATION '{os.path.abspath(loc)}'"
     )
@@ -180,6 +198,7 @@ def write_bucketed(
     table: str,
     bucket_key: str,
     n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
 ) -> None:
     """Persist as a bucketed+sorted managed table keyed for co-located
     merges. The write pre-shuffles on the bucket id (the same Murmur3
@@ -187,22 +206,27 @@ def write_bucketed(
     Spark only trusts sortBy metadata for single-file buckets, so this
     is what actually lets downstream SMJs skip their Sort (a
     multi-task write fans out files per (task x bucket) and silently
-    re-inserts the Sort)."""
+    re-inserts the Sort). `sort_cols` widens the in-bucket sort beyond
+    the bucket key (it must LEAD with the bucket key for merge
+    consumers); a (group, order...) sort lets a WindowExec over the
+    bucket key consume the scan with neither Exchange nor Sort."""
     from pyspark.sql import functions as F
 
     from ..plans.eav import _drop_stale_table
 
+    sort_cols = sort_cols or [bucket_key]
     _drop_stale_table(df.sparkSession, table)
     (
         df.repartition(F.pmod(F.hash(bucket_key), F.lit(n_buckets)))
         .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_key)
-        .sortBy(bucket_key)
+        .sortBy(sort_cols)
         .format("parquet")
         .saveAsTable(table)
     )
     write_bucket_spec(
-        df.schema, table_location(df.sparkSession, table), bucket_key, n_buckets
+        df.schema, table_location(df.sparkSession, table), bucket_key,
+        n_buckets, sort_key=sort_cols if sort_cols != [bucket_key] else None,
     )
 
 

@@ -532,3 +532,62 @@ def test_shj_bound_model_matches_recorded_datapoints(spark):
     assert ran <= budget, "model must admit the shape that ran at 8g"
     for t in ("b_lineitem_sf0_001", "b_orders_sf0_001"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_multicol_sorted_layout_adopts_with_sort_metadata(spark):
+    """A (group, order...) sorted layout — the window-topk twin's shape —
+    must survive catalog loss: adoption replays the multi-column SORTED
+    BY from _bucketspec.json, and the re-attached table still feeds a
+    WindowExec with no Exchange and no extra Sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.sources.bucketed import (
+        physical_plan,
+        write_bucketed,
+    )
+    from mbrainz_importer_spark.tables import load as _load
+
+    t = "b_topk_adopt_probe"
+    df = _load(spark, SF, "orders").select(
+        "o_custkey",
+        (-F.col("o_totalprice")).alias("neg_price"),
+        "o_orderkey",
+    )
+    write_bucketed(df, t, "o_custkey", 4,
+                   sort_cols=["o_custkey", "neg_price", "o_orderkey"])
+    t2 = t + "_adopted"
+    try:
+        # simulate a fresh process: copy the layout to a name the
+        # catalog has never seen (same dance as
+        # test_adopt_bucketed_layout_across_catalog_loss)
+        import os
+        import shutil
+
+        from mbrainz_importer_spark.sources.bucketed import (
+            ensure_bucketed_table,
+            table_location,
+        )
+
+        src, dst = table_location(spark, t), table_location(spark, t2)
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        assert ensure_bucketed_table(spark, t2)
+        t = t2  # run the plan assertions over the ADOPTED table
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.asc("neg_price"), F.asc("o_orderkey")
+        )
+        ranked = (
+            spark.table(t)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2)
+        )
+        p = physical_plan(ranked)
+        assert "Exchange hashpartitioning" not in p, p
+        assert "+- Sort " not in p, p
+        assert ranked.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_topk_adopt_probe")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

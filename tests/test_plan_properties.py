@@ -414,3 +414,24 @@ def test_appended_layout_graph_join_stays_exchange_free(spark):
         for t in ("b_orders_gstream_sf0_001", "b_lineitem_sf0_001",
                   "b_orders_sf0_001"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_window_topk_bucketed_rides_layout_sort(spark, qs):
+    """window_topk_per_group_bucketed (r11 verdict #5): the group-key
+    bucketed + (group, neg_price, orderkey)-sorted layout must feed the
+    WindowExec directly — no Exchange hashpartitioning, no Sort between
+    scan and window (the only allowed Exchange/Sort is the final output
+    orderBy's rangepartitioning) — and the rows must equal the plain
+    window face exactly."""
+    df = qs["window_topk_per_group_bucketed"](spark, SF)
+    p = plan_of(df)
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Bucketed: true" in p, p
+    # exactly one Sort (the presentation orderBy above the window);
+    # a second one means the scan's sort metadata was not trusted
+    assert p.count("+- Sort ") == 1, p
+    assert "Window" in p, p
+    got = df.collect()
+    want = qs["window_topk_per_group"](spark, SF).collect()
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS b_orders_topk_sf0_001")
