@@ -74,3 +74,70 @@ def test_ingest_asof_equals_batch_and_replay(spark, op_dirs, tmp_path_factory):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(a" in plan, plan
+
+
+def test_sliver_ingest_touches_only_streamed_partition(spark, tmp_path):
+    """stream_datom_ingest_sliver's tier claim, pinned at gate shape:
+    while the stream drains a single-attribute sliver into the
+    multi-attribute store, every UNSTREAMED attribute partition's
+    files survive byte-identical (name+mtime+size) — the merge epochs,
+    running on the stream's cloned session, rewrite exactly the
+    touched partition."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.plans.eav import (
+        _drop_stale_table,
+        _table_location,
+        materialize_datoms_bucketed,
+        read_datoms_bucketed,
+        table_datoms,
+    )
+    from mbrainz_importer_spark.streaming.tx_ingest import start_datom_ingest
+    from mbrainz_importer_spark.tables import load
+
+    t = "datoms_sliver_probe"
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    all_d = table_datoms(orders, "orders", "o_orderkey")
+    key = F.split(F.col("e"), ":").getItem(1).cast("long")
+    held = (F.col("a") == ":orders/o_totalprice") & (key % 10 == 0)
+    _drop_stale_table(spark, t)
+    materialize_datoms_bucketed(all_d.where(~held), t, 4)
+    loc = _table_location(spark, t).replace("file:", "")
+
+    def state(part):
+        d = os.path.join(loc, part)
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)),
+             os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    parts = sorted(n for n in os.listdir(loc) if n.startswith("a="))
+    untouched = [p for p in parts if "o_totalprice" not in p]
+    assert len(untouched) == len(parts) - 1 and len(parts) >= 5
+    before = {p: state(p) for p in untouched}
+
+    inc = all_d.where(held).select(
+        "e", "a", "v", "v_num",
+        F.lit(1).cast("long").alias("tx"), F.lit(True).alias("added"),
+    )
+    src = tempfile.mkdtemp(prefix="sliver-probe-")
+    inc.coalesce(1).write.parquet(os.path.join(src, "d0"))
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*/")
+    )
+    sq = start_datom_ingest(stream, t, tempfile.mkdtemp(prefix="sliver-ck-"))
+    assert sq.awaitTermination(120)
+    spark.catalog.refreshTable(t)
+    for p in untouched:
+        assert state(p) == before[p], f"unstreamed partition rewritten: {p}"
+    # and the drained store is complete: every order has its price back
+    n = read_datoms_bucketed(spark, t).where(
+        F.col("a") == ":orders/o_totalprice"
+    ).count()
+    assert n == orders.count()
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
