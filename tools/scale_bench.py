@@ -225,6 +225,52 @@ def _size_shuffle_partitions(sf_dir: str) -> None:
         )
 
 
+def _clean_warehouse(mode: str, sf_dir: str) -> list[str]:
+    """Measurement isolation (r11 verdict #4): the sf100 fact-scale rows
+    read 48-138s single samples after a day of tier churn — stale
+    measured stores from OTHER tiers eat the disk the current tier's
+    merges spill into (the r11 ladder ran out of disk twice).
+    'other-tiers' removes warehouse tables tagged with a different
+    sf/corpus tag than this run's; 'tier' removes THIS tier's tables
+    (forcing rebuilds, charged to the build run). Must run before the
+    session starts — the in-memory catalog is re-adopted from disk."""
+    import re
+    import shutil
+
+    removed: list[str] = []
+    wh = "spark-warehouse"
+    if mode == "none" or not os.path.isdir(wh):
+        return removed
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    for name in sorted(os.listdir(wh)):
+        p = os.path.join(wh, name)
+        if not os.path.isdir(p):
+            continue
+        tagged = re.search(r"_sf[0-9][0-9_]*[a-z]*$", name) is not None
+        same = name.endswith(f"_{tag}")
+        if (mode == "other-tiers" and tagged and not same) or (
+            mode == "tier" and same
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
+def _drop_page_cache() -> bool:
+    """Drop the OS page cache so every isolated sample starts from the
+    same (cold) I/O state — the other half of the 48-138s band: a
+    partially cached 8 GB fact scan is fast or slow depending on what
+    the previous query evicted. Root-only; returns False (and the run
+    proceeds warm) where not permitted."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -235,15 +281,42 @@ def main() -> None:
         "--profile", default="default", choices=sorted(PROFILES),
         help="session memory/partition profile; set before the JVM starts",
     )
+    ap.add_argument(
+        "--clean", default="none", choices=["none", "other-tiers", "tier"],
+        help="pre-run warehouse cleanup (isolation protocol, r11 #4)",
+    )
+    ap.add_argument(
+        "--cold", action="store_true",
+        help="drop the OS page cache before every sample (root only); "
+        "isolates fact-scale scans from the previous query's cache state",
+    )
+    ap.add_argument(
+        "--ab", default="",
+        help="two comma-separated query names to INTERLEAVE (A,B,A,B,...) "
+        "for --runs rounds in one session — the controlled-comparison "
+        "protocol from PLAN_NOTES_r11 §3, promoted into the tool",
+    )
     args = ap.parse_args()
     for k, v in PROFILES[args.profile].items():
         os.environ.setdefault(k, v)
     _size_shuffle_partitions(args.sf_dir)
+    cleaned = _clean_warehouse(args.clean, args.sf_dir)
+    if cleaned:
+        print(f"# cleaned {len(cleaned)} warehouse tables: "
+              f"{', '.join(cleaned[:8])}{'...' if len(cleaned) > 8 else ''}",
+              file=sys.stderr)
 
+    raw_sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    corpus = raw_sf.lstrip("0123456789._")  # 'u' / 'g' corpus variants
     try:
-        sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        sf = float(raw_sf[: len(raw_sf) - len(corpus)] or "-1")
     except ValueError:
         sf = -1.0
+    # tier skips describe the key-shifted REPLICATED corpus; the unique
+    # (u) and degree-controlled graph (g) corpora exist precisely to
+    # lift them, so skips do not apply there
+    if corpus:
+        os.environ.setdefault("SPARK_GRAFT_CORPUS", corpus)
 
     from mbrainz_importer_spark.queries import all_queries
     from mbrainz_importer_spark.session import get_spark
@@ -259,29 +332,68 @@ def main() -> None:
     skipped = {}
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
 
+    def sample_once(name: str) -> tuple[float, int, bool | None]:
+        if args.cold:
+            _drop_page_cache()
+        t0 = time.perf_counter()
+        df = queries[name](spark, args.sf_dir)
+        with shape_trust(df) as pick:
+            rows = df.count()
+        return round(time.perf_counter() - t0, 4), rows, pick
+
+    if args.ab:
+        a, b = (s.strip() for s in args.ab.split(","))
+        rec: dict = {a: [], b: []}
+        rows_of: dict = {}
+        for rnd in range(max(2, args.runs)):
+            for name in (a, b):
+                s, rows, _ = sample_once(name)
+                rec[name].append(s)
+                rows_of[name] = rows
+                print(f"# round {rnd} {name}: {s:.2f}s rows={rows}",
+                      file=sys.stderr)
+        doc = {
+            "metric": "ab_interleaved_wall_seconds",
+            "sf": sf, "corpus": corpus, "rounds": max(2, args.runs),
+            "cold": args.cold,
+            "profile": args.profile,
+            "queries": {
+                n: {
+                    "samples": rec[n],
+                    "steady_seconds": _median(rec[n][1:]),
+                    "spread_pct": _spread_pct(rec[n][1:]),
+                    "rows": rows_of[n],
+                } for n in (a, b)
+            },
+        }
+        line = json.dumps(doc)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(doc, f, indent=1)
+        print(line)
+        return
+
     out: dict = {}
     for name in names:
         gate = TIER_SKIP.get(name)
-        if gate and sf >= gate[0]:
+        if gate and sf >= gate[0] and not corpus:
             skipped[name] = gate[1]
             print(f"# {name}: SKIPPED at sf{sf}: {gate[1]}", file=sys.stderr)
             continue
         samples, rows = [], -1
         picks = []
         for _ in range(max(1, args.runs)):
-            t0 = time.perf_counter()
-            df = queries[name](spark, args.sf_dir)
             # automatic plan selection for bucketed merges (the shape
             # rule measured in PLAN_NOTES_r09.md §14/§25); the pre-check
             # is charged to the run — it is part of the served path
-            with shape_trust(df) as pick:
-                picks.append(pick)
-                rows = df.count()
-            samples.append(round(time.perf_counter() - t0, 4))
-        rest = sorted(samples[1:]) or samples
+            s, rows, pick = sample_once(name)
+            picks.append(pick)
+            samples.append(s)
+        rest = samples[1:] or samples
         entry = {
             "build_run_seconds": samples[0],
-            "steady_seconds": rest[len(rest) // 2],
+            "steady_seconds": _median(rest),
+            "spread_pct": _spread_pct(rest),
             "samples": samples,
             "rows": rows,
         }
@@ -305,9 +417,26 @@ def main() -> None:
     print(line)
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2] if s else 0.0
+
+
+def _spread_pct(xs: list[float]) -> float:
+    """(max-min)/median of the steady samples, in percent — the
+    auditability number the r11 verdict asked for (q5-family sf100
+    cells must carry a <=15% spread over 5 runs)."""
+    if len(xs) < 2:
+        return 0.0
+    med = _median(xs)
+    return round(100.0 * (max(xs) - min(xs)) / med, 1) if med else 0.0
+
+
 def _doc(args, sf, skipped, out, partial: bool = False) -> dict:
     doc = {
         "metric": "scale_tier_query_wall_seconds",
+        "corpus": os.environ.get("SPARK_GRAFT_CORPUS", ""),
+        "cold": getattr(args, "cold", False),
         "value": round(sum(e["steady_seconds"] for e in out.values()), 4),
         "unit": "sec",
         "sf": sf,
