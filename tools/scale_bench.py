@@ -138,8 +138,9 @@ TIER_SKIP = {
         "fact-scale store (O(touched partitions) = O(store) at this "
         "schema) and the gate rebuilds the store per run for "
         "hash-stability — gate-fixture shape, not plan; sf10 measures "
-        "the full stream/merge/compact cycle. Production increments "
-        "touch a sliver of the attribute partitions",
+        "the full stream/merge/compact cycle. The production shape is "
+        "measured by stream_datom_ingest_sliver (r12): increments "
+        "touch 1 of 6 attribute partitions",
     ),
     "sim_ivf_sq8_exact": (
         100.0,
@@ -152,26 +153,33 @@ TIER_SKIP = {
         "key-shifted replication reuses the part vocabulary, so 100x "
         "orders DENSIFY the co-purchase graph (mean degree ~x100): "
         "triangle/intersection mass grows superquadratically — "
-        "workload shape, not plan; sf10 measures the operator",
+        "workload shape, not plan. The full-decade datapoint lives on "
+        "the degree-controlled graph corpus instead "
+        "(tools/make_graph_corpus.py, .bench_data/sf100g: disjoint "
+        "per-copy key domains, linear edge growth at constant degree)",
     ),
     "graph_triangle_bucketed": (
         100.0,
         "same densified-workload bound as graph_triangle_count (the "
-        "layout changes the derivation's plan, not the wedge mass)",
+        "layout changes the derivation's plan, not the wedge mass); "
+        "measured at .bench_data/sf100g",
     ),
     "skew_salted_join": (
         100.0,
         "the hash-certification face materializes the full salted pair "
         "stream through a sort spill (>30 GB at sf100 — exhausted this "
         "box's free disk mid-run); bounded by local spill space, not "
-        "plan. sf10 measures the operator; the session default for "
+        "plan. Measured under the r12 isolation protocol (--clean "
+        "other-tiers) on .bench_data/sf100g; the session default for "
         "production skew is AQE skew-join",
     ),
     "er_resolved_clusters": (
         100.0,
         "replication duplicates every person 100x, so linkage blocks "
         "grow 100x and within-block pair mass ~10^4x — result size, "
-        "not plan; sf10 measures the workload",
+        "not plan. The full-decade datapoint lives on the "
+        "degree-controlled corpus (.bench_data/sf100g: per-copy salted "
+        "blocking tokens keep blocks fixture-sized, block count linear)",
     ),
 }
 
