@@ -39,8 +39,22 @@ stays one lazy plan.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The static edge prefix of every iterative operator checkpoints
+# DISK_ONLY (r12, found by the degree-controlled sf10g tier): the
+# default MEMORY_AND_DISK blocks both PIN the unified pool's storage
+# fraction (starving the per-round aggregations — the same
+# AGGREGATE_OOM shape r11 fixed in the LSH shingle feed) and are
+# evictable, which is fatal after a lineage cut ("Block rdd_N does not
+# exist" cascades killed the plain-LPA sf10g run live). DISK_ONLY
+# blocks are never evicted by memory pressure, leave execution the
+# whole pool, and re-read at page-cache speed on a warm box. The small
+# per-round frames (labels / frontiers / distances — O(|V|) rows) keep
+# the default level.
+_EDGE_LEVEL = StorageLevel.DISK_ONLY
 
 PR_SCALE = 1_000_000_000_000
 
@@ -109,9 +123,12 @@ def _pagerank_statics(e: DataFrame):
     outd = e.groupBy(F.col("s").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("od")
     )
-    e = e.persist()
-    outd = outd.persist()
-    nodes = nodes.persist()
+    # DISK_ONLY for the same reason as _EDGE_LEVEL: the edge prefix is
+    # fact-scale on the degree-controlled corpora and a MEMORY_AND_DISK
+    # pin starves the per-round contribution aggregations
+    e = e.persist(_EDGE_LEVEL)
+    outd = outd.persist(_EDGE_LEVEL)
+    nodes = nodes.persist(_EDGE_LEVEL)
     n_nodes = nodes.count()
     e.count()
     outd.count()
@@ -351,7 +368,7 @@ def bfs_hops(
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_EDGE_LEVEL)
     seed_col = sources.columns[0]
     visited = (
         sources.select(F.col(seed_col).cast("bigint").alias("node"))
@@ -404,7 +421,7 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_EDGE_LEVEL)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
@@ -461,7 +478,7 @@ def sssp_bounded(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
         F.col(weight_col).cast("bigint").alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_EDGE_LEVEL)
     seed_col = sources.columns[0]
     dist = (
         sources.select(F.col(seed_col).cast("bigint").alias("node"))
