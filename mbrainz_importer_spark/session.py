@@ -54,6 +54,32 @@ def get_spark(
                 or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
             ),
         )
+        # decouple SHUFFLE mass from the static partition count: every
+        # shuffle STARTS at initialPartitionNum and AQE coalesces down
+        # to ~advisory-sized partitions, so an aggregation whose input
+        # is far larger than the corpus-bytes heuristic predicted (the
+        # degree-controlled graph corpora: 117M derived edge rows over
+        # a 1.1 GB corpus — plain LPA OOMed an 8g heap at a static 32)
+        # still gets memory-sized tasks, while small shuffles fold back
+        # to few partitions at runtime. This is the cluster posture: a
+        # 1000-executor deployment never starts a shuffle at 32. The
+        # static spark.sql.shuffle.partitions stays the non-AQE floor.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                str(
+                    max(
+                        256,
+                        int(
+                            os.environ.get(
+                                "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus
+                            )
+                        ),
+                    )
+                ),
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # AQE's RUNTIME broadcast switch sees post-shuffle COMPRESSED
         # sizes; narrow-row frames (candidate pairs: two longs) expand

@@ -42,6 +42,8 @@ SCALE_QUERIES = [
     "batch_numbering",
     "window_topk_per_group",
     "window_topk_per_group_agg",
+    "window_topk_per_group_bucketed",
+    "stream_datom_ingest_sliver",
     "embedding_covariance_q8",
     "embedding_pca_project",
     "dedup_exact",
