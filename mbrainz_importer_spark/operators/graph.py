@@ -282,8 +282,11 @@ def triangle_count(
         )
     # the caller's edge derivation is often a self-join + distinct —
     # cache it so the degree pass and the orientation join don't each
-    # recompute the upstream plan
-    e = e.persist()
+    # recompute the upstream plan. DISK_ONLY, same reason as
+    # _EDGE_LEVEL: both cached frames here are |E|-sized, and pinning
+    # them in the memory store starved the intersection joins into a
+    # heap OOM at the honest sf10g edge mass (found by tier r12)
+    e = e.persist(_EDGE_LEVEL)
     e.count()
     deg = (
         e.select(F.col("s").alias("v"))
@@ -303,7 +306,7 @@ def triangle_count(
     oriented = et.select(
         F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("u"),
         F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("w"),
-    ).persist()
+    ).persist(_EDGE_LEVEL)
     oriented.count()
     e.unpersist()
     try:
@@ -428,9 +431,21 @@ def label_propagation(
         .distinct()
     )
     labels = nodes.withColumn("label", F.col("node"))
+    # label frames are LogicalRDDs after the per-round checkpoint, so
+    # Catalyst has no stats and plans SMJ — which re-shuffles AND
+    # re-sorts the FULL edge prefix every round (at the honest sf10g
+    # edge mass that join is what pushed an 8g heap over, found by
+    # tier r12). Below the cap, broadcast the |V|-sized label frame
+    # explicitly: the per-round cost becomes one streamed pass over
+    # the DISK_ONLY edge prefix + the partial aggregation — no
+    # edge-side shuffle at any scale. Past the cap (where a label hash
+    # relation would not fit executor heaps) the SMJ path stands.
+    n_nodes = nodes.count()
+    bcast_labels = n_nodes <= 8_000_000  # ~16B/row -> <=128MB relation
     for _ in range(iters):
+        lab = F.broadcast(labels) if bcast_labels else labels
         counted = (
-            e.join(labels, e["s"] == labels["node"])
+            e.join(lab, e["s"] == lab["node"])
             .groupBy(F.col("t").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -349,7 +349,16 @@ def main() -> None:
         df = queries[name](spark, args.sf_dir)
         with shape_trust(df) as pick:
             rows = df.count()
-        return round(time.perf_counter() - t0, 4), rows, pick
+        dt = round(time.perf_counter() - t0, 4)
+        # localCheckpoint blocks (DISK_ONLY at fact scale since r12)
+        # are freed by the ContextCleaner only when the JVM GCs the
+        # dead RDD — on a mostly-idle heap that lags by many samples,
+        # and 6 runs x 2.5 GB of dead edge prefixes filled the disk
+        # live (SPILL_OUT_OF_MEMORY: No space left on device). A GC
+        # nudge after each sample keeps dead blocks bounded; it runs
+        # OUTSIDE the timed window.
+        spark.sparkContext._jvm.System.gc()
+        return dt, rows, pick
 
     if args.ab:
         a, b = (s.strip() for s in args.ab.split(","))
