@@ -39,6 +39,8 @@ stays one lazy plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -307,28 +309,65 @@ def triangle_count(
         F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("u"),
         F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("w"),
     ).persist(_EDGE_LEVEL)
-    oriented.count()
+    n_edges = oriented.count()
     e.unpersist()
     try:
         # out-neighbor lists: dedup-free by construction (edges are
         # distinct and orientation is injective), size-capped by the
         # orientation's sqrt(2|E|) out-degree bound
-        adj = oriented.groupBy("u").agg(F.collect_list("w").alias("nbrs"))
+        adj = oriented.groupBy("u").agg(
+            F.collect_list("w").alias("nbrs")
+        ).persist(_EDGE_LEVEL)
+        n_src = adj.count()
+        # Bounded-spill batching (r12, found by the degree-controlled
+        # sf10g tier): the second intersection join sorts rows that
+        # already CARRY the first adjacency array — at the honest
+        # 120M-edge mass that sort spills ~|E| x avg_deg x 16B
+        # (~100+ GB raw; it filled this box's disk live, and a
+        # per-node disk budget is the reality on any cluster). The
+        # edges therefore process in K hash-of-w batches, each joined
+        # against the persisted adjacency: identical count (hash
+        # partitioning is exhaustive and disjoint), spill bounded by
+        # est/K, and K=1 keeps the original single-pass plan at small
+        # mass. Batch partials are scalar counts — the driver loop
+        # accumulates longs, never rows.
+        avg_deg = n_edges / max(n_src, 1)
+        est_bytes = int(n_edges * avg_deg * 16 * 2)
+        budget = int(os.environ.get(
+            "SPARK_GRAFT_TRIANGLE_SPILL_BUDGET", str(8 << 30)
+        ))
+        k_batches = min(64, max(1, -(-est_bytes // budget)))
         au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
         aw = adj.select(F.col("u").alias("jw"), F.col("nbrs").alias("nw"))
-        # a w with no out-list contributes 0 — the inner join dropping
-        # the row IS the zero
-        j = (
-            oriented.join(au, oriented["u"] == au["ju"])
-            .join(aw, oriented["w"] == aw["jw"])
-        )
-        n = (
-            j.select(F.size(F.array_intersect("nu", "nw")).alias("k"))
-            .agg(F.sum("k").cast("long").alias("n"))
-            .collect()[0]["n"]
-        )
+        total = 0
+        seen_any = False
+        for i in range(k_batches):
+            o_i = (
+                oriented.where(F.pmod(F.hash("w"), F.lit(k_batches)) == i)
+                if k_batches > 1 else oriented
+            )
+            aw_i = (
+                aw.where(F.pmod(F.hash("jw"), F.lit(k_batches)) == i)
+                if k_batches > 1 else aw
+            )
+            # a w with no out-list contributes 0 — the inner join
+            # dropping the row IS the zero
+            j = (
+                o_i.join(au, o_i["u"] == au["ju"])
+                .join(aw_i, o_i["w"] == aw_i["jw"])
+            )
+            n_i = (
+                j.select(F.size(F.array_intersect("nu", "nw")).alias("k"))
+                .agg(F.sum("k").cast("long").alias("n"))
+                .collect()[0]["n"]
+            )
+            if n_i is not None:
+                total += int(n_i)
+                seen_any = True
+        n = total if seen_any else None
     finally:
         oriented.unpersist()
+        adj.unpersist()
     spark = edges.sparkSession
     # SUM over an empty join (every sink vertex list-less) is NULL = 0
     return spark.createDataFrame(

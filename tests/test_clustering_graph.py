@@ -374,3 +374,29 @@ def test_sssp_bounded_min_plus_beats_first_reach(spark):
     assert d2 == {(1, 0), (2, 3), (3, 1), (4, 1), (5, 2)}  # 6 needs 3 hops
     d1 = {(r.node, r.dist) for r in sssp_bounded(edges, seeds, rounds=1).collect()}
     assert d1 == {(1, 0), (2, 10), (3, 1), (4, 1)}  # direct edge only
+
+
+def test_triangle_batched_passes_equal_single_pass(spark, monkeypatch):
+    """The bounded-spill batching (K hash-of-w passes against the
+    persisted adjacency) must count exactly the single-pass edge
+    iterator — hash partitioning is exhaustive and disjoint, so this
+    pins the partition predicate (the thing a wrong pmod/sign would
+    break silently). Forced K>1 via a 1-byte spill budget."""
+    from pyspark.sql import functions as F
+
+    from mbrainz_importer_spark.operators.graph import triangle_count
+    from mbrainz_importer_spark.tables import load
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    single = triangle_count(edges).collect()[0]["n_triangles"]
+    monkeypatch.setenv("SPARK_GRAFT_TRIANGLE_SPILL_BUDGET", "1")
+    batched = triangle_count(edges).collect()[0]["n_triangles"]
+    assert batched == single and single > 0
