@@ -107,6 +107,13 @@ def get_spark(
         # sort of data that is already in order on disk)
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # local mode defaults spark.task.maxFailures to 1 — a single
+        # transient task OOM (32 threads sharing an 8g heap at the
+        # fact-scale tiers) kills the whole job, where every real
+        # cluster retries (default 4). Match the production posture:
+        # a retried task re-runs against freed memory and succeeds
+        # (observed live on the sf10g triangle derivation, r12).
+        .config("spark.task.maxFailures", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
