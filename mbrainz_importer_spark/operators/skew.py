@@ -65,8 +65,19 @@ def salted_join(
             "(right/full would need the salt on the other side's nulls)"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    # MERGE hint: salting exists to control the SHUFFLE partitioning,
+    # so the join must actually shuffle — Catalyst size-estimating the
+    # replicated side under the broadcast threshold both defeats the
+    # salt (broadcast has no skew problem to solve) and hands the
+    # driver an n_salts-times-replicated fact build (killed the sf10g
+    # run live: "Not enough memory to build and broadcast", r12). An
+    # explicit F.broadcast by the caller still outranks the hint.
     return (
         with_salt(skewed, n_salts)
-        .join(replicate_for_salt(other, n_salts), keys + [SALT_COL], how)
+        .join(
+            replicate_for_salt(other, n_salts).hint("merge"),
+            keys + [SALT_COL],
+            how,
+        )
         .drop(SALT_COL)
     )
