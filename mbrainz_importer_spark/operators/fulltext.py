@@ -71,11 +71,18 @@ def write_fulltext_index_bucketed(
     fan out files into every bucket (tasks x buckets fragments) and the
     sortBy metadata is never trusted on read."""
     from ..plans.eav import _drop_stale_table
-    from ..sources.bucketed import table_location, write_bucket_spec
+    from ..sources.bucketed import (
+        table_location,
+        write_bucket_spec,
+        writer_partitions,
+    )
 
     _drop_stale_table(index.sparkSession, table)
     (
-        index.repartition(F.pmod(F.hash("term"), F.lit(n_buckets)))
+        index.repartition(
+            writer_partitions(index.sparkSession, n_buckets),
+            F.pmod(F.hash("term"), F.lit(n_buckets)),
+        )
         .write.mode("overwrite")
         .bucketBy(n_buckets, "term")
         .sortBy("term")

@@ -674,6 +674,8 @@ def merge_datoms_increment_bucketed(
     import shutil
     from urllib.parse import unquote
 
+    from ..sources.bucketed import writer_partitions
+
     touched = sorted(r.a for r in ops.select("a").distinct().collect())
     if not touched:
         return
@@ -698,7 +700,10 @@ def merge_datoms_increment_bucketed(
         )
         merged = current_datoms(existing, ops, card_many)
         (
-            merged.repartition(F.col("a"), F.pmod(F.hash("e"), F.lit(nb)))
+            merged.repartition(
+                writer_partitions(spark, nb),
+                F.col("a"), F.pmod(F.hash("e"), F.lit(nb)),
+            )
             .select("e", "a", "v", "v_num")
             .write.mode("overwrite")
             .partitionBy("a")
@@ -743,7 +748,10 @@ def merge_datoms_increment_bucketed(
         # the bucket sort (no Sort under downstream merge joins)
         cols = spark.table(table).columns
         (
-            merged.repartition(F.col("a"), F.pmod(F.hash("e"), F.lit(nb)))
+            merged.repartition(
+                writer_partitions(spark, nb),
+                F.col("a"), F.pmod(F.hash("e"), F.lit(nb)),
+            )
             .select(*cols)
             .write.insertInto(table, overwrite=True)
         )
@@ -863,6 +871,8 @@ def compact_store(spark, table: str, n_buckets: int | None = None) -> None:
     new catalog spec, which a file swap cannot express."""
     import shutil
 
+    from ..sources.bucketed import writer_partitions
+
     loc = _table_location(spark, table)
     cur = _table_buckets(spark, table)
     if n_buckets is None or n_buckets == cur:
@@ -873,7 +883,10 @@ def compact_store(spark, table: str, n_buckets: int | None = None) -> None:
         _drop_stale_table(spark, stage_table)
         snapshot = spark.table(table).select("e", "a", "v", "v_num")
         (
-            snapshot.repartition(F.col("a"), F.pmod(F.hash("e"), F.lit(cur)))
+            snapshot.repartition(
+                writer_partitions(spark, cur),
+                F.col("a"), F.pmod(F.hash("e"), F.lit(cur)),
+            )
             .write.mode("overwrite")
             .partitionBy("a")
             .bucketBy(cur, "e")

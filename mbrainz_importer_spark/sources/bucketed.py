@@ -193,6 +193,20 @@ def ensure_bucketed_table(spark: SparkSession, table: str) -> bool:
     return spark.catalog.tableExists(table) or adopt_bucketed_table(spark, table)
 
 
+def writer_partitions(spark: SparkSession, n_buckets: int) -> int:
+    """Explicit shuffle-partition count for every bucketed writer: an
+    expression-only repartition is AQE-ADJUSTABLE (initialPartitionNum /
+    coalescing re-size it at runtime), and a runtime re-size changes how
+    many bucket sorts each writer task holds — the sf100 merge's staged
+    write heap-OOM'd live when the r12 initialPartitionNum default
+    landed (pinned by an init=32 A/B). max(static, n_buckets) keeps the
+    fan-out deterministic and, at large layouts, at most ~one bucket's
+    sort per task."""
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), n_buckets
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -217,7 +231,10 @@ def write_bucketed(
     sort_cols = sort_cols or [bucket_key]
     _drop_stale_table(df.sparkSession, table)
     (
-        df.repartition(F.pmod(F.hash(bucket_key), F.lit(n_buckets)))
+        df.repartition(
+            writer_partitions(df.sparkSession, n_buckets),
+            F.pmod(F.hash(bucket_key), F.lit(n_buckets)),
+        )
         .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_key)
         .sortBy(sort_cols)
@@ -290,7 +307,10 @@ def append_bucketed(df: DataFrame, table: str) -> None:
     key, nb = spec["bucket_key"], spec["n_buckets"]
     cols = spark.table(table).columns
     (
-        df.repartition(F.pmod(F.hash(key), F.lit(nb)))
+        df.repartition(
+            writer_partitions(df.sparkSession, nb),
+            F.pmod(F.hash(key), F.lit(nb)),
+        )
         .select(*cols)
         .write.insertInto(table, overwrite=False)
     )
@@ -384,7 +404,10 @@ def append_bucketed_once(df: DataFrame, table: str, batch_id: str) -> bool:
     key, nb = spec["bucket_key"], spec["n_buckets"]
     cols = spark.table(table).columns
     (
-        df.repartition(F.pmod(F.hash(key), F.lit(nb)))
+        df.repartition(
+            writer_partitions(df.sparkSession, nb),
+            F.pmod(F.hash(key), F.lit(nb)),
+        )
         .select(*cols)
         .write.bucketBy(nb, key)
         .sortBy(spec["sort_key"])
@@ -556,7 +579,10 @@ def compact_bucketed(
     (
         spark.read.schema(spark.table(table).schema)
         .parquet(*paths)
-        .repartition(F.pmod(F.hash(key), F.lit(nb)))
+        .repartition(
+            writer_partitions(spark, nb),
+            F.pmod(F.hash(key), F.lit(nb)),
+        )
         .select(*cols)
         .write.bucketBy(nb, key)
         .sortBy(spec["sort_key"])
