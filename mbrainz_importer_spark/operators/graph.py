@@ -311,6 +311,7 @@ def triangle_count(
     ).persist(_EDGE_LEVEL)
     n_edges = oriented.count()
     e.unpersist()
+    adj = None
     try:
         # out-neighbor lists: dedup-free by construction (edges are
         # distinct and orientation is injective), size-capped by the
@@ -367,7 +368,11 @@ def triangle_count(
         n = total if seen_any else None
     finally:
         oriented.unpersist()
-        adj.unpersist()
+        # adj is bound inside the try: a failure in the groupBy
+        # construction itself must not turn into a NameError here
+        # masking the original exception
+        if adj is not None:
+            adj.unpersist()
     spark = edges.sparkSession
     # SUM over an empty join (every sink vertex list-less) is NULL = 0
     return spark.createDataFrame(
@@ -480,7 +485,19 @@ def label_propagation(
     # edge-side shuffle at any scale. Past the cap (where a label hash
     # relation would not fit executor heaps) the SMJ path stands.
     n_nodes = nodes.count()
-    bcast_labels = n_nodes <= 8_000_000  # ~16B/row -> <=128MB relation
+    # cap derived from the configured heap, not a flat row count: a
+    # broadcast LongHashedRelation of two bigints costs ~128B/row once
+    # UnsafeRow + map overhead are in (4-8x the naive 16B/row), and a
+    # fresh relation is built every round — at 1/16th of heap per
+    # relation even a few rounds of not-yet-GC'd predecessors stay well
+    # inside the pool on ANY profile, not just the 8g local posture
+    # (the previous 8M-row cap assumed 16B/row and could hand a ~1GB
+    # relation to a 2g executor). Old rounds' relations become
+    # unreachable after each round's checkpoint and are reclaimed by
+    # the ContextCleaner on driver GC.
+    from ..sources.bucketed import _heap_bytes
+
+    bcast_labels = n_nodes <= _heap_bytes() // (16 * 128)
     for _ in range(iters):
         lab = F.broadcast(labels) if bcast_labels else labels
         counted = (

@@ -693,25 +693,49 @@ def merge_datoms_increment_bucketed(
         if resume_merge_swap(loc, stale_stage):
             _sync_partition_registrations(spark, table, stale_manifest)
         _drop_stale_table(spark, stage_table)
-        existing = (
-            spark.table(table)
-            .where(F.col("a").isin(touched))
-            .select("e", "a", "v", "v_num")
-        )
-        merged = current_datoms(existing, ops, card_many)
-        (
-            merged.repartition(
-                writer_partitions(spark, nb),
-                F.col("a"), F.pmod(F.hash("e"), F.lit(nb)),
+        # Stage PER ATTRIBUTE PARTITION (r12 verdict #3): one staged
+        # write job per touched attribute instead of one job over all
+        # of them. The all-attributes job sorted the union of every
+        # touched partition in a single stage — at sf100 that is one
+        # ~18 GB sort that sits exactly ON an 8g heap's margin (r12
+        # measured it OOMing in two different places across attempts
+        # once the stage shape was perturbed; PLAN_NOTES_r12.md §7).
+        # Per-attribute jobs cut the peak staged mass to the LARGEST
+        # partition (~6 GB on the 3-fact-attribute store), so the merge
+        # clears the margin under any partitioning default. Cost: the
+        # increment (`ops`) is re-scanned once per touched attribute —
+        # O(touched) scans of the small side, bought for an O(1/touched)
+        # peak on the big side. The existing-store scan stays pruned to
+        # exactly one attribute partition per job (a is the partition
+        # column, the a==attr filter prunes at the file index). Replay
+        # semantics are unchanged: current_datoms is keyed on (e, a),
+        # so restricting both inputs to one attribute is a partition of
+        # the identical computation. Crash contract unchanged: the swap
+        # still happens only after ALL attributes are staged; a
+        # mid-stage death leaves the store untouched and the partial
+        # stage table is dropped on the next merge's entry.
+        for i, attr in enumerate(touched):
+            existing_a = (
+                spark.table(table)
+                .where(F.col("a") == attr)
+                .select("e", "a", "v", "v_num")
             )
-            .select("e", "a", "v", "v_num")
-            .write.mode("overwrite")
-            .partitionBy("a")
-            .bucketBy(nb, "e")
-            .sortBy("e")
-            .format("parquet")
-            .saveAsTable(stage_table)
-        )
+            merged_a = current_datoms(
+                existing_a, ops.where(F.col("a") == attr), card_many
+            )
+            (
+                merged_a.repartition(
+                    writer_partitions(spark, nb),
+                    F.pmod(F.hash("e"), F.lit(nb)),
+                )
+                .select("e", "a", "v", "v_num")
+                .write.mode("overwrite" if i == 0 else "append")
+                .partitionBy("a")
+                .bucketBy(nb, "e")
+                .sortBy("e")
+                .format("parquet")
+                .saveAsTable(stage_table)
+            )
         stage_loc = _table_location(spark, stage_table)
         staged_attrs = sorted(_staged_partition_dirs(stage_loc))
         _swap_staged_partitions(stage_loc, loc, touched)

@@ -607,8 +607,10 @@ def window_topk_per_group_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     the same group key (build/steady split as for all bucketed faces)."""
     from ..plans.eav import _table_buckets
     from ..sources.bucketed import (
+        _spec_sort_cols,
         adaptive_buckets,
         ensure_bucketed_table,
+        read_bucket_spec,
         write_bucketed,
     )
 
@@ -616,10 +618,17 @@ def window_topk_per_group_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     t = f"b_orders_topk_{tag}"
     nb = adaptive_buckets(os.path.join(sf_dir, "orders.parquet"))
     cols = ("o_custkey", "neg_price", "o_orderkey", "o_totalprice")
+    sort_spec = ["o_custkey", "neg_price", "o_orderkey"]
+    # the freshness predicate must include the SORT spec, not just
+    # columns and bucket count: with bucket-sort trust ON the WindowExec
+    # consumes the scan with no Sort below it, so a stale layout whose
+    # in-bucket order differs from the window's order spec would return
+    # silently WRONG top-k rows rather than merely slow ones
     fresh = (
         ensure_bucketed_table(spark, t)
         and set(cols) <= set(spark.table(t).columns)
         and _table_buckets(spark, t) == nb
+        and _spec_sort_cols(read_bucket_spec(spark, t)) == sort_spec
     )
     if not fresh:
         write_bucketed(
@@ -630,7 +639,7 @@ def window_topk_per_group_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
                 "o_totalprice",
             ),
             t, "o_custkey", nb,
-            sort_cols=["o_custkey", "neg_price", "o_orderkey"],
+            sort_cols=sort_spec,
         )
     w = Window.partitionBy("o_custkey").orderBy(
         F.asc("neg_price"), F.asc("o_orderkey")

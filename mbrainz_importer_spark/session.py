@@ -18,6 +18,49 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _corpus_fact_bytes() -> int:
+    """On-disk bytes of the session corpus's fact tables (lineitem +
+    orders parquet under $SPARK_GRAFT_SF_DIR) — the same signal
+    tools/scale_bench.py sizes spark.sql.shuffle.partitions from, read
+    here so the AQE floor can be tier-aware (see get_spark). Zero when
+    the dir is absent (pure in-memory/test sessions)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total = 0
+    for name in ("lineitem.parquet", "orders.parquet"):
+        p = os.path.join(sf_dir, name)
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def _initial_partition_floor(static_partitions: int) -> int:
+    """Tier-aware AQE initialPartitionNum (r12 verdict #4): the flat 256
+    floor was the right posture for the honest-degree graph corpora
+    (derived edge mass ~10x corpus bytes — plain LPA OOMed an 8g heap
+    when shuffles STARTED at 32) but taxed every multi-shuffle sf0.1
+    query with 256-task launch overhead per exchange (dedup_lsh_verified
+    1.38x, pagerank_topk 1.19x, store scans ~1.15x — the r12 regression
+    cluster). Size the floor from corpus bytes instead, with a 16x
+    headroom factor for derived mass (the g-corpus ratio, rounded up),
+    capped at the old 256: small corpora get a small floor (sf0.1 ->
+    the static count, regressions reclaimed), the g-corpora land back
+    on exactly 256 (sf10g: ~0.8 GB facts * 16 / 64 MB ~= 200 -> 256,
+    LPA stays green), and fact-scale tiers keep max(static, 256) —
+    bit-identical to the r12 behavior at sf10g/sf100 by construction.
+    SPARK_GRAFT_INITIAL_PARTITIONS still overrides everything."""
+    import math
+
+    need = _corpus_fact_bytes() * 16 // (64 << 20)
+    sized = 2 ** math.ceil(math.log2(need)) if need > 1 else 1
+    return max(static_partitions, min(256, sized))
+
+
 def get_spark(
     app_name: str = "mbrainz_importer_spark",
     shuffle_partitions: int | None = None,
@@ -35,6 +78,9 @@ def get_spark(
         we hold them on every executor).
     """
     cpus = default_parallelism()
+    static_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -47,13 +93,7 @@ def get_spark(
         # memory-sized at larger tiers — the knob a cluster deployment
         # turns with data volume (brief: "size spark.sql.shuffle.partitions
         # so partitions fit in executor memory at the target SF")
-        .config(
-            "spark.sql.shuffle.partitions",
-            str(
-                shuffle_partitions
-                or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
-            ),
-        )
+        .config("spark.sql.shuffle.partitions", str(static_partitions))
         # decouple SHUFFLE mass from the static partition count: every
         # shuffle STARTS at initialPartitionNum and AQE coalesces down
         # to ~advisory-sized partitions, so an aggregation whose input
@@ -64,20 +104,15 @@ def get_spark(
         # to few partitions at runtime. This is the cluster posture: a
         # 1000-executor deployment never starts a shuffle at 32. The
         # static spark.sql.shuffle.partitions stays the non-AQE floor.
+        # The floor is TIER-AWARE (r13): sized from corpus fact bytes
+        # like scale_bench sizes shuffle.partitions, so a small corpus
+        # does not pay 256-task launch overhead per exchange — see
+        # _initial_partition_floor.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get(
                 "SPARK_GRAFT_INITIAL_PARTITIONS",
-                str(
-                    max(
-                        256,
-                        int(
-                            os.environ.get(
-                                "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus
-                            )
-                        ),
-                    )
-                ),
+                str(_initial_partition_floor(static_partitions)),
             ),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

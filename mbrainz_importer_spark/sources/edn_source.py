@@ -107,10 +107,18 @@ def _resolve_fs_mode(path: str, filesystem: str) -> str:
     if _uri_scheme(path) in _LOCAL_SCHEMES:
         return "posix"
     try:
-        import fsspec  # noqa: F401
+        # probe, don't just import: fsspec being installed says nothing
+        # about THIS scheme — get_filesystem_class raises ValueError for
+        # unregistered protocols and ImportError when the protocol's
+        # backend (s3fs/gcsfs/...) is absent, and either would otherwise
+        # surface later inside _list_uri_files/fsspec.open instead of
+        # falling through to the arrow/wholetext paths this module
+        # documents as the fallback
+        import fsspec
 
+        fsspec.get_filesystem_class(_uri_scheme(path))
         return "fsspec"
-    except ImportError:
+    except (ImportError, ValueError):
         pass
     try:
         _arrow_fs(path.split("*")[0])
