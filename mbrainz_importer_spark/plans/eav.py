@@ -693,40 +693,65 @@ def merge_datoms_increment_bucketed(
         if resume_merge_swap(loc, stale_stage):
             _sync_partition_registrations(spark, table, stale_manifest)
         _drop_stale_table(spark, stage_table)
-        # Stage PER ATTRIBUTE PARTITION (r12 verdict #3): one staged
-        # write job per touched attribute instead of one job over all
-        # of them. The all-attributes job sorted the union of every
-        # touched partition in a single stage — at sf100 that is one
-        # ~18 GB sort that sits exactly ON an 8g heap's margin (r12
-        # measured it OOMing in two different places across attempts
-        # once the stage shape was perturbed; PLAN_NOTES_r12.md §7).
-        # Per-attribute jobs cut the peak staged mass to the LARGEST
-        # partition (~6 GB on the 3-fact-attribute store), so the merge
-        # clears the margin under any partitioning default. Cost: the
-        # increment (`ops`) is re-scanned once per touched attribute —
-        # O(touched) scans of the small side, bought for an O(1/touched)
-        # peak on the big side. The existing-store scan stays pruned to
-        # exactly one attribute partition per job (a is the partition
-        # column, the a==attr filter prunes at the file index). Replay
-        # semantics are unchanged: current_datoms is keyed on (e, a),
-        # so restricting both inputs to one attribute is a partition of
-        # the identical computation. Crash contract unchanged: the swap
-        # still happens only after ALL attributes are staged; a
-        # mid-stage death leaves the store untouched and the partial
-        # stage table is dropped on the next merge's entry.
-        for i, attr in enumerate(touched):
-            existing_a = (
+        # Stage PER ATTRIBUTE PARTITION when the touched mass is big
+        # (r12 verdict #3): one staged write job per touched attribute
+        # instead of one job over all of them. The all-attributes job
+        # sorted the union of every touched partition in a single stage
+        # — at sf100 that is one ~18 GB sort that sits exactly ON an 8g
+        # heap's margin (r12 measured it OOMing in two different places
+        # across attempts once the stage shape was perturbed;
+        # PLAN_NOTES_r12.md §7). Per-attribute jobs cut the peak staged
+        # mass to the LARGEST partition (~6 GB on the 3-fact-attribute
+        # store), so the merge clears the margin under any partitioning
+        # default. Cost: the increment (`ops`) is re-scanned once per
+        # touched attribute, and each job pays scheduling overhead — at
+        # a SMALL store that overhead dominates (sf0.1 A/B: 3.7s vs
+        # 2.5s, a 1.5x regression for nothing, since a few-MB sort is
+        # nowhere near any margin). The split therefore gates on the
+        # touched partitions' on-disk bytes: single job below heap/4
+        # (compressed parquet expands ~3-5x into sort runs, so heap/4
+        # on disk is roughly where the single sort starts brushing the
+        # margin), per-attribute jobs above it. Replay semantics are
+        # identical on both paths: current_datoms is keyed on (e, a),
+        # so restricting both inputs to one attribute partitions the
+        # same computation; the existing-store scan prunes to one
+        # attribute partition per job (a is the partition column).
+        # Crash contract unchanged either way: the swap happens only
+        # after ALL attributes are staged; a mid-stage death leaves the
+        # store untouched and the partial stage table is dropped on the
+        # next merge's entry.
+        from ..sources.bucketed import _heap_bytes
+
+        touched_set = set(touched)
+        touched_bytes = 0
+        if os.path.isdir(loc):
+            for name in os.listdir(loc):
+                d = os.path.join(loc, name)
+                if (name.startswith("a=") and os.path.isdir(d)
+                        and unquote(name[2:]) in touched_set):
+                    touched_bytes += sum(
+                        os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d)
+                        if os.path.isfile(os.path.join(d, f))
+                    )
+        split = touched_bytes > _heap_bytes() // 4
+        stage_groups = (
+            [[a] for a in touched] if split and len(touched) > 1
+            else [touched]
+        )
+        for i, group in enumerate(stage_groups):
+            existing_g = (
                 spark.table(table)
-                .where(F.col("a") == attr)
+                .where(F.col("a").isin(group))
                 .select("e", "a", "v", "v_num")
             )
-            merged_a = current_datoms(
-                existing_a, ops.where(F.col("a") == attr), card_many
+            merged_g = current_datoms(
+                existing_g, ops.where(F.col("a").isin(group)), card_many
             )
             (
-                merged_a.repartition(
+                merged_g.repartition(
                     writer_partitions(spark, nb),
-                    F.pmod(F.hash("e"), F.lit(nb)),
+                    F.col("a"), F.pmod(F.hash("e"), F.lit(nb)),
                 )
                 .select("e", "a", "v", "v_num")
                 .write.mode("overwrite" if i == 0 else "append")

@@ -289,6 +289,60 @@ def _drop_page_cache() -> bool:
         return False
 
 
+def _stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative task-time / GC / spill / shuffle totals over every
+    COMPLETED stage so far, read from the JVM's AppStatusStore (the
+    store that backs the UI; populated even with spark.ui.enabled=false).
+    Per-sample deltas of these totals decompose a wall-clock band into
+    its sources — executor work vs GC vs spill vs I/O — which is the
+    instrumentation the r12 verdict asked for on the q5 sf100 spread
+    (40-67% against a <=15% criterion: page cache and stale stores were
+    already ruled out by --cold/--clean). Returns None if the private
+    store interface is unavailable (fields probed defensively)."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        seq = store.stageList(None)
+        totals = {k: 0 for k in (
+            "executor_run_ms", "executor_cpu_ns", "gc_ms",
+            "mem_spill_bytes", "disk_spill_bytes",
+            "shuffle_read_bytes", "shuffle_write_bytes", "tasks",
+        )}
+        for i in range(seq.size()):
+            s = seq.apply(i)
+            if s.status().toString() != "COMPLETE":
+                continue
+            totals["executor_run_ms"] += int(s.executorRunTime())
+            totals["executor_cpu_ns"] += int(s.executorCpuTime())
+            totals["gc_ms"] += int(s.jvmGcTime())
+            totals["mem_spill_bytes"] += int(s.memoryBytesSpilled())
+            totals["disk_spill_bytes"] += int(s.diskBytesSpilled())
+            totals["shuffle_read_bytes"] += int(s.shuffleReadBytes())
+            totals["shuffle_write_bytes"] += int(s.shuffleWriteBytes())
+            totals["tasks"] += int(s.numCompleteTasks())
+        return totals
+    except Exception:
+        return None
+
+
+def _plan_signature(df) -> str:
+    """Stable signature of the EXECUTED (post-AQE) physical plan:
+    operator/strategy lines with runtime-varying ids and sizes stripped.
+    Two samples of the same query with different signatures = AQE plan
+    flapping — one of the candidate variance sources for the q5 band."""
+    import hashlib
+    import re
+
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return ""
+    s = re.sub(r"#\d+[A-Z]*", "#x", s)          # expression ids
+    s = re.sub(r"\[id=#?\d+\]", "", s)           # plan node ids
+    s = re.sub(r"\b\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b", "SZ", s)  # stats
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -313,6 +367,12 @@ def main() -> None:
         help="two comma-separated query names to INTERLEAVE (A,B,A,B,...) "
         "for --runs rounds in one session — the controlled-comparison "
         "protocol from PLAN_NOTES_r11 §3, promoted into the tool",
+    )
+    ap.add_argument(
+        "--stage-metrics", action="store_true",
+        help="record per-sample stage-metric deltas (executor/GC/spill/"
+        "shuffle) and post-AQE plan signatures — the variance "
+        "decomposition instrumentation (r12 verdict #2)",
     )
     args = ap.parse_args()
     for k, v in PROFILES[args.profile].items():
@@ -348,16 +408,27 @@ def main() -> None:
         names = [n for n in names if n in keep]
 
     skipped = {}
+    metric_log: dict[str, list] = {}
+    sig_log: dict[str, list] = {}
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
 
     def sample_once(name: str) -> tuple[float, int, bool | None]:
         if args.cold:
             _drop_page_cache()
+        pre = _stage_totals(spark) if args.stage_metrics else None
         t0 = time.perf_counter()
         df = queries[name](spark, args.sf_dir)
         with shape_trust(df) as pick:
             rows = df.count()
         dt = round(time.perf_counter() - t0, 4)
+        if args.stage_metrics:
+            post = _stage_totals(spark)
+            delta = (
+                {k: post[k] - pre[k] for k in post}
+                if pre is not None and post is not None else None
+            )
+            metric_log.setdefault(name, []).append(delta)
+            sig_log.setdefault(name, []).append(_plan_signature(df))
         # localCheckpoint blocks (DISK_ONLY at fact scale since r12)
         # are freed by the ContextCleaner only when the JVM GCs the
         # dead RDD — on a mostly-idle heap that lags by many samples,
@@ -390,6 +461,11 @@ def main() -> None:
                     "steady_seconds": _median(rec[n][1:]),
                     "spread_pct": _spread_pct(rec[n][1:]),
                     "rows": rows_of[n],
+                    **(
+                        {"stage_metrics": metric_log.get(n),
+                         "plan_sigs": sig_log.get(n)}
+                        if args.stage_metrics else {}
+                    ),
                 } for n in (a, b)
             },
         }
@@ -426,6 +502,9 @@ def main() -> None:
         }
         if any(p is not None for p in picks):
             entry["sort_trust_picked"] = picks[-1]
+        if args.stage_metrics:
+            entry["stage_metrics"] = metric_log.get(name)
+            entry["plan_sigs"] = sig_log.get(name)
         out[name] = entry
         print(f"# {name}: build_run {samples[0]:.2f}s steady "
               f"{entry['steady_seconds']:.2f}s rows={rows}", file=sys.stderr)
