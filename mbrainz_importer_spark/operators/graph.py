@@ -110,9 +110,13 @@ def release_pagerank_statics() -> None:
 
 
 def _pagerank_statics(e: DataFrame):
-    """(e, outd, nodes, n_nodes), persisted and materialized — served
+    """(ew, outd, nodes, n_nodes), persisted and materialized — served
     from the size-one cache when the edge plan is semantically the one
-    already cached."""
+    already cached. `ew` is the edge list PRE-JOINED with the source
+    out-degree, (s, t, od): the out-degree join is delta-independent,
+    so folding it into the cached prefix removes one |E|-sized join
+    from EVERY PageRank round (r13 optimization, guide §2.4 — the
+    rank-side join is the only per-round join left)."""
     key = e._jdf.queryExecution().analyzed().semanticHash()
     if key in _PR_STATICS:
         return _PR_STATICS[key]
@@ -129,12 +133,19 @@ def _pagerank_statics(e: DataFrame):
     # fact-scale on the degree-controlled corpora and a MEMORY_AND_DISK
     # pin starves the per-round contribution aggregations
     e = e.persist(_EDGE_LEVEL)
+    e.count()
     outd = outd.persist(_EDGE_LEVEL)
     nodes = nodes.persist(_EDGE_LEVEL)
     n_nodes = nodes.count()
-    e.count()
     outd.count()
-    _PR_STATICS[key] = (e, outd, nodes, n_nodes)
+    ew = e.join(outd.select(F.col("v").alias("s"), "od"), "s").select(
+        "s", "t", "od"
+    ).persist(_EDGE_LEVEL)
+    ew.count()
+    # e itself is not read by the per-round plan anymore (ew carries
+    # the edges); release its blocks now that ew is materialized
+    e.unpersist()
+    _PR_STATICS[key] = (ew, outd, nodes, n_nodes)
     return _PR_STATICS[key]
 
 
@@ -161,18 +172,31 @@ def _pagerank_with_handles(
         F.col(src_col).cast("long").alias("s"),
         F.col(dst_col).cast("long").alias("t"),
     )
-    e, outd, nodes, n_nodes = _pagerank_statics(e)
+    ew, outd, nodes, n_nodes = _pagerank_statics(e)
     base = PR_SCALE // n_nodes
     rank = nodes.select("v", F.lit(base).cast("long").alias("r"))
+    # Broadcast the |V|-sized per-round frames below the heap-derived
+    # cap (the SAME cap label_propagation uses — ~128B/row for a
+    # broadcast relation of two bigints, 1/16th of heap per relation):
+    # the rank frame is a LogicalRDD after a checkpoint cadence cut and
+    # Catalyst would plan SMJ, re-shuffling AND re-sorting the full
+    # cached edge prefix every round. Below the cap the round becomes
+    # one streamed pass over the DISK_ONLY prefix + the contribution
+    # aggregation's single exchange; past it (where a hash relation
+    # would not fit executor heaps) the SMJ path stands unchanged.
+    from ..sources.bucketed import _heap_bytes
+
+    bcast = n_nodes <= _heap_bytes() // (16 * 128)
     for it in range(iters):
+        rk = F.broadcast(rank) if bcast else rank
         contrib = (
-            e.join(rank, e["s"] == rank["v"])
-            .join(outd, e["s"] == outd["v"])
+            ew.join(rk, ew["s"] == rk["v"])
             .select("t", F.expr("r DIV od").alias("c"))
             .groupBy("t")
             .agg(F.sum("c").cast("long").alias("c"))
         )
-        joined = nodes.join(contrib, nodes["v"] == contrib["t"], "left")
+        cb = F.broadcast(contrib) if bcast else contrib
+        joined = nodes.join(cb, nodes["v"] == cb["t"], "left")
         if dangling == "redistribute":
             dm = (
                 rank.join(outd, rank["v"] == outd["v"], "left_anti")
@@ -203,7 +227,7 @@ def _pagerank_with_handles(
             F.col("v").cast("long").alias("node"),
             F.col("r").cast("long").alias("rank"),
         ),
-        [e, outd, nodes],
+        [ew, outd, nodes],
     )
 
 
@@ -295,11 +319,23 @@ def triangle_count(
         .unionByName(e.select(F.col("t").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    et = (
-        e.join(deg.select(F.col("v").alias("s"), F.col("d").alias("ds")), "s")
-        .join(deg.select(F.col("v").alias("t"), F.col("d").alias("dt")), "t")
-    )
+    ).persist(_EDGE_LEVEL)
+    # the degree lookup is |V|-sized: below the heap cap (the
+    # label_propagation sizing — ~128B/row broadcast relation, 1/16th
+    # of heap) broadcast BOTH lookups, so the orientation is a streamed
+    # pass over the persisted edge set instead of two full |E| shuffle
+    # + sort rounds (r13 optimization; past the cap SMJ stands, the
+    # pre-r13 plan). deg persists so the two broadcast builds don't
+    # each recompute the degree aggregation.
+    from ..sources.bucketed import _heap_bytes
+
+    n_v = deg.count()
+    small_v = n_v <= _heap_bytes() // (16 * 128)
+    deg_s = deg.select(F.col("v").alias("s"), F.col("d").alias("ds"))
+    deg_t = deg.select(F.col("v").alias("t"), F.col("d").alias("dt"))
+    if small_v:
+        deg_s, deg_t = F.broadcast(deg_s), F.broadcast(deg_t)
+    et = e.join(deg_s, "s").join(deg_t, "t")
     # s-first iff (deg, id) of s sorts below t's; input has s < t so the
     # equal-degree tie keeps the canonical direction
     s_first = (F.col("ds") < F.col("dt")) | (
@@ -311,6 +347,7 @@ def triangle_count(
     ).persist(_EDGE_LEVEL)
     n_edges = oriented.count()
     e.unpersist()
+    deg.unpersist()
     adj = None
     try:
         # out-neighbor lists: dedup-free by construction (edges are
@@ -423,21 +460,40 @@ def bfs_hops(
         .withColumn("hop", F.lit(0).cast("bigint"))
         .localCheckpoint()
     )
-    frontier = visited
+    # Broadcast the per-round frontier/visited frames below the
+    # heap-derived cap (the label_propagation cap: ~128B/row broadcast
+    # relation, 1/16th of heap). Both frames are LogicalRDDs after
+    # their checkpoints — statless, so Catalyst plans SMJ and
+    # re-shuffles the FULL edge prefix every hop. Below the cap the
+    # expansion is one streamed pass over the DISK_ONLY prefix and the
+    # first-reach anti-join is a broadcast hash anti; past the cap
+    # (frontiers near |V| on a huge graph) the SMJ path stands. The
+    # per-round .count() replaces the old isEmpty() probe — both scan
+    # the checkpointed blocks, and the count doubles as the broadcast
+    # decision, so no extra job is paid.
+    from ..sources.bucketed import _heap_bytes
+
+    cap = _heap_bytes() // (16 * 128)
+    n_visited = visited.count()
+    frontier, n_frontier = visited, n_visited
     for h in range(1, max_hops + 1):
+        fr = F.broadcast(frontier) if n_frontier <= cap else frontier
         reached = (
-            frontier.join(e, frontier["node"] == e["s"])
+            fr.join(e, fr["node"] == e["s"])
             .select(F.col("t").alias("node"))
             .distinct()
         )
+        vi = F.broadcast(visited) if n_visited <= cap else visited
         fresh = (
-            reached.join(visited, "node", "left_anti")
+            reached.join(vi, "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("bigint"))
         )
         frontier = fresh.localCheckpoint()
-        if frontier.isEmpty():
+        n_frontier = frontier.count()
+        if not n_frontier:
             break
         visited = visited.unionByName(frontier).localCheckpoint()
+        n_visited += n_frontier
     return visited
 
 
@@ -513,7 +569,13 @@ def label_propagation(
             )["l"].alias("new_label")
         )
         labels = (
-            labels.join(best, "node", "left")
+            # `best` is |V|-bounded like the label frame: under the same
+            # heap cap it broadcasts, so the label update is a map-side
+            # hash join instead of an SMJ re-shuffling both |V| frames
+            # every round (r13 optimization; past the cap SMJ stands)
+            labels.join(
+                F.broadcast(best) if bcast_labels else best, "node", "left"
+            )
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
@@ -555,10 +617,23 @@ def sssp_bounded(
         sources.select(F.col(seed_col).cast("bigint").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
     )
+    # Broadcast the distance frontier below the heap-derived cap (the
+    # label_propagation cap): dist is a LogicalRDD after its per-round
+    # checkpoint, so Catalyst would SMJ the relax join and re-shuffle
+    # the full edge prefix every round. Below the cap each relaxation
+    # is a streamed pass over the DISK_ONLY prefix; past it SMJ stands.
+    # The per-round count doubles as the broadcast decision (the
+    # checkpoint materializes the frame anyway).
+    from ..sources.bucketed import _heap_bytes
+
+    cap = _heap_bytes() // (16 * 128)
+    n_dist = dist.count()
     for _ in range(rounds):
+        db = F.broadcast(dist) if n_dist <= cap else dist
         relaxed = (
-            dist.join(e, dist["node"] == e["s"])
+            db.join(e, db["node"] == e["s"])
             .select(F.col("t").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
         dist = (
@@ -567,4 +642,5 @@ def sssp_bounded(
             .agg(F.min("dist").cast("bigint").alias("dist"))
             .localCheckpoint()
         )
+        n_dist = dist.count()
     return dist

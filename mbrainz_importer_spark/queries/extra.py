@@ -508,6 +508,22 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["signup", "view", "purchase"]).orderBy("step")
 
 
+def _symmetrize(eg: DataFrame) -> DataFrame:
+    """Both directions of the DISTINCT customer-supplier edge set.
+
+    No distinct after the union (r13 optimization, guide §2.4 — remove
+    shuffles outright): `eg` is already distinct, and its node ids are
+    PARITY-DISJOINT by construction (src = o_custkey*2 is even, dst =
+    l_suppkey*2+1 is odd), so a forward row (even, odd) can never equal
+    a reversed row (odd, even) — the union of the two directions is
+    distinct by construction, and the old outer .distinct() was a full
+    exchange + aggregate over 2|E| rows for nothing. Result set
+    identical (oracle-certified on every consumer gate)."""
+    return eg.unionByName(
+        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (3 rounds) over the symmetric customer-supplier
     trade graph (distinct (cust, supp) pairs from lineitem x orders,
@@ -528,9 +544,7 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = eg.unionByName(
-        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _symmetrize(eg)
     return pagerank_topk(edges, k=20, iters=3)
 
 
@@ -552,9 +566,7 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = eg.unionByName(
-        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _symmetrize(eg)
     return pagerank_topk(edges, k=20, iters=3)
 
 
@@ -604,9 +616,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = eg.unionByName(
-        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _symmetrize(eg)
     seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
     return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
 
@@ -632,9 +642,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = eg.unionByName(
-        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _symmetrize(eg)
     return label_propagation(edges, iters=3).orderBy("node")
 
 
@@ -761,9 +769,7 @@ def graph_bfs_hops_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = eg.unionByName(
-        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _symmetrize(eg)
     seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
     return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
 
@@ -840,9 +846,7 @@ def graph_bfs_appended_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = eg.unionByName(
-        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _symmetrize(eg)
     seeds = spark.range(5).select((F.col("id") * 2).alias("node"))
     return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
 
@@ -892,9 +896,7 @@ def graph_label_propagation_bucketed(
         )
         .distinct()
     )
-    edges = eg.unionByName(
-        eg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = _symmetrize(eg)
     return label_propagation(edges, iters=3).orderBy("node")
 
 
