@@ -76,9 +76,11 @@ def train_centroids_sample(
 
 def _nearest_cells(vec_col: F.Column, centroids: list[list[float]], n: int) -> F.Column:
     """Array of the `n` nearest centroid ids (by cosine, descending)."""
+    from .litexpr import lit_doubles
+
     sims = F.array(*[
         F.struct(
-            cosine(vec_col, F.array(*[F.lit(x) for x in c])).alias("sim"),
+            cosine(vec_col, lit_doubles(c)).alias("sim"),
             F.lit(i).alias("cell"),
         )
         for i, c in enumerate(centroids)

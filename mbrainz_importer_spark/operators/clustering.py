@@ -32,7 +32,9 @@ ROUND_DP = 6
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     """Squared euclidean distance to a literal centroid, rounded to the
     pinned precision — expression-only (zip_with + aggregate)."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    from .litexpr import lit_doubles
+
+    c = lit_doubles(centroid)
     return F.round(
         F.aggregate(
             F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),

@@ -89,10 +89,15 @@ def integer_moments(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     partial is exact on code-valued input, so the cast is lossless in
     the certification regime (and the gate's hash would catch drift).
     """
+    from .litexpr import lit_ints
+
     pairs = _upper_pairs(dim)
     P = len(pairs)
-    i_map = F.array(*[F.lit(i + 1) for (i, _) in pairs])
-    j_map = F.array(*[F.lit(j + 1) for (_, j) in pairs])
+    # one py4j call per map instead of one per element — ~2 s of
+    # driver-side plan-construction chatter per query call at dim=64
+    # (d(d+1)/2 = 2080 literals each; measured in the r13 round)
+    i_map = lit_ints([i + 1 for (i, _) in pairs])
+    j_map = lit_ints([j + 1 for (_, j) in pairs])
     sums = (
         moment_partials(df, vec_col, dim)
         .select(
@@ -200,11 +205,13 @@ def project_expr(vec: Column, mean: list[float], component: list[float]) -> Colu
     """(x - mean)·component as a single JVM fold — centering folded into
     the constant term: x·c - mean·c, so the hot path is one zip_with/
     aggregate over the array column (whole-stage codegen, no UDF)."""
+    from .litexpr import lit_doubles
+
     const = float(sum(m * c for m, c in zip(mean, component)))
     dot = F.aggregate(
         F.zip_with(
             vec,
-            F.array(*[F.lit(float(c)) for c in component]),
+            lit_doubles(component),
             lambda x, c: x.cast("double") * c,
         ),
         F.lit(0.0),

@@ -36,29 +36,53 @@ def sq8_train_bounds(df: DataFrame, vec_col: str, dim: int) -> tuple[list[float]
     scalar quantization (faiss ScalarQuantizer train). One aggregation
     (2·dim scalar aggs, map-side combined); the 2·dim floats collect to
     the driver and ship back as plan literals."""
-    aggs = [F.min(F.col(vec_col)[i]).alias(f"lo{i}") for i in range(dim)] + [
-        F.max(F.col(vec_col)[i]).alias(f"hi{i}") for i in range(dim)
-    ]
-    row = df.agg(*aggs).collect()[0]
-    lo = [float(row[f"lo{i}"]) for i in range(dim)]
-    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    # identical 2·dim map-side-combined scalar aggs, but handed to the
+    # JVM as TWO expression strings instead of ~6·dim py4j calls (the
+    # r13 plan-construction fix; see operators/litexpr.py). array() of
+    # aggregates is itself an aggregate expression, so the plan is the
+    # same one-pass HashAggregate.
+    c = f"`{vec_col}`"
+    lo_e = F.expr("array(" + ",".join(f"min({c}[{i}])" for i in range(dim)) + ")")
+    hi_e = F.expr("array(" + ",".join(f"max({c}[{i}])" for i in range(dim)) + ")")
+    row = df.agg(lo_e.alias("lo"), hi_e.alias("hi")).collect()[0]
+    lo = [float(x) for x in row["lo"]]
+    hi = [float(x) for x in row["hi"]]
     return lo, hi
 
 
 def sq8_code(vec: Column, lo: list[float], hi: list[float]) -> Column:
     """Quantize an array<float> to array<int> codes on the per-dim grid:
     round((x - lo_d) * 255 / (hi_d - lo_d)), clamped to [0, 255];
-    degenerate dims (hi == lo) code to 0. Pure projection."""
-    codes = []
-    for d, (l, h) in enumerate(zip(lo, hi)):
-        x = vec[d].cast("double")
-        if h == l:
-            codes.append(F.lit(0))
-        else:
-            scaled = (x - F.lit(l)) * F.lit(SQ_LEVELS / (h - l))
-            c = F.round(scaled).cast("int")
-            codes.append(F.greatest(F.lit(0), F.least(F.lit(SQ_LEVELS), c)))
-    return F.array(*codes)
+    degenerate dims (hi == lo) code to 0. Pure projection.
+
+    Built as ONE transform over two literal grid arrays instead of dim
+    per-element expression branches: the values are bit-identical (the
+    per-dim scale 255/(hi-lo) is the same Python-computed double either
+    way, and the arithmetic order is unchanged), but construction costs
+    ~4 py4j calls instead of ~8·dim (the r13 plan-construction fix;
+    oracle gates hash-certify the equality)."""
+    from .litexpr import lit_doubles
+
+    scale = [0.0 if h == l else SQ_LEVELS / (h - l) for l, h in zip(lo, hi)]
+    lo_arr = lit_doubles(lo)
+    sc_arr = lit_doubles(scale)
+    return F.transform(
+        F.slice(vec, 1, len(lo)),
+        lambda x, i: F.when(
+            F.element_at(sc_arr, i + 1) == 0.0, F.lit(0)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(SQ_LEVELS),
+                    F.round(
+                        (x.cast("double") - F.element_at(lo_arr, i + 1))
+                        * F.element_at(sc_arr, i + 1)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -164,7 +188,9 @@ def train_pq_codebooks(
 
 
 def _lit_matrix(rows: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(x) for x in r]) for r in rows])
+    from .litexpr import lit_double_matrix
+
+    return lit_double_matrix(rows)
 
 
 def pq_codes(
@@ -247,9 +273,11 @@ def pq_recon_norm(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     an ADC cosine estimate (ip / recon_norm; the query norm is constant
     per query and cancels in per-query ranking) — without it, IP
     candidate generation misranks any corpus whose vector norms vary."""
+    from .litexpr import lit_doubles
+
     total = F.lit(0.0)
     for i, book in enumerate(codebooks):
-        n2 = F.array(*[F.lit(sum(x * x for x in c)) for c in book])
+        n2 = lit_doubles([sum(x * x for x in c) for c in book])
         total = total + F.element_at(n2, codes[i] + 1)
     return F.sqrt(total)
 

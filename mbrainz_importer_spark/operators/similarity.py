@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .litexpr import lit_doubles
+
 LSH_SEED = 42
 
 
@@ -101,7 +103,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id: bit r set iff dot(vec, plane_r) > 0."""
     bucket = F.lit(0)
     for r, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        p = lit_doubles(plane)
         bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << r)).otherwise(F.lit(0))
     return bucket.cast("int")
 
@@ -160,7 +162,7 @@ def semdedup_assign(
     v = F.col(vec_col)
     sims = F.array(*[
         F.struct(
-            F.round(cosine(v, F.array(*[F.lit(x) for x in c])), 6).alias("sim"),
+            F.round(cosine(v, lit_doubles(c)), 6).alias("sim"),
             F.lit(-i).alias("negcell"),
         )
         for i, c in enumerate(centroids)
@@ -255,7 +257,7 @@ def _split_hot_cells(
         if not hot:
             break
         plane = hyperplanes(in_dim, 1, seed + depth + 1)[0]
-        proj = dot(F.col("v"), F.array(*[F.lit(x) for x in plane]))
+        proj = dot(F.col("v"), lit_doubles(plane))
         projected = out.withColumn("__proj", proj)
         means = (
             projected.where(F.col("pcell").isin(hot))
@@ -636,7 +638,7 @@ def random_projection(
     scale = 1.0 / float(out_dim) ** 0.5
     comps = [
         F.round(
-            dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) * scale,
+            dot(F.col(vec_col), lit_doubles(p)) * scale,
             round_to,
         )
         for p in planes
