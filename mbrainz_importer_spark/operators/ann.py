@@ -222,9 +222,31 @@ def _merge_fresh_into_cells(
     caller: str,
 ) -> None:
     """The shared touched-cells merge core (plain IVF and IVF×PQ faces):
-    moved-id guard, arrival-wins anti-join, staged dynamic overwrite of
-    exactly the touched cell partitions."""
-    from ..plans.eav import _drop_stage, _stage_merge
+    moved-id guard, arrival-wins anti-join, WRITE-ONCE commit of exactly
+    the touched cell partitions.
+
+    r13: the merged rows write ONCE into a cell-partitioned staging
+    directory and the staged cell directories swap into the index root
+    by rename (the datom store's write-once merge machinery,
+    plans/eav.py:_swap_staged_partitions, generalized over the
+    partition column) — the previous design staged the rows flat and
+    rewrote them through a dynamic partition overwrite, a second full
+    write pass plus a read-back over the touched mass every merge.
+    Crash contract identical to the datom store: a mid-stage death
+    leaves the index untouched (the partial stage drops on the next
+    merge's entry); a mid-swap death is healed by the manifest here on
+    entry."""
+    from ..plans.eav import (
+        _drop_stage,
+        _stage_root,
+        _swap_staged_partitions,
+        resume_merge_swap,
+    )
+
+    stage = _stage_root(path)
+    if resume_merge_swap(path, stage):
+        spark.catalog.refreshByPath(path)
+    _drop_stage(path)
 
     touched = sorted(r.cell for r in fresh.select("cell").distinct().collect())
     if not touched:
@@ -257,15 +279,14 @@ def _merge_fresh_into_cells(
     merged = existing.join(
         fresh.select("nid"), "nid", "left_anti"
     ).unionByName(fresh)
-    merged = _stage_merge(spark, merged, path, columns=columns)
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("cell").parquet(path)
-    finally:
-        spark.conf.set(mode_key, prev)
+    merged.select(*columns).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(stage)
+    _swap_staged_partitions(
+        stage, path, [str(c) for c in touched], col="cell"
+    )
     _drop_stage(path)
+    spark.catalog.refreshByPath(path)
 
 
 def merge_ivf_pq_increment(

@@ -406,20 +406,24 @@ def current_datoms(
     return newest
 
 
-def _staged_partition_dirs(root: str) -> dict[str, str]:
-    """Map decoded attribute -> hive-escaped `a=...` directory name for
-    every attribute partition under `root` (a store root or a merge
+def _staged_partition_dirs(root: str, col: str = "a") -> dict[str, str]:
+    """Map decoded partition value -> hive-escaped `<col>=...` directory
+    name for every partition under `root` (a store root or a merge
     staging root). Both sides of a swap are Spark writer output, so the
     escaping is identical and a staged dir name can be renamed into the
-    destination verbatim."""
+    destination verbatim. `col` defaults to the datom store's attribute
+    partitioning; the IVF index swaps on `cell` (r13: its merge became
+    write-once through this machinery instead of a second dynamic-
+    overwrite pass)."""
     from urllib.parse import unquote
 
+    pfx = col + "="
     if not os.path.isdir(root):
         return {}
     return {
-        unquote(n[2:]): n
+        unquote(n[len(pfx):]): n
         for n in os.listdir(root)
-        if n.startswith("a=") and os.path.isdir(os.path.join(root, n))
+        if n.startswith(pfx) and os.path.isdir(os.path.join(root, n))
     }
 
 
@@ -448,8 +452,11 @@ def resume_merge_swap(dest: str, stage: str | None = None) -> bool:
         return False
     with open(manifest_path) as f:
         manifest = json.load(f)
-    staged_now = _staged_partition_dirs(stage)
-    dest_dirs = _staged_partition_dirs(dest)
+    # the manifest records its partition column (default 'a' for
+    # pre-r13 manifests written by the datom store)
+    col = manifest.get("col", "a")
+    staged_now = _staged_partition_dirs(stage, col)
+    dest_dirs = _staged_partition_dirs(dest, col)
     for a in manifest["emptied"]:
         if a in dest_dirs:
             shutil.rmtree(os.path.join(dest, dest_dirs[a]))
@@ -464,17 +471,22 @@ def resume_merge_swap(dest: str, stage: str | None = None) -> bool:
     return True
 
 
-def _swap_staged_partitions(stage: str, dest: str, touched: list[str]) -> None:
-    """Swap freshly-written staged attribute partitions into the store
+def _swap_staged_partitions(
+    stage: str, dest: str, touched: list[str], col: str = "a"
+) -> None:
+    """Swap freshly-written staged partition directories into the store
     root by directory rename — the commit step of the write-once merge.
     Writes the recovery manifest first (staged = partitions present in
-    staging; emptied = touched attributes the merge left with zero
-    datoms), then runs the same completion logic a crash recovery
-    would, so there is exactly one code path for the moves."""
+    staging; emptied = touched partitions the merge left with zero
+    rows), then runs the same completion logic a crash recovery
+    would, so there is exactly one code path for the moves. `col` is
+    the hive partition column of both layouts (recorded in the
+    manifest so recovery needs no out-of-band knowledge)."""
     import json
 
-    staged = sorted(_staged_partition_dirs(stage))
+    staged = sorted(_staged_partition_dirs(stage, col))
     manifest = {
+        "col": col,
         "staged": staged,
         "emptied": sorted(set(touched) - set(staged)),
     }

@@ -149,6 +149,16 @@ def get_spark(
         # a retried task re-runs against freed memory and succeeds
         # (observed live on the sf10g triangle derivation, r12).
         .config("spark.task.maxFailures", "4")
+        # PySpark 4's DataFrame debugging captures the Python call site
+        # on EVERY Column operation and ships it to the JVM (2-3 py4j
+        # round-trips per op, pyspark/errors/utils.py:_with_origin) so
+        # error messages can show a "DataFrame context" line. On
+        # expression-heavy plans that is SECONDS of serial driver time
+        # per query construction (measured r13: the IVF cell-assign
+        # expression built in 3.2s with it, 1.3s without; zero effect
+        # on plans or results — only error-message call-site info).
+        # Off here; flip on when debugging a query.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -739,3 +739,39 @@ def test_datom_ingest_stream_into_bucketed_store(spark, tmp_path):
     assert _sorted(spark.table(table)) == expected
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_swap_machinery_generic_partition_column(tmp_path):
+    """r13: the write-once swap machinery generalized over the hive
+    partition column (the IVF index swaps `cell=` directories). The
+    manifest records its column; resume honors it — staged cells swap
+    in, emptied cells are removed, pre-r13 manifests without a col key
+    keep the attribute-store default."""
+    import json
+
+    from mbrainz_importer_spark.plans.eav import (
+        _swap_staged_partitions,
+        resume_merge_swap,
+    )
+
+    dest = tmp_path / "ivf"
+    stage = tmp_path / "ivf.__merge_staging"
+    (dest / "cell=0").mkdir(parents=True)
+    (dest / "cell=0" / "part-0.parquet").write_text("old cell0")
+    (dest / "cell=1").mkdir()
+    (dest / "cell=1" / "part-0.parquet").write_text("old cell1")
+    (dest / "cell=2").mkdir()
+    (dest / "cell=2" / "part-0.parquet").write_text("untouched cell2")
+    (stage / "cell=0").mkdir(parents=True)
+    (stage / "cell=0" / "part-0.parquet").write_text("new cell0")
+    # touched = {0, 1}, but only cell 0 was staged -> cell 1 was emptied
+    _swap_staged_partitions(str(stage), str(dest), ["0", "1"], col="cell")
+    manifest = json.load(open(stage / "_MERGE_MANIFEST.json"))
+    assert manifest == {"col": "cell", "staged": ["0"], "emptied": ["1"]}
+    assert (dest / "cell=0" / "part-0.parquet").read_text() == "new cell0"
+    assert not (dest / "cell=1").exists(), "emptied cell must be removed"
+    assert (dest / "cell=2" / "part-0.parquet").read_text() == "untouched cell2"
+    # idempotent re-resume from the completed state (crash-after-commit)
+    assert resume_merge_swap(str(dest), str(stage)) is True
+    assert (dest / "cell=0" / "part-0.parquet").read_text() == "new cell0"
+    assert (dest / "cell=2").exists()
