@@ -457,7 +457,7 @@ def ivf_topk_from_index_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            M = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            M = np.stack(pdf["nv"].to_numpy()).astype(np.float64, copy=False)
             nid = pdf["nid"].to_numpy(dtype=np.int64)
             mn = np.sqrt((M * M).sum(axis=1))
             cells = pdf["cell"].to_numpy()
@@ -571,7 +571,7 @@ def _assign_pq_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             xn = np.sqrt((X * X).sum(axis=1))
             if (xn == 0).any():
                 bad = pdf[id_col].to_numpy()[xn == 0][:5].tolist()
@@ -815,7 +815,7 @@ def _pq_adc_scores_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64, copy=False)
             nid = pdf["nid"].to_numpy(dtype=np.int64)
             cells = pdf["cell"].to_numpy()
             rnorm = None
@@ -1144,7 +1144,7 @@ def ivf_sq8_topk_from_index_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64, copy=False)
             nid = pdf["nid"].to_numpy(dtype=np.int64)
             cells = pdf["cell"].to_numpy()
             out_q, out_n, out_s = [], [], []

@@ -56,7 +56,7 @@ def moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             if X.shape[1] != dim:
                 raise ValueError(
                     f"moment_partials: dim mismatch {X.shape[1]} != {dim}"

@@ -198,7 +198,7 @@ def semdedup_assign_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             vn = np.sqrt((V * V).sum(axis=1))
             S = (V @ C.T) / np.outer(vn, cn)
             S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
@@ -412,7 +412,7 @@ def _semdedup_dups_arrow(cells: DataFrame, threshold: float) -> DataFrame:
             return pd.DataFrame({"doc": []}).astype({"doc": "int64"})
         order = np.argsort(pdf["doc"].to_numpy())
         ids = pdf["doc"].to_numpy()[order]
-        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)[order]
         n = np.sqrt((V * V).sum(axis=1))
         S = (V @ V.T) / np.outer(n, n)
         S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6  # HALF_UP
@@ -464,7 +464,7 @@ def materialize_semdedup_index(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             xn = np.sqrt((X * X).sum(axis=1))
             S = (X @ C.T) / np.outer(xn, cn)
             S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6  # HALF_UP
@@ -524,7 +524,7 @@ def _semdedup_index_candidates(
             return empty
         order = np.argsort(pdf["rep"].to_numpy())
         ids = pdf["rep"].to_numpy()[order]
-        Cd = np.array(pdf["codes"].tolist(), dtype=np.int64)[order]
+        Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64, copy=False)[order]
         S = np.zeros((len(ids), len(ids)))
         rn2 = np.zeros(len(ids))
         for i, T in enumerate(luts):
@@ -681,7 +681,7 @@ def brute_force_topk_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             nid = pdf[id_col].to_numpy(dtype=np.int64)
             cn = np.sqrt((C * C).sum(axis=1))
             sims = np.round((C @ Q.T) / np.outer(cn, qn), 6)  # b x q
