@@ -248,6 +248,19 @@ def _merge_fresh_into_cells(
         spark.catalog.refreshByPath(path)
     _drop_stage(path)
 
+    # Materialize the increment ONCE: the three consumers below (the
+    # touched/moved probe and the staged write) each re-evaluated the
+    # assignment expression otherwise — for the IVF faces that is the
+    # n_cells-cosine codegen tree (or the Arrow PQ-encode pass) run
+    # 3x per merge over the same arrival rows (guide §1.2: per-task
+    # work — don't compute things twice). The increment is
+    # O(arrivals), bounded by contract.
+    fresh = fresh.localCheckpoint()
+    # the checkpoint leaves fresh a stats-less LogicalRDD, so every
+    # join below pins it as the broadcast side EXPLICITLY — it is
+    # O(increment) by contract, and without the hint Catalyst's
+    # default-size estimate would shuffle (or worse, broadcast) the
+    # corpus-scale index side instead
     touched = sorted(r.cell for r in fresh.select("cell").distinct().collect())
     if not touched:
         return
@@ -258,7 +271,7 @@ def _merge_fresh_into_cells(
     )
     moved_cells = sorted(
         r.old_cell
-        for r in fresh.select("nid", "cell")
+        for r in F.broadcast(fresh.select("nid", "cell"))
         .join(idx_cells, "nid")
         .where(F.col("old_cell") != F.col("cell"))
         .select("old_cell")
@@ -277,7 +290,7 @@ def _merge_fresh_into_cells(
         F.col("cell").isin(touched)
     )
     merged = existing.join(
-        fresh.select("nid"), "nid", "left_anti"
+        F.broadcast(fresh.select("nid")), "nid", "left_anti"
     ).unionByName(fresh)
     merged.select(*columns).write.mode("overwrite").partitionBy(
         "cell"
