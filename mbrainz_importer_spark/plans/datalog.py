@@ -152,6 +152,20 @@ class DatalogError(ValueError):
 MAX_FIXPOINT_ITERS = 100
 
 
+def _bcast_row_cap() -> int:
+    """Row cap for broadcasting a fixpoint delta/total relation —
+    derived from the configured heap like the graph operators' cap, but
+    priced at ~512B/row (datalog rows carry string a0..aN columns plus
+    __num_aJ doubles, wider than the graph frames' two bigints). Below
+    the cap the per-round derivation joins stream the persisted prefix
+    instead of SMJ-re-shuffling it (checkpointed deltas are stats-less
+    LogicalRDDs, so Catalyst never broadcasts them on its own); past it
+    the SMJ path stands unchanged."""
+    from ..sources.bucketed import _heap_bytes
+
+    return _heap_bytes() // (16 * 512)
+
+
 def _scan_calls(clauses: list, rules) -> list[tuple[str, bool]]:
     """Every rule invocation in a clause list as (rule_name, negated),
     with multiplicity — descending into (not ...)/(not-join ...) bodies
@@ -1111,29 +1125,50 @@ def _compile_rule(
         total = (
             _union_all([branch(a, b, rec_impl) for a, b in base_defs])
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        delta = total
+        # the count both materializes the lazy checkpoint and sizes the
+        # broadcast decision below — checkpointed frames are stats-less
+        # LogicalRDDs, so without an explicit hint Catalyst plans SMJ
+        # and re-shuffles the cached prefix every round (the same trap,
+        # and the same measured-count fix, as the graph operators'
+        # per-round label/frontier frames)
+        n_total = total.count()
+        cap = _bcast_row_cap()
+        delta, n_delta = total, n_total
         for _ in range(MAX_FIXPOINT_ITERS):
             rounds = []
             for (args, body), run in zip(rec_defs, runners):
                 impl = dict(rec_impl)
-                impl[name] = delta if _self_calls(body, name) == 1 else total
+                if _self_calls(body, name) == 1:
+                    impl[name] = F.broadcast(delta) if n_delta <= cap else delta
+                else:
+                    impl[name] = F.broadcast(total) if n_total <= cap else total
                 rounds.append(run(impl))
+            # lazy checkpoint + count: ONE action both materializes the
+            # round's delta and answers the emptiness probe (the old
+            # eager checkpoint + take(1) paid a second job per round —
+            # the same fusion bfs_hops documents)
             new = (
                 _union_all(rounds)
                 .distinct()
-                .join(total, on=key_cols, how="left_anti")
-                .localCheckpoint()
+                .join(
+                    F.broadcast(total) if n_total <= cap else total,
+                    on=key_cols,
+                    how="left_anti",
+                )
+                .localCheckpoint(eager=False)
             )
-            if not new.take(1):
+            n_new = new.count()
+            if not n_new:
                 return total
             # total is a union of already-checkpointed frames (base + each
             # round's delta): lineage stays shallow without re-materializing
             # the WHOLE relation every round (which would make round cost
             # O(|total|) instead of O(|delta| + anti-join))
             total = total.unionByName(new)
-            delta = new
+            n_total += n_new
+            delta, n_delta = new, n_new
     finally:
         for c in cached:
             c.unpersist()
@@ -1213,6 +1248,11 @@ def _compile_clique(
 
     totals: dict[str, DataFrame | None] = {}
     deltas: dict[str, DataFrame | None] = {}
+    # measured row counts drive the broadcast decisions, exactly like
+    # the direct-recursion loop (checkpointed frames are stats-less)
+    n_totals: dict[str, int] = {}
+    n_deltas: dict[str, int] = {}
+    cap = _bcast_row_cap()
     try:
         for r in order:
             if base[r]:
@@ -1222,16 +1262,22 @@ def _compile_clique(
                         for a, b, _ in base[r]
                     ])
                     .distinct()
-                    .localCheckpoint()
+                    .localCheckpoint(eager=False)
                 )
+                n_t = t.count()
                 totals[r] = t
-                deltas[r] = t if t.take(1) else None
+                deltas[r] = t if n_t else None
+                n_totals[r] = n_t
+                n_deltas[r] = n_t
             else:
                 totals[r] = None
                 deltas[r] = None
+                n_totals[r] = 0
+                n_deltas[r] = 0
 
         for _ in range(MAX_FIXPOINT_ITERS):
             new_deltas: dict[str, DataFrame | None] = {}
+            n_new_deltas: dict[str, int] = {}
             for r in order:
                 key_cols = [f"a{j}" for j in range(len(rules[r][0][0]))]
                 rounds = []
@@ -1241,14 +1287,22 @@ def _compile_clique(
                         s = in_clique[0]
                         if deltas[s] is None:
                             continue  # nothing new flowed into this def
-                        impl[s] = deltas[s]
+                        impl[s] = (
+                            F.broadcast(deltas[s])
+                            if n_deltas[s] <= cap
+                            else deltas[s]
+                        )
                     else:
                         if any(totals[s] is None for s in in_clique):
                             continue  # a referenced relation is still empty
                         if all(deltas[s] is None for s in set(in_clique)):
                             continue  # no referenced relation changed
                         for s in set(in_clique):
-                            impl[s] = totals[s]
+                            impl[s] = (
+                                F.broadcast(totals[s])
+                                if n_totals[s] <= cap
+                                else totals[s]
+                            )
                     rounds.append(
                         run(impl)
                         if run is not None
@@ -1258,19 +1312,33 @@ def _compile_clique(
                     )
                 if not rounds:
                     new_deltas[r] = None
+                    n_new_deltas[r] = 0
                     continue
                 new = _union_all(rounds).distinct()
                 if totals[r] is not None:
-                    new = new.join(totals[r], on=key_cols, how="left_anti")
-                new = new.localCheckpoint()
-                if new.take(1):
+                    new = new.join(
+                        F.broadcast(totals[r])
+                        if n_totals[r] <= cap
+                        else totals[r],
+                        on=key_cols,
+                        how="left_anti",
+                    )
+                # lazy checkpoint + count — one action materializes and
+                # probes emptiness (see the direct-recursion loop)
+                new = new.localCheckpoint(eager=False)
+                n_new = new.count()
+                if n_new:
                     new_deltas[r] = new
+                    n_new_deltas[r] = n_new
                     totals[r] = (
                         new if totals[r] is None else totals[r].unionByName(new)
                     )
+                    n_totals[r] += n_new
                 else:
                     new_deltas[r] = None
+                    n_new_deltas[r] = 0
             deltas = new_deltas
+            n_deltas = n_new_deltas
             if all(d is None for d in deltas.values()):
                 out = totals[name]
                 if out is not None:
