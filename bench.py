@@ -13,6 +13,7 @@ of medians; per-run samples go to stderr.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -131,10 +132,27 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float] = {}
+
+    def release_dead_blocks() -> None:
+        # Measurement hygiene, OUTSIDE every timed region: queries retire
+        # localCheckpoint/persist blocks each round, but the JVM only
+        # hands them to the ContextCleaner when a DRIVER GC notices the
+        # dead references (its safety-net periodic GC defaults to 30min
+        # — longer than this whole bench). Without this, dead blocks
+        # accumulate across the ~71 queries, squeeze the 8g execution
+        # pool, and inflate LATE bench entries 2-3x (r13: recursive
+        # ancestors 3.0->7.8s, sim_ivf_incremental 3.7->10.4s at slot
+        # ~35+; same queries steady when run early or solo). Each timed
+        # sample starts from a clean storage pool — cross-query
+        # contamination is a harness artifact, not query cost.
+        gc.collect()  # drop py4j refs so the JVM refs actually die
+        spark.sparkContext._jvm.System.gc()
+
     for name in names:
         samples = []
         n = -1
         for _ in range(runs):
+            release_dead_blocks()
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             # automatic plan selection for bucketed merges (shape rule

@@ -159,6 +159,18 @@ def get_spark(
         # on plans or results — only error-message call-site info).
         # Off here; flip on when debugging a query.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # The ContextCleaner only reclaims unreferenced cache/checkpoint
+        # blocks when a DRIVER GC runs; its safety-net periodic GC
+        # defaults to 30min — longer than many whole workloads. The
+        # iterative operators (graph rounds, datalog fixpoints, stream
+        # replays) retire localCheckpoint blocks every round, so under
+        # the default a long session accumulates dead blocks in the
+        # storage pool, squeezing execution memory until ad-hoc full
+        # GCs happen (measured r13: late-bench job-heavy queries
+        # inflated 2-3x at 8g, back to standalone times once the pool
+        # was clear). 2min bounds the dead-block residency at ANY
+        # scale; the GC itself is a no-op when nothing is dead.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
