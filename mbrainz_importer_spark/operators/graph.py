@@ -313,7 +313,7 @@ def triangle_count(
     # them in the memory store starved the intersection joins into a
     # heap OOM at the honest sf10g edge mass (found by tier r12)
     e = e.persist(_EDGE_LEVEL)
-    e.count()
+    n_e = e.count()
     deg = (
         e.select(F.col("s").alias("v"))
         .unionByName(e.select(F.col("t").alias("v")))
@@ -345,9 +345,11 @@ def triangle_count(
         F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("u"),
         F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("w"),
     ).persist(_EDGE_LEVEL)
-    n_edges = oriented.count()
-    e.unpersist()
-    deg.unpersist()
+    # orientation is a BIJECTION on the (distinct) edge set, so
+    # n_edges == the already-measured e.count() — no separate count
+    # job; oriented's blocks materialize inside adj.count() below
+    # (r13: one fewer |E|-sized synchronous job per call)
+    n_edges = n_e
     adj = None
     try:
         # out-neighbor lists: dedup-free by construction (edges are
@@ -357,6 +359,11 @@ def triangle_count(
             F.collect_list("w").alias("nbrs")
         ).persist(_EDGE_LEVEL)
         n_src = adj.count()
+        # e and deg fed the orientation join, which adj.count() has now
+        # materialized through oriented's persist — release both here
+        # (previously released after the separate oriented.count())
+        e.unpersist()
+        deg.unpersist()
         # Bounded-spill batching (r12, found by the degree-controlled
         # sf10g tier): the second intersection join sorts rows that
         # already CARRY the first adjacency array — at the honest
@@ -404,6 +411,11 @@ def triangle_count(
                 seen_any = True
         n = total if seen_any else None
     finally:
+        # unpersist is idempotent — e/deg release early on the happy
+        # path (right after adj.count() materializes the chain) and
+        # here on any failure before that point
+        e.unpersist()
+        deg.unpersist()
         oriented.unpersist()
         # adj is bound inside the try: a failure in the groupBy
         # construction itself must not turn into a NameError here
@@ -452,13 +464,13 @@ def bfs_hops(
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
-    ).localCheckpoint(storageLevel=_EDGE_LEVEL)
+    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     seed_col = sources.columns[0]
     visited = (
         sources.select(F.col(seed_col).cast("bigint").alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Broadcast the per-round frontier/visited frames below the
     # heap-derived cap (the label_propagation cap: ~128B/row broadcast
@@ -470,7 +482,12 @@ def bfs_hops(
     # (frontiers near |V| on a huge graph) the SMJ path stands. The
     # per-round .count() replaces the old isEmpty() probe — both scan
     # the checkpointed blocks, and the count doubles as the broadcast
-    # decision, so no extra job is paid.
+    # decision, so no extra job is paid. All checkpoints are LAZY
+    # (r13: the count is the materializing action, so one job per hop
+    # replaces the old eager-checkpoint + count pair; the visited
+    # union's checkpoint materializes inside the next hop's job — at
+    # ~90ms scheduling latency per job the eager pattern was paying
+    # two extra barriers per hop for nothing).
     from ..sources.bucketed import _heap_bytes
 
     cap = _heap_bytes() // (16 * 128)
@@ -488,11 +505,11 @@ def bfs_hops(
             reached.join(vi, "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("bigint"))
         )
-        frontier = fresh.localCheckpoint()
+        frontier = fresh.localCheckpoint(eager=False)
         n_frontier = frontier.count()
         if not n_frontier:
             break
-        visited = visited.unionByName(frontier).localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
         n_visited += n_frontier
     return visited
 
@@ -524,7 +541,7 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
-    ).localCheckpoint(storageLevel=_EDGE_LEVEL)
+    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
@@ -580,7 +597,13 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint()
+            # lazy: rounds run no driver action (fixed iters, no
+            # termination probe), so the eager per-round checkpoint was
+            # one synchronous job per round purely to cut lineage. The
+            # lazy cut bounds plan depth identically and materializes
+            # inside the next round's broadcast build (or the caller's
+            # action) — each round's RDD still computes exactly once.
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -611,13 +634,13 @@ def sssp_bounded(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
         F.col(weight_col).cast("bigint").alias("w"),
-    ).localCheckpoint(storageLevel=_EDGE_LEVEL)
+    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     seed_col = sources.columns[0]
     dist = (
         sources.select(F.col(seed_col).cast("bigint").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Broadcast the distance frontier below the heap-derived cap (the
     # label_propagation cap): dist is a LogicalRDD after its per-round
@@ -640,7 +663,9 @@ def sssp_bounded(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
-            .localCheckpoint()
+            # lazy: the count below is the materializing action — one
+            # job per round instead of the eager-checkpoint + count pair
+            .localCheckpoint(eager=False)
         )
         n_dist = dist.count()
     return dist
