@@ -651,7 +651,7 @@ def connected_components(
     sym = (
         edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lbl = (
         sym.groupBy("u")
@@ -660,44 +660,71 @@ def connected_components(
             F.col("u").alias("node"),
             F.least(F.col("u"), F.col("m")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # ONE action initializes everything: counting lbl materializes both
+    # lazy checkpoints (lbl computes through sym) and sizes the
+    # broadcast decision. The label frame is |V(pairs)|-sized; below
+    # the heap-derived cap (the graph operators' sizing: ~128B/row
+    # broadcast relation, 1/16th of heap) every per-round join
+    # broadcasts it — checkpointed frames are stats-less LogicalRDDs,
+    # so Catalyst would otherwise SMJ, re-shuffling the symmetric edge
+    # set every round. Past the cap the SMJ path stands unchanged.
+    from ..sources.bucketed import _heap_bytes
+
+    cap = _heap_bytes() // (16 * 128)
+    bcast = lbl.count() <= cap
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     for _ in range(max_iters):
         nbr = (
             sym.alias("e")
-            .join(lbl.alias("l"), F.col("e.v") == F.col("l.node"))
+            .join(_b(lbl.alias("l")), F.col("e.v") == F.col("l.node"))
             .groupBy(F.col("e.u").alias("node"))
             .agg(F.min("l.label").alias("nmin"))
         )
         ptr = (
             lbl.alias("x")
-            .join(lbl.alias("y"), F.col("x.label") == F.col("y.node"), "left")
+            .join(
+                _b(lbl.alias("y")),
+                F.col("x.label") == F.col("y.node"),
+                "left",
+            )
             .select(
                 F.col("x.node").alias("node"),
                 F.col("x.label").alias("label"),
                 F.col("y.label").alias("pmin"),
             )
         )
+        # the update can only LOWER a label (least() includes the old
+        # one), so "changed" is new < old — computed inline instead of
+        # the old separate join-against-previous probe, and the count
+        # below both materializes the round's lazy checkpoint and
+        # answers convergence: ONE job per round where the eager
+        # checkpoint + join + take(1) pattern paid two jobs and an
+        # extra |V| join
+        upd = F.least(
+            F.col("label"),
+            F.coalesce(F.col("pmin"), F.col("label")),
+            F.coalesce(F.col("nmin"), F.col("label")),
+        )
         new = (
-            ptr.join(nbr, "node", "left")
+            ptr.join(_b(nbr), "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("pmin"), F.col("label")),
-                    F.coalesce(F.col("nmin"), F.col("label")),
-                ).alias("label"),
+                upd.alias("new_label"),
+                (upd < F.col("label")).alias("chg"),
             )
-            .localCheckpoint()
+            .select(
+                "node", F.col("new_label").alias("label"), "chg"
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(lbl.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .take(1)
-        )
-        lbl = new
-        if not changed:
+        n_changed = new.where(F.col("chg")).count()
+        lbl = new.drop("chg")
+        if not n_changed:
             return lbl
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
