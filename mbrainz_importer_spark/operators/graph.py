@@ -384,6 +384,25 @@ def triangle_count(
         k_batches = min(64, max(1, -(-est_bytes // budget)))
         au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
         aw = adj.select(F.col("u").alias("jw"), F.col("nbrs").alias("nw"))
+        # Broadcast the adjacency lists below a heap-derived cap (r13,
+        # guide §3.1): adj is a persisted LogicalRDD-backed frame with
+        # no stats, so Catalyst SMJs both intersection joins —
+        # re-shuffling AND re-sorting the |E|-mass oriented/adjacency
+        # rows. The whole adjacency is n_edges longs spread over n_src
+        # rows; priced at 16 B per edge + ~128 B per-row relation
+        # overhead, 1/16th of heap per relation (the same sizing as the
+        # label/rank frames). Below the cap the count job becomes ONE
+        # streamed pass over the persisted oriented set with two
+        # broadcast hash joins — zero exchanges; past it (or whenever
+        # the spill budget forces K batches, which only happens at a
+        # mass far past any broadcastable size) the SMJ path stands
+        # unchanged. Count-identical by join semantics (A/B'd at sf0.1:
+        # 1,884,488 both paths).
+        bcast_adj = k_batches == 1 and (
+            n_edges * 16 + n_src * 128 <= _heap_bytes() // 16
+        )
+        if bcast_adj:
+            au, aw = F.broadcast(au), F.broadcast(aw)
         total = 0
         seen_any = False
         for i in range(k_batches):
