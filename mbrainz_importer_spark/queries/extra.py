@@ -936,15 +936,28 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
 
 def graph_triangle_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_triangle_count with the co-purchase edge derivation over
-    the bucketed lineitem table: the l_orderkey groupBy that collects
-    same-order part sets — the one fact-scale shuffle in the plain
-    gate — plans Exchange-free over the orderkey-bucketed layout. Same
-    canonical edges, same wedge core, same oracle."""
+    the bucketed lineitem table. Each face keeps the best formulation
+    its layout affords (r13 A/B): the plain face's groupBy pair
+    expansion wins THERE because it removes the derivation shuffle,
+    but over the orderkey-bucketed layout the SELF-join is already
+    Exchange-AND-Sort-free (co-located sorted scans, whole-stage
+    codegen SMJ) and measured faster than the ObjectHashAggregate
+    collect_set pass (interleaved reps 0.9-1.6 s vs 1.2-2.5 s at
+    sf0.1), so the join derivation stays. Same canonical edges, same
+    wedge core, same oracle as the plain gate."""
     from ..operators.graph import triangle_count
     from .core import _bucketed_facts
 
     li, _o = _bucketed_facts(spark, sf_dir)
-    return triangle_count(_copurchase_edges(li))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
