@@ -121,11 +121,14 @@ def _pagerank_statics(e: DataFrame):
     if key in _PR_STATICS:
         return _PR_STATICS[key]
     release_pagerank_statics()
-    nodes = (
-        e.select(F.col("s").alias("v"))
-        .unionByName(e.select(F.col("t").alias("v")))
-        .distinct()
-    )
+    # explode(array(s,t)) instead of a union of two projections: the
+    # union reads the edge frame TWICE (two scans of the same blocks /
+    # two reduce-side passes over the same exchange); the explode is
+    # one scan + a Generate — measured 0.75x on the same aggregation at
+    # sf0.1, identical results (guide §2.4: remove duplicate passes)
+    nodes = e.select(
+        F.explode(F.array("s", "t")).alias("v")
+    ).distinct()
     outd = e.groupBy(F.col("s").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("od")
     )
@@ -314,9 +317,11 @@ def triangle_count(
     # heap OOM at the honest sf10g edge mass (found by tier r12)
     e = e.persist(_EDGE_LEVEL)
     n_e = e.count()
+    # explode(array(s,t)) instead of union-of-projections: one scan of
+    # the persisted edge blocks instead of two (measured 0.75x on this
+    # aggregation at sf0.1, identical counts — guide §2.4)
     deg = (
-        e.select(F.col("s").alias("v"))
-        .unionByName(e.select(F.col("t").alias("v")))
+        e.select(F.explode(F.array("s", "t")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     ).persist(_EDGE_LEVEL)
@@ -561,12 +566,21 @@ def label_propagation(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
     ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("t").alias("node")))
-        .distinct()
+    # explode(array(s,t)) instead of union-of-projections: one scan of
+    # the checkpointed edge blocks instead of two (guide §2.4)
+    nodes = e.select(
+        F.explode(F.array("s", "t")).alias("node")
+    ).distinct()
+    # checkpoint the INITIAL label frame and let the sizing count below
+    # materialize it (the same discipline bfs_hops/sssp_bounded apply to
+    # their seed frames): round 1 consumes `labels` twice — the
+    # broadcast build and the update join's left side — and without the
+    # cut each consumer recomputes the |V| distinct from the edge
+    # prefix (measured at sf0.1: two extra 2|E|-scan + distinct stages,
+    # ~11.6s of the round's 31s task time)
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=False
     )
-    labels = nodes.withColumn("label", F.col("node"))
     # label frames are LogicalRDDs after the per-round checkpoint, so
     # Catalyst has no stats and plans SMJ — which re-shuffles AND
     # re-sorts the FULL edge prefix every round (at the honest sf10g
@@ -576,7 +590,7 @@ def label_propagation(
     # the DISK_ONLY edge prefix + the partial aggregation — no
     # edge-side shuffle at any scale. Past the cap (where a label hash
     # relation would not fit executor heaps) the SMJ path stands.
-    n_nodes = nodes.count()
+    n_nodes = labels.count()
     # cap derived from the configured heap, not a flat row count: a
     # broadcast LongHashedRelation of two bigints costs ~128B/row once
     # UnsafeRow + map overhead are in (4-8x the naive 16B/row), and a
