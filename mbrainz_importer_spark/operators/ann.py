@@ -261,23 +261,36 @@ def _merge_fresh_into_cells(
     # O(increment) by contract, and without the hint Catalyst's
     # default-size estimate would shuffle (or worse, broadcast) the
     # corpus-scale index side instead
-    touched = sorted(r.cell for r in fresh.select("cell").distinct().collect())
+    # one aggregation yields the touched-cell set AND the increment
+    # size (n_fresh feeds the redelivery probe below — no separate
+    # count job)
+    cell_counts = fresh.groupBy("cell").count().collect()
+    touched = sorted(r["cell"] for r in cell_counts)
+    n_fresh = sum(r["count"] for r in cell_counts)
     if not touched:
         return
     # cross-cell guard: nid comes from the parquet id column, cell from
-    # the partition directory — the scan reads one column of the index
+    # the partition directory — the scan reads one column of the index.
+    # The same probe counts how many arrival ids are already indexed
+    # ANYWHERE (n_hit) — the redelivery signal the content no-op check
+    # below keys on.
     idx_cells = spark.read.parquet(path).select(
         "nid", F.col("cell").alias("old_cell")
     )
-    moved_cells = sorted(
-        r.old_cell
-        for r in F.broadcast(fresh.select("nid", "cell"))
+    hit = (
+        F.broadcast(fresh.select("nid", "cell"))
         .join(idx_cells, "nid")
-        .where(F.col("old_cell") != F.col("cell"))
-        .select("old_cell")
-        .distinct()
-        .collect()
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.collect_set(
+                F.when(
+                    F.col("old_cell") != F.col("cell"), F.col("old_cell")
+                )
+            ).alias("moved"),
+        )
+        .collect()[0]
     )
+    n_hit, moved_cells = hit["n_hit"], sorted(hit["moved"])
     if moved_cells and on_moved == "error":
         raise ValueError(
             f"{caller}: arrival ids already indexed in other "
@@ -289,6 +302,26 @@ def _merge_fresh_into_cells(
     existing = spark.read.parquet(path).select(*columns).where(
         F.col("cell").isin(touched)
     )
+    # content no-op probe (the fulltext merge's redelivery discipline,
+    # applied here): when nothing moved and EVERY arrival id is already
+    # indexed (n_hit == n_fresh — known from the guard probe, so a
+    # genuine merge with any new id skips this entirely and pays
+    # nothing extra), compare payloads over the touched cells; if every
+    # arrival row exists identically, the merged content equals the
+    # existing content and the touched-cell rewrite + swap would
+    # re-write every byte for nothing — the dominant cost of a
+    # redelivered increment at any tier. Any difference (same-cell
+    # update) falls through to the write path unchanged.
+    if not moved_cells and n_hit == n_fresh:
+        others = [c for c in columns if c not in ("nid",)]
+        f_ren = fresh.select(
+            "nid", *[F.col(c).alias(f"__f_{c}") for c in others]
+        )
+        same = existing.join(F.broadcast(f_ren), "nid")
+        for c in others:
+            same = same.where(F.expr(f"{c} <=> __f_{c}"))
+        if same.count() == n_fresh:
+            return
     merged = existing.join(
         F.broadcast(fresh.select("nid")), "nid", "left_anti"
     ).unionByName(fresh)

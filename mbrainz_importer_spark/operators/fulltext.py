@@ -386,9 +386,6 @@ def merge_fulltext_increment(
        absent from the membership table and the re-run repairs every
        layer; `repair_fulltext_stats` recomputes stats from doclen if a
        crash landed between the last two writes."""
-    import os
-    import shutil
-
     from ..plans.eav import _drop_stage, _stage_merge
 
     meta = _read_meta(path)
@@ -402,6 +399,14 @@ def merge_fulltext_increment(
         new_idx = new_idx.join(
             F.broadcast(tomb.select("doc")), "doc", "left_anti"
         )
+    # materialize the arrival postings ONCE: new_idx is consumed by the
+    # dpfx probe, the doclen anti-join AND the postings fold — without
+    # the cut each consumer re-tokenizes the whole arrival batch (the
+    # increment's dominant compute, paid 2-3x per merge). O(increment)
+    # rows by contract; a local checkpoint, not a durable write — the
+    # frame only lives within this call (the crash contract rests on
+    # the staged partition writes below, not on this materialization).
+    new_idx = new_idx.localCheckpoint()
     new_dl = (
         new_idx.groupBy("doc")
         .agg(F.sum("tf").cast("long").alias("dl"))
@@ -415,88 +420,84 @@ def merge_fulltext_increment(
         .where(F.col("dpfx").isin(dpfxs))
         .select("doc")
     )
-    incoming = path + "/incoming_staging"
-    new_dl.join(existing_docs, "doc", "left_anti").write.mode(
-        "overwrite"
-    ).parquet(incoming)
-    truly_new = spark.read.parquet(incoming)
-    try:
-        delta = truly_new.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total"),
-        ).collect()[0]
-        if delta["n_docs"] == 0:
-            return
+    # truly-new docs: materialized the same way (consumed by the delta
+    # aggregation, the postings fold and the doclen fold) — replaces
+    # the old incoming_staging parquet round-trip (write + listing +
+    # re-read bought nothing: the frame never outlives the call)
+    truly_new = new_dl.join(existing_docs, "doc", "left_anti").localCheckpoint()
+    delta = truly_new.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total"),
+    ).collect()[0]
+    if delta["n_docs"] == 0:
+        return
 
-        add = new_idx.join(truly_new.select("doc", "dl"), "doc").select(
-            "term",
-            "doc",
-            F.col("tf").cast("long").alias("tf"),
-            "dl",
+    add = new_idx.join(truly_new.select("doc", "dl"), "doc").select(
+        "term",
+        "doc",
+        F.col("tf").cast("long").alias("tf"),
+        "dl",
+        _term_pfx(F.col("term"), n_pfx).alias("pfx"),
+    )
+    touched = sorted(
+        r[0] for r in add.select("pfx").distinct().collect()
+    )
+    existing_p = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("pfx").isin(touched))
+        .select("term", "doc", "tf", "dl", "pfx")
+    )
+    merged = (
+        existing_p.unionByName(add)
+        .groupBy("term", "doc")
+        .agg(F.max("tf").alias("tf"), F.max("dl").alias("dl"))
+        .select(
+            "term", "doc", "tf", "dl",
             _term_pfx(F.col("term"), n_pfx).alias("pfx"),
         )
-        touched = sorted(
-            r[0] for r in add.select("pfx").distinct().collect()
+    )
+    merged = _stage_merge(
+        spark, merged, path + "/postings",
+        columns=("term", "doc", "tf", "dl", "pfx"),
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("pfx").parquet(
+            path + "/postings"
         )
-        existing_p = (
-            spark.read.parquet(path + "/postings")
-            .where(F.col("pfx").isin(touched))
-            .select("term", "doc", "tf", "dl", "pfx")
+        existing_d = (
+            spark.read.parquet(path + "/doclen")
+            .where(F.col("dpfx").isin(dpfxs))
+            .select("doc", "dl")
         )
-        merged = (
-            existing_p.unionByName(add)
-            .groupBy("term", "doc")
-            .agg(F.max("tf").alias("tf"), F.max("dl").alias("dl"))
+        merged_d = (
+            existing_d.unionByName(truly_new.select("doc", "dl"))
+            .groupBy("doc")
+            .agg(F.max("dl").alias("dl"))
             .select(
-                "term", "doc", "tf", "dl",
-                _term_pfx(F.col("term"), n_pfx).alias("pfx"),
+                "doc", "dl",
+                _doc_pfx(F.col("doc"), n_dpfx).alias("dpfx"),
             )
         )
-        merged = _stage_merge(
-            spark, merged, path + "/postings",
-            columns=("term", "doc", "tf", "dl", "pfx"),
+        merged_d = _stage_merge(
+            spark, merged_d, path + "/doclen",
+            columns=("doc", "dl", "dpfx"),
         )
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(mode_key, "static")
-        spark.conf.set(mode_key, "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("pfx").parquet(
-                path + "/postings"
-            )
-            existing_d = (
-                spark.read.parquet(path + "/doclen")
-                .where(F.col("dpfx").isin(dpfxs))
-                .select("doc", "dl")
-            )
-            merged_d = (
-                existing_d.unionByName(truly_new.select("doc", "dl"))
-                .groupBy("doc")
-                .agg(F.max("dl").alias("dl"))
-                .select(
-                    "doc", "dl",
-                    _doc_pfx(F.col("doc"), n_dpfx).alias("dpfx"),
-                )
-            )
-            merged_d = _stage_merge(
-                spark, merged_d, path + "/doclen",
-                columns=("doc", "dl", "dpfx"),
-            )
-            merged_d.write.mode("overwrite").partitionBy("dpfx").parquet(
-                path + "/doclen"
-            )
-        finally:
-            spark.conf.set(mode_key, prev)
-        _drop_stage(path + "/postings")
-        _drop_stage(path + "/doclen")
-
-        old = spark.read.parquet(path + "/stats").collect()[0]
-        spark.createDataFrame(
-            [(old["n_docs"] + delta["n_docs"], old["total"] + delta["total"])],
-            "n_docs long, total long",
-        ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+        merged_d.write.mode("overwrite").partitionBy("dpfx").parquet(
+            path + "/doclen"
+        )
     finally:
-        if os.path.exists(incoming):
-            shutil.rmtree(incoming)
+        spark.conf.set(mode_key, prev)
+    _drop_stage(path + "/postings")
+    _drop_stage(path + "/doclen")
+
+    old = spark.read.parquet(path + "/stats").collect()[0]
+    spark.createDataFrame(
+        [(old["n_docs"] + delta["n_docs"], old["total"] + delta["total"])],
+        "n_docs long, total long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
 
 
 def repair_fulltext_stats(spark, path: str) -> None:
@@ -631,77 +632,125 @@ def excise_fulltext_docs(spark, path: str, doomed: DataFrame) -> None:
     import shutil
 
     meta = _read_meta(path)
-    ids = doomed.select(F.col("doc").cast("long").alias("doc")).distinct()
-    staged = path + "/doomed_staging"
-    ids.write.mode("overwrite").parquet(staged)
-    try:
-        ids = spark.read.parquet(staged)
-        # present docs only — their dl drives the stats subtraction
-        probe = ids.select(
-            "doc", _doc_pfx(F.col("doc"), meta["n_dpfx"]).alias("dpfx")
+    # materialize the (possibly expensive) doomed plan ONCE — a local
+    # checkpoint, not a parquet staging write: the frame is only read
+    # within this call, so the durable write + listing + re-read bought
+    # nothing (job-count hygiene, guide §1/§5: the excision's steady
+    # path is all driver barriers at small doom sets)
+    ids = (
+        doomed.select(F.col("doc").cast("long").alias("doc"))
+        .distinct()
+        .localCheckpoint()
+    )
+    old_t = _tombstones(spark, path)
+    # ONE probe collect answers everything the driver needs up front:
+    # the touched dpfx partitions AND whether any id is newly
+    # tombstoned (doom sets are broadcast-sized by contract, so
+    # collecting (dpfx, is_new) pairs is bounded)
+    marked = (
+        old_t.select("doc").withColumn("__t", F.lit(1))
+        if old_t is not None
+        else spark.createDataFrame([], "doc long, __t int")
+    )
+    probe = (
+        ids.join(F.broadcast(marked), "doc", "left")
+        .select(
+            _doc_pfx(F.col("doc"), meta["n_dpfx"]).alias("dpfx"),
+            F.col("__t").isNull().alias("new_t"),
         )
-        dpfxs = sorted(
-            r[0] for r in probe.select("dpfx").distinct().collect()
+        .groupBy("dpfx")
+        .agg(F.sum(F.col("new_t").cast("long")).alias("n_new"))
+        .collect()
+    )
+    dpfxs = sorted(r["dpfx"] for r in probe)
+    n_new_tomb = sum(r["n_new"] for r in probe)
+    if not dpfxs:
+        return
+    touched = (
+        spark.read.parquet(path + "/doclen")
+        .where(F.col("dpfx").isin(dpfxs))
+    )
+    # per-dpfx presence/remainder in ONE aggregation: the stats delta
+    # (present docs' count + mass), and which touched partitions keep
+    # rows (the old separate `kept` collect) — fused, guide §1 job
+    # hygiene
+    per_pfx = (
+        touched.join(
+            F.broadcast(ids.withColumn("__d", F.lit(1))), "doc", "left"
         )
-        if not dpfxs:
-            return
-        touched = (
-            spark.read.parquet(path + "/doclen")
-            .where(F.col("dpfx").isin(dpfxs))
+        .groupBy("dpfx")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__d").cast("long")), F.lit(0)
+            ).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("__d").isNotNull(), F.col("dl"))),
+                F.lit(0),
+            ).cast("long").alias("total"),
+            F.coalesce(
+                F.sum(F.when(F.col("__d").isNull(), 1).cast("long")),
+                F.lit(0),
+            ).alias("n_keep"),
         )
-        present = touched.join(ids, "doc")
-        delta = present.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total"),
-        ).collect()[0]
+        .collect()
+    )
+    delta_docs = sum(r["n_docs"] for r in per_pfx)
+    delta_total = sum(r["total"] for r in per_pfx)
+    kept = {r["dpfx"] for r in per_pfx if r["n_keep"] > 0}
 
-        # tombstones: union-distinct rewrite (tiny by contract)
-        old_t = _tombstones(spark, path)
-        new_t = ids if old_t is None else old_t.unionByName(ids).distinct()
-        new_t = _stage_local(spark, new_t, path + "/tombstones")
-        new_t.coalesce(1).write.mode("overwrite").parquet(
-            path + "/tombstones"
-        )
-        _drop_local_stage(path + "/tombstones")
-
-        if delta["n_docs"] == 0:
-            return
-        remaining = touched.join(ids, "doc", "left_anti").select(
-            "doc", "dl", "dpfx"
-        )
-        from ..plans.eav import _drop_stage, _stage_merge
-
-        remaining = _stage_merge(
-            spark, remaining, path + "/doclen",
-            columns=("doc", "dl", "dpfx"),
-        )
-        kept = {r[0] for r in remaining.select("dpfx").distinct().collect()}
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(mode_key, "static")
-        spark.conf.set(mode_key, "dynamic")
-        try:
-            remaining.write.mode("overwrite").partitionBy("dpfx").parquet(
-                path + "/doclen"
+    # tombstones: union-distinct rewrite (tiny by contract) — skipped
+    # when every id is already tombstoned (the rewrite would be a
+    # content no-op; redelivered excisions stay idempotent AND cheap)
+    if n_new_tomb > 0:
+        if old_t is None:
+            # ids is checkpointed, reads nothing under the target dir
+            ids.coalesce(1).write.mode("overwrite").parquet(
+                path + "/tombstones"
             )
-        finally:
-            spark.conf.set(mode_key, prev)
-        _drop_stage(path + "/doclen")
-        # a dpfx partition whose every doc was excised has no staged
-        # rows; dynamic overwrite cannot express an empty partition,
-        # so the emptied directory is removed explicitly
-        for k in set(dpfxs) - kept:
-            d = os.path.join(path, "doclen", f"dpfx={k}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+        else:
+            new_t = _stage_local(
+                spark, old_t.unionByName(ids).distinct(),
+                path + "/tombstones",
+            )
+            new_t.coalesce(1).write.mode("overwrite").parquet(
+                path + "/tombstones"
+            )
+            _drop_local_stage(path + "/tombstones")
 
-        old = spark.read.parquet(path + "/stats").collect()[0]
-        spark.createDataFrame(
-            [(old["n_docs"] - delta["n_docs"], old["total"] - delta["total"])],
-            "n_docs long, total long",
-        ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    if delta_docs == 0:
+        return
+    remaining = touched.join(ids, "doc", "left_anti").select(
+        "doc", "dl", "dpfx"
+    )
+    from ..plans.eav import _drop_stage, _stage_merge
+
+    remaining = _stage_merge(
+        spark, remaining, path + "/doclen",
+        columns=("doc", "dl", "dpfx"),
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        remaining.write.mode("overwrite").partitionBy("dpfx").parquet(
+            path + "/doclen"
+        )
     finally:
-        if os.path.exists(staged):
-            shutil.rmtree(staged)
+        spark.conf.set(mode_key, prev)
+    _drop_stage(path + "/doclen")
+    # a dpfx partition whose every doc was excised has no staged
+    # rows; dynamic overwrite cannot express an empty partition,
+    # so the emptied directory is removed explicitly
+    for k in set(dpfxs) - kept:
+        d = os.path.join(path, "doclen", f"dpfx={k}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    old = spark.read.parquet(path + "/stats").collect()[0]
+    spark.createDataFrame(
+        [(old["n_docs"] - delta_docs, old["total"] - delta_total)],
+        "n_docs long, total long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
 
 
 def _stage_local(spark, df: DataFrame, anchor: str) -> DataFrame:
