@@ -579,6 +579,14 @@ def merge_datoms_increment(
     import shutil
     from urllib.parse import unquote
 
+    # materialize the increment ONCE (the IVF/fulltext merges'
+    # discipline): ops is consumed by the touched-partition probe and
+    # again by current_datoms inside the staged write — without the cut
+    # each consumer re-derives the whole increment plan. O(increment)
+    # rows by contract (the tx-log batch), never store-scale — the
+    # _stage_merge caveat about checkpointing unbounded merged rows
+    # does not apply to the increment side.
+    ops = ops.localCheckpoint()
     touched = sorted(r.a for r in ops.select("a").distinct().collect())
     if not touched:
         return
@@ -688,6 +696,11 @@ def merge_datoms_increment_bucketed(
 
     from ..sources.bucketed import writer_partitions
 
+    # materialize the increment ONCE (see merge_datoms_increment): the
+    # touched probe and every per-attribute staging job re-scan ops —
+    # on the split path that is 1 + len(touched) re-derivations of the
+    # increment plan without the cut. O(increment) rows by contract.
+    ops = ops.localCheckpoint()
     touched = sorted(r.a for r in ops.select("a").distinct().collect())
     if not touched:
         return
