@@ -46,17 +46,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # The static edge prefix of every iterative operator checkpoints
-# DISK_ONLY (r12, found by the degree-controlled sf10g tier): the
-# default MEMORY_AND_DISK blocks both PIN the unified pool's storage
-# fraction (starving the per-round aggregations — the same
-# AGGREGATE_OOM shape r11 fixed in the LSH shingle feed) and are
+# DISK_ONLY at fact-scale tiers (r12, found by the degree-controlled
+# sf10g tier): the default MEMORY_AND_DISK blocks both PIN the unified
+# pool's storage fraction (starving the per-round aggregations — the
+# same AGGREGATE_OOM shape r11 fixed in the LSH shingle feed) and are
 # evictable, which is fatal after a lineage cut ("Block rdd_N does not
 # exist" cascades killed the plain-LPA sf10g run live). DISK_ONLY
 # blocks are never evicted by memory pressure, leave execution the
 # whole pool, and re-read at page-cache speed on a warm box. The small
 # per-round frames (labels / frontiers / distances — O(|V|) rows) keep
 # the default level.
+#
+# The level is HEAP-GATED, not flat (r13): every iterative round
+# re-scans the prefix, and a DISK_ONLY scan re-deserializes the blocks
+# each time — at a small derived edge mass that is the round's dominant
+# per-task cost (pagerank/LPA steady ~0.9x at sf0.1 memory-backed) for
+# zero memory-pressure benefit. The gate prices the session's derived
+# edge mass from the corpus fact bytes (the same signal the AQE floor
+# uses, 16x headroom for derived mass) against 1/8th of the configured
+# heap: sf0.1 (~400 MB priced) stays memory-backed, the g-corpora
+# (multi-GB) keep the r12 DISK_ONLY posture unchanged.
 _EDGE_LEVEL = StorageLevel.DISK_ONLY
+
+
+def _edge_level() -> StorageLevel:
+    from ..session import _corpus_fact_bytes
+    from ..sources.bucketed import _heap_bytes
+
+    if _corpus_fact_bytes() * 16 <= _heap_bytes() // 8:
+        return StorageLevel.MEMORY_AND_DISK
+    return _EDGE_LEVEL
 
 PR_SCALE = 1_000_000_000_000
 
@@ -135,15 +154,15 @@ def _pagerank_statics(e: DataFrame):
     # DISK_ONLY for the same reason as _EDGE_LEVEL: the edge prefix is
     # fact-scale on the degree-controlled corpora and a MEMORY_AND_DISK
     # pin starves the per-round contribution aggregations
-    e = e.persist(_EDGE_LEVEL)
+    e = e.persist(_edge_level())
     e.count()
-    outd = outd.persist(_EDGE_LEVEL)
-    nodes = nodes.persist(_EDGE_LEVEL)
+    outd = outd.persist(_edge_level())
+    nodes = nodes.persist(_edge_level())
     n_nodes = nodes.count()
     outd.count()
     ew = e.join(outd.select(F.col("v").alias("s"), "od"), "s").select(
         "s", "t", "od"
-    ).persist(_EDGE_LEVEL)
+    ).persist(_edge_level())
     ew.count()
     # e itself is not read by the per-round plan anymore (ew carries
     # the edges); release its blocks now that ew is materialized
@@ -315,7 +334,7 @@ def triangle_count(
     # _EDGE_LEVEL: both cached frames here are |E|-sized, and pinning
     # them in the memory store starved the intersection joins into a
     # heap OOM at the honest sf10g edge mass (found by tier r12)
-    e = e.persist(_EDGE_LEVEL)
+    e = e.persist(_edge_level())
     n_e = e.count()
     # explode(array(s,t)) instead of union-of-projections: one scan of
     # the persisted edge blocks instead of two (measured 0.75x on this
@@ -324,7 +343,7 @@ def triangle_count(
         e.select(F.explode(F.array("s", "t")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    ).persist(_EDGE_LEVEL)
+    ).persist(_edge_level())
     # the degree lookup is |V|-sized: below the heap cap (the
     # label_propagation sizing — ~128B/row broadcast relation, 1/16th
     # of heap) broadcast BOTH lookups, so the orientation is a streamed
@@ -349,7 +368,7 @@ def triangle_count(
     oriented = et.select(
         F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("u"),
         F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("w"),
-    ).persist(_EDGE_LEVEL)
+    ).persist(_edge_level())
     # orientation is a BIJECTION on the (distinct) edge set, so
     # n_edges == the already-measured e.count() — no separate count
     # job; oriented's blocks materialize inside adj.count() below
@@ -362,7 +381,7 @@ def triangle_count(
         # orientation's sqrt(2|E|) out-degree bound
         adj = oriented.groupBy("u").agg(
             F.collect_list("w").alias("nbrs")
-        ).persist(_EDGE_LEVEL)
+        ).persist(_edge_level())
         n_src = adj.count()
         # e and deg fed the orientation join, which adj.count() has now
         # materialized through oriented's persist — release both here
@@ -488,7 +507,7 @@ def bfs_hops(
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
-    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
+    ).localCheckpoint(eager=False, storageLevel=_edge_level())
     seed_col = sources.columns[0]
     visited = (
         sources.select(F.col(seed_col).cast("bigint").alias("node"))
@@ -565,7 +584,7 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
-    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
+    ).localCheckpoint(eager=False, storageLevel=_edge_level())
     # explode(array(s,t)) instead of union-of-projections: one scan of
     # the checkpointed edge blocks instead of two (guide §2.4)
     nodes = e.select(
@@ -667,7 +686,7 @@ def sssp_bounded(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("t"),
         F.col(weight_col).cast("bigint").alias("w"),
-    ).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
+    ).localCheckpoint(eager=False, storageLevel=_edge_level())
     seed_col = sources.columns[0]
     dist = (
         sources.select(F.col(seed_col).cast("bigint").alias("node"))
