@@ -174,17 +174,42 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # harness methodology, declared IN the record so a comparison
+        # never has to guess (r13 verdict #2: PERF reported
+        # bench_harness_changed=false over a changed bench.py): the
+        # timed action is the same df.count() per query as every prior
+        # round; per-query GC hygiene (r13, outside all timed regions)
+        # is on unless SPARK_GRAFT_BENCH_GC=0.
+        "harness": {
+            "runs": runs,
+            "timed_action": "count",
+            "gc_between_queries": os.environ.get(
+                "SPARK_GRAFT_BENCH_GC", "1"
+            ) != "0",
+        },
+    }
+    line = json.dumps(record)
+    # the one-line JSON contract, emitted robustly (r13 verdict #2: the
+    # r12 record survived only as a head-truncated tail): stdout line
+    # (flushed) PLUS a sibling file a comparison can always read
+    print(line, flush=True)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_LAST.json",
+            ),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only deployment: the stdout line stands alone
 
 
 if __name__ == "__main__":

@@ -73,7 +73,13 @@ def _edge_level() -> StorageLevel:
     from ..session import _corpus_fact_bytes
     from ..sources.bucketed import _heap_bytes
 
-    if _corpus_fact_bytes() * 16 <= _heap_bytes() // 8:
+    fact_bytes = _corpus_fact_bytes()
+    # Unknown corpus (env unset / dir absent => 0 bytes): the gate has
+    # no size signal, so take the SAFE side — DISK_ONLY is the posture
+    # that survives fact-scale edges; MEMORY_AND_DISK on an unpriced
+    # edge set re-exposes the r12 eviction cascade ("Block rdd_N does
+    # not exist") the flat level was introduced to fix (r13 ADVICE).
+    if fact_bytes > 0 and fact_bytes * 16 <= _heap_bytes() // 8:
         return StorageLevel.MEMORY_AND_DISK
     return _EDGE_LEVEL
 

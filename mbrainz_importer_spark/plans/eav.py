@@ -569,8 +569,27 @@ def _increment_is_noop(existing: DataFrame, ops: DataFrame) -> bool:
         r["added"]: r["count"]
         for r in norm.groupBy("added").count().collect()
     }
-    if totals.get(False, 0) == 0 and totals.get(True, 0) == 0:
+    # NULL-added ops are NOT inert: the replay lets one win the
+    # max-struct per (e, a, v) and then drops the datom at
+    # where(op.added) — declaring them no-ops would skip a merge that
+    # actually removes live rows (r13 ADVICE). They are also invisible
+    # to the assert/retract counters below, so fall through outright.
+    if totals.get(None, 0) > 0:
+        return False
+    n_ops = totals.get(True, 0) + totals.get(False, 0)
+    if n_ops == 0:
         return True
+    # The probe broadcasts the increment (the only orientation that
+    # never hashes the store side). merge_datoms_increment's contract
+    # only bounds ops as "the tx-log batch" — a bulk-sized increment
+    # must not be forced through the broadcast-relation limit just to
+    # ask whether it is a redelivery: above a broadcast-safe cap
+    # (heap/16 at ~512 B per built row, the datalog pricing) skip the
+    # probe and go straight to the real merge (r13 ADVICE).
+    from ..sources.bucketed import _heap_bytes
+
+    if n_ops > _heap_bytes() // (16 * 512):
+        return False
     # the store side STREAMS and the increment broadcasts (the only
     # scalable orientation — any shape that preserves the increment
     # side would build a hash relation of the store partitions), so

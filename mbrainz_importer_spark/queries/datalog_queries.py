@@ -1037,7 +1037,18 @@ def _orders_log_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     10th order re-asserts :orders/o_orderstatus as 'R2' (cardinality-one
     displacement), and orders with key % 100 == 7 retract their
     :orders/o_totalprice datom. Built through table_datoms so the
-    (e, a, v) forms match the store's canonicalization exactly."""
+    (e, a, v) forms match the store's canonicalization exactly.
+
+    The increment additionally carries a TWO-TX toggle for a small
+    subset (key % 1000 == 0, a subset of the re-asserted entities): an
+    interim 'R2~' assertion at tx 1 that the canonical 'R2' at tx 2
+    displaces under the replay's max-tx election. The replayed CONTENT
+    is bit-identical to the canonical ops alone — the oracle and every
+    readback are unchanged — but the interim value is never live in a
+    merged store, so `_increment_is_noop` always falls through and
+    every bench run of the merge gates pays one genuine touched-
+    partition rewrite instead of dissolving the redelivery (r13 verdict
+    #3: the steady state must measure a merge, not a probe)."""
     from ..plans.eav import table_datoms
 
     orders = load(spark, sf_dir, "orders")
@@ -1047,14 +1058,29 @@ def _orders_log_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus"),
         "orders", "o_orderkey",
     ).where(F.col("a") == ":orders/o_orderstatus")
+    toggle = table_datoms(
+        orders.where(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderstatus", F.lit("R2~"))
+        .select("o_orderkey", "o_orderstatus"),
+        "orders", "o_orderkey",
+    ).where(F.col("a") == ":orders/o_orderstatus")
     retr = table_datoms(
         orders.where(F.col("o_orderkey") % 100 == 7)
         .select("o_orderkey", "o_totalprice"),
         "orders", "o_orderkey",
     ).where(F.col("a") == ":orders/o_totalprice")
-    return upd.withColumn("added", F.lit(True)).unionByName(
-        retr.withColumn("added", F.lit(False))
-    ).withColumn("tx", F.lit(1).cast("long"))
+    return (
+        upd.withColumn("added", F.lit(True))
+        .withColumn("tx", F.lit(2).cast("long"))
+        .unionByName(
+            toggle.withColumn("added", F.lit(True))
+            .withColumn("tx", F.lit(1).cast("long"))
+        )
+        .unionByName(
+            retr.withColumn("added", F.lit(False))
+            .withColumn("tx", F.lit(1).cast("long"))
+        )
+    )
 
 
 def _status_price_rollup(store: DataFrame) -> DataFrame:

@@ -319,6 +319,26 @@ def sim_ivf_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_ivf_index(
             emb.where(F.col("vec_id") % 10 != 0), centroids, path
         )
+    # Interim delivery of a SMALL slice (vec_id % 1000 == 0, a subset
+    # of the increment) with every component scaled by exactly 0.5:
+    # cosine is bit-invariant under a power-of-two scale (the halving
+    # is exact per IEEE component, and the factor cancels exactly in
+    # dot/(|q||v|)), so the slice lands in the SAME cells with the SAME
+    # scores — but its stored payload differs from the canonical rows,
+    # so the content no-op probe always falls through and the canonical
+    # merge below pays one genuine touched-cell rewrite per run instead
+    # of dissolving the redelivery (r13 verdict #3: the bench face must
+    # measure a merge, not a probe). The canonical merge then restores
+    # the exact canonical index content, so the readback stays
+    # hash-equal to the brute-force oracle.
+    merge_ivf_increment(
+        spark, path,
+        emb.where(F.col("vec_id") % 1000 == 0).withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> x * cast(0.5 as float))"),
+        ),
+        centroids,
+    )
     merge_ivf_increment(
         spark, path, emb.where(F.col("vec_id") % 10 == 0), centroids
     )
