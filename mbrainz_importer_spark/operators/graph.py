@@ -631,17 +631,25 @@ def label_propagation(
     bcast_labels = n_nodes <= _heap_bytes() // (16 * 128)
     for _ in range(iters):
         lab = F.broadcast(labels) if bcast_labels else labels
-        counted = (
+        # ONE exchange per round (r14, verdict #5): the old two-step —
+        # groupBy(t, label).count() then a per-t argmax — shuffled
+        # twice (once on (t, label) partials, once on t carrying the
+        # already-aggregated counts). mode(label, deterministic=True)
+        # is the built-in count-map aggregate: ObjectHashAggregate
+        # builds a label->count map per t MAP-SIDE and merges maps
+        # across the single Exchange on t — the same partial-combined
+        # bytes as the first shuffle, and the second shuffle is gone
+        # (per-round plan: 2 Exchange -> 1, plans/r14/
+        # graph_label_propagation_*). deterministic=True resolves ties
+        # to the SMALLEST label — exactly the old
+        # min(struct(-cnt, label)) order, proved equal on the full
+        # sf0.1 graph (exceptAll both ways = 0) and pinned with
+        # adversarial ties in test_clustering_graph; the DuckDB oracle
+        # re-certifies every consumer.
+        best = (
             e.join(lab, e["s"] == lab["node"])
-            .groupBy(F.col("t").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = counted.groupBy("node").agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("neg"), F.col("label").alias("l")
-                )
-            )["l"].alias("new_label")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.mode("label", True).alias("new_label"))
         )
         labels = (
             # `best` is |V|-bounded like the label frame: under the same

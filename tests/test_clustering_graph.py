@@ -355,6 +355,30 @@ def test_label_propagation_keeps_dense_communities_apart(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 3), (5, 3), (6, 3)}
 
 
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """r14: the per-round argmax became mode(label, deterministic=True)
+    (one Exchange per round instead of two). The contract it must keep:
+    ties on count resolve to the SMALLEST label. Star centers with
+    adversarial neighbor multisets — {9,9,3,3,5}: tie 9 vs 3 -> 3;
+    {8,8,6,6,7,7}: three-way tie -> 6; input order carries the larger
+    label first, so a first/last-encountered mode would answer 9 / 7."""
+    from mbrainz_importer_spark.operators.graph import label_propagation
+
+    # directed edges INTO the two centers (100, 200) from leaf nodes
+    # whose ids are the labels in round 1; one round isolates the rule
+    edges = spark.createDataFrame(
+        [(9, 100), (9, 100), (3, 100), (3, 100), (5, 100),
+         (8, 200), (8, 200), (6, 200), (6, 200), (7, 200), (7, 200)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node, r.label)
+        for r in label_propagation(edges, iters=1).collect()
+        if r.node in (100, 200)
+    }
+    assert got == {(100, 3), (200, 6)}
+
+
 def test_sssp_bounded_min_plus_beats_first_reach(spark):
     """Bounded Bellman-Ford on a hand graph: the direct edge 1->2 costs
     10 but the 2-hop route 1->3->2 costs 3 — min-PLUS must report 3,

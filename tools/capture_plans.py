@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for named registry queries into
-plans/r13/<query>_<tag>.txt (the optimization round's evidence files).
+plans/r14/<query>_<tag>.txt (the optimization round's evidence files).
 
 Usage: python tools/capture_plans.py <tag> [name ...]
   tag: 'before' or 'after' (file suffix)
@@ -31,7 +31,7 @@ def main(argv: list[str]) -> int:
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", "r14",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
