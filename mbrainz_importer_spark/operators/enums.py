@@ -31,7 +31,9 @@ def enums_dim(spark: SparkSession, enums_edn_path: str) -> DataFrame:
         for enum_type, mapping in raw.items()
         for value, ident in mapping.items()
     ]
-    return spark.createDataFrame(rows, SCH.ENUM_DIM)
+    from .localrel import local_df
+
+    return local_df(spark, rows, SCH.ENUM_DIM)
 
 
 def super_enums_dim(spark: SparkSession, basedir: str) -> DataFrame:
@@ -45,7 +47,9 @@ def super_enums_dim(spark: SparkSession, basedir: str) -> DataFrame:
             ident = ent[":db/ident"]
             name = next(v for k, v in ent.items() if k.endswith("/name"))
             rows.append((table, str(code), str(name), str(ident)))
-    return spark.createDataFrame(rows, SCH.SUPER_ENUM_DIM)
+    from .localrel import local_df
+
+    return local_df(spark, rows, SCH.SUPER_ENUM_DIM)
 
 
 MISS_PREFIX = "__miss_"

@@ -494,7 +494,10 @@ def merge_fulltext_increment(
     _drop_stage(path + "/doclen")
 
     old = spark.read.parquet(path + "/stats").collect()[0]
-    spark.createDataFrame(
+    from .localrel import local_df
+
+    local_df(
+        spark,
         [(old["n_docs"] + delta["n_docs"], old["total"] + delta["total"])],
         "n_docs long, total long",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
@@ -518,15 +521,22 @@ def repair_fulltext_stats(spark, path: str) -> None:
 
 
 def _pfx_of_terms(spark, terms: list[str], n_pfx: int) -> list[int]:
-    """The query terms' partition values — one tiny local-relation job
-    so the driver-side literals use Spark's own xxhash64."""
+    """The query terms' partition values, still computed by Spark's own
+    xxhash64 — but over a JVM LocalRelation (operators/localrel), so
+    the foldable projection collects driver-side with ZERO scan tasks.
+    The previous createDataFrame(list) planned a Python-RDD scan:
+    32 tasks each spinning a Python worker to unpickle a slice of a
+    three-term list — 50.3 s of task time per serving query (r14
+    measured, fulltext_bm25_from_index stage 4). Dedup happens here,
+    not in a distinct(), so no shuffle job either."""
+    from .localrel import local_df
+
     rows = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
+        local_df(spark, [(t,) for t in terms], "term string")
         .select(_term_pfx(F.col("term"), n_pfx).alias("pfx"))
-        .distinct()
         .collect()
     )
-    return sorted(r["pfx"] for r in rows)
+    return sorted({r["pfx"] for r in rows})
 
 
 def fulltext_bm25_from_index(
@@ -747,7 +757,10 @@ def excise_fulltext_docs(spark, path: str, doomed: DataFrame) -> None:
             shutil.rmtree(d)
 
     old = spark.read.parquet(path + "/stats").collect()[0]
-    spark.createDataFrame(
+    from .localrel import local_df
+
+    local_df(
+        spark,
         [(old["n_docs"] - delta_docs, old["total"] - delta_total)],
         "n_docs long, total long",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
@@ -826,7 +839,10 @@ def fulltext_bm25_from_index_many(
     if not queries:
         raise ValueError("fulltext_bm25_from_index_many needs queries")
     per_q = {qid: query_terms(q) for qid, q in enumerate(queries)}
-    qrel = spark.createDataFrame(
+    from .localrel import local_df
+
+    qrel = local_df(
+        spark,
         [(qid, t) for qid, ts in per_q.items() for t in ts],
         "qid int, term string",
     )
@@ -872,7 +888,8 @@ def fulltext_bm25_from_index_many(
         F.sum("term_score").cast("long").alias("score"),
     )
     if mode == "all":
-        n_terms = spark.createDataFrame(
+        n_terms = local_df(
+            spark,
             [(qid, len(ts)) for qid, ts in per_q.items()],
             "qid int, n_terms int",
         )

@@ -281,8 +281,10 @@ def pagerank_topk(
     rows = (
         rank.orderBy(F.desc("rank"), F.asc("node")).limit(k).collect()
     )
-    return edges.sparkSession.createDataFrame(
-        rows, "node bigint, rank bigint"
+    from .localrel import local_df
+
+    return local_df(
+        edges.sparkSession, rows, "node bigint, rank bigint"
     )
 
 
@@ -472,9 +474,11 @@ def triangle_count(
         if adj is not None:
             adj.unpersist()
     spark = edges.sparkSession
+    from .localrel import local_df
+
     # SUM over an empty join (every sink vertex list-less) is NULL = 0
-    return spark.createDataFrame(
-        [(int(n) if n is not None else 0,)], "n_triangles bigint"
+    return local_df(
+        spark, [(int(n) if n is not None else 0,)], "n_triangles bigint"
     )
 
 

@@ -218,6 +218,8 @@ def _recover(spark, path: str) -> None:
 
 
 def _commit_batch(spark, path: str, batch_id: str) -> None:
-    spark.createDataFrame([(batch_id,)], "batch_id string").coalesce(
+    from .localrel import local_df
+
+    local_df(spark, [(batch_id,)], "batch_id string").coalesce(
         1
     ).write.mode("append").parquet(path + "/batches")

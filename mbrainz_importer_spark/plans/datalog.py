@@ -1621,10 +1621,31 @@ def _seed_plan(
     binding: dict = {}
     num_binding: dict = {}
     spark = datoms.sparkSession
+    _PY_DDL = {str: "string", bool: "boolean", int: "bigint", float: "double"}
     for i, (vars_, rows) in enumerate(seeds):
         cols = [f"c{j}" for j in range(len(vars_))]
         if rows:
-            sdf = spark.createDataFrame(rows, cols)
+            # mirror createDataFrame's inference (str/bool/int/float ->
+            # string/boolean/bigint/double) so the relation can build as
+            # a JVM LocalRelation (operators/localrel — the Python-RDD
+            # scan behind createDataFrame costs a Python worker per
+            # core per seed relation); mixed/exotic columns fall back
+            types = [
+                {type(r[j]) for r in rows if r[j] is not None}
+                for j in range(len(cols))
+            ]
+            if all(len(t) == 1 and next(iter(t)) in _PY_DDL for t in types):
+                from ..operators.localrel import local_df
+
+                sdf = local_df(
+                    spark, rows,
+                    ", ".join(
+                        f"{c} {_PY_DDL[next(iter(t))]}"
+                        for c, t in zip(cols, types)
+                    ),
+                )
+            else:
+                sdf = spark.createDataFrame(rows, cols)
         else:
             sdf = spark.createDataFrame(
                 [], ", ".join(f"{c} string" for c in cols)

@@ -1261,7 +1261,10 @@ def schema_datoms(
             if ident in fulltext:
                 rows.append((e, ":db/fulltext", "true"))
             rows.append((e, ":db/doc", f"Attribute {fld.name} of table {table}"))
-    return spark.createDataFrame(
+    from ..operators.localrel import local_df
+
+    return local_df(
+        spark,
         [(e, a, v, None) for e, a, v in rows],
         "e string, a string, v string, v_num double",
     )

@@ -169,7 +169,9 @@ def pull_many(
     if isinstance(entities, DataFrame):
         ents = entities.toDF("e")
     else:
-        ents = spark.createDataFrame([(str(x),) for x in entities], "e string")
+        from ..operators.localrel import local_df
+
+        ents = local_df(spark, [(str(x),) for x in entities], "e string")
     seed = F.broadcast(ents) if broadcast else ents
     pulled = pull_entities(datoms.join(seed, "e", "left_semi"), spec)
     return ents.join(pulled, "e", "left")
